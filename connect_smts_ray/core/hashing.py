@@ -1,0 +1,156 @@
+"""Hashing kernels: bit-exact Kafka murmur2 partitioner + content hashes.
+
+Kafka's ``Utils.murmur2`` (seed ``0x9747b28c``) with
+``toPositive(h) = h & 0x7fffffff`` is what the reference's Outbox uses to
+route partition-key records (smt/Outbox.java:225). The engine reuses it as
+its shuffle key: ``partition_id = murmur2_positive(repo + b"\\x00" + path) % P``
+so replay partitioning is stable across cluster sizes.
+
+Golden vectors (OutboxTest.java:263-268, :429-431):
+    murmur2_positive(b"some-partition-key") % 3 == 1
+    murmur2_positive(b"another-partition-key") % 3 == 2
+    murmur2_positive(b"1234-5678") % 3 == 2
+
+Two implementations: a scalar reference and a numpy-vectorized kernel that
+groups rows by byte length so every row in a group shares chunking/tail
+handling (hot path of the upsert shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_M = 0x5BD1E995
+_SEED = 0x9747B28C
+_MASK = 0xFFFFFFFF
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka Utils.murmur2, returned as a signed 32-bit int."""
+    length = len(data)
+    h = (_SEED ^ length) & _MASK
+    n4 = length & ~0x3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * _M) & _MASK
+        k ^= k >> 24
+        k = (k * _M) & _MASK
+        h = (h * _M) & _MASK
+        h ^= k
+    rem = length & 0x3
+    if rem >= 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if rem >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if rem >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * _M) & _MASK
+    h ^= h >> 13
+    h = (h * _M) & _MASK
+    h ^= h >> 15
+    return h - (1 << 32) if h & 0x80000000 else h
+
+
+def murmur2_positive(data: bytes) -> int:
+    """toPositive(murmur2(data)) — Kafka's default partitioner hash."""
+    return murmur2(data) & 0x7FFFFFFF
+
+
+def _murmur2_same_length(flat: np.ndarray, n_rows: int, length: int) -> np.ndarray:
+    """Vectorized murmur2 over ``n_rows`` byte strings of identical ``length``.
+
+    ``flat`` is a uint8 array of shape (n_rows, length).
+    """
+    h = np.full(n_rows, (_SEED ^ length) & _MASK, dtype=np.uint64)
+    m = np.uint64(_M)
+    mask = np.uint64(_MASK)
+    n4 = length & ~0x3
+    for i in range(0, n4, 4):
+        k = (
+            flat[:, i].astype(np.uint64)
+            | (flat[:, i + 1].astype(np.uint64) << np.uint64(8))
+            | (flat[:, i + 2].astype(np.uint64) << np.uint64(16))
+            | (flat[:, i + 3].astype(np.uint64) << np.uint64(24))
+        )
+        k = (k * m) & mask
+        k ^= k >> np.uint64(24)
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+    rem = length & 0x3
+    if rem >= 3:
+        h ^= flat[:, n4 + 2].astype(np.uint64) << np.uint64(16)
+    if rem >= 2:
+        h ^= flat[:, n4 + 1].astype(np.uint64) << np.uint64(8)
+    if rem >= 1:
+        h ^= flat[:, n4].astype(np.uint64)
+        h = (h * m) & mask
+    h ^= h >> np.uint64(13)
+    h = (h * m) & mask
+    h ^= h >> np.uint64(15)
+    return h.astype(np.uint32)
+
+
+def murmur2_positive_many(values) -> np.ndarray:
+    """Vectorized ``toPositive(murmur2(x))`` over an Arrow binary/string array
+    (or any iterable of bytes). Returns uint32.
+
+    Rows are grouped by byte length; each group is hashed with one pass of
+    numpy uint64 arithmetic (no per-row Python in groups of size > 1).
+    """
+    if isinstance(values, (pa.ChunkedArray,)):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        buf = [v.as_py() if v.is_valid else b"" for v in values]
+        data = [v.encode() if isinstance(v, str) else v for v in buf]
+    else:
+        data = [v.encode() if isinstance(v, str) else v for v in values]
+
+    n = len(data)
+    out = np.empty(n, dtype=np.uint32)
+    lengths = np.fromiter((len(d) for d in data), dtype=np.int64, count=n)
+    order = np.argsort(lengths, kind="stable")
+    i = 0
+    while i < n:
+        j = i
+        length = lengths[order[i]]
+        while j < n and lengths[order[j]] == length:
+            j += 1
+        idx = order[i:j]
+        if length == 0:
+            h = (_SEED ^ 0) & _MASK
+            h ^= h >> 13
+            h = (h * _M) & _MASK
+            h ^= h >> 15
+            out[idx] = np.uint32(h)
+        elif len(idx) == 1:
+            out[idx[0]] = np.uint32(murmur2(data[idx[0]]) & _MASK)
+        else:
+            flat = np.frombuffer(
+                b"".join(data[k] for k in idx), dtype=np.uint8
+            ).reshape(len(idx), length)
+            out[idx] = _murmur2_same_length(flat, len(idx), int(length))
+        i = j
+    return out & np.uint32(0x7FFFFFFF)
+
+
+def sha256_hex(data) -> str:
+    if isinstance(data, str):
+        data = data.encode()
+    return hashlib.sha256(data).hexdigest()
+
+
+def sha256_hex_many(values) -> list:
+    """sha256 hex digests for an iterable / Arrow array of strings."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    out = []
+    for v in values:
+        if v is None:
+            out.append(None)
+        else:
+            out.append(hashlib.sha256(v.encode() if isinstance(v, str) else v).hexdigest())
+    return out

@@ -1,0 +1,508 @@
+"""Dynamic JSON→schema inference and monotone union-widening.
+
+Re-expresses, over plain Python values + Arrow types, the semantics of the
+reference's schema machinery (behavioral parity citations into
+/root/reference):
+
+- JSON tree → (schema, value) inference            — json/SchemaTransformer.java:50-147
+- recursive schema union-widening                  — json/SchemaTransformer.java:208-290
+- value repackaging onto a widened schema          — json/SchemaTransformer.java:149-206
+- strict fast-path mapping onto a known schema     — json/SchemaMapper.java:19-66
+- Avro-legal field-name sanitization               — utils/AvroUtils.java:26-48
+- schema ⇄ JSON wire format                        — utils/SchemaSerDer.java:14-39, utils/SchemaDto.java:10-70
+
+Schemas are immutable ``SType`` values (hashable, order-sensitive equality)
+mirroring Kafka Connect's ``Schema``: a type kind, an optional logical name,
+an ``optional`` flag, ordered struct fields, and an array element schema.
+Struct values are plain ``dict``s, arrays are ``list``s.
+
+Semantics notes (all asserted by tests/test_schema.py):
+
+- Integers infer to the narrowest of int32/int64 (Jackson parses JSON ints to
+  Integer/Long; ``Values.inferSchema`` maps those to INT32/INT64 —
+  SchemaTransformer.java:129). Ints beyond int64 ("BigInteger") become
+  float64 (:129-133). int8/int16 exist in the type system but are never
+  inferred, exactly like the reference.
+- Unions require identical type kinds; int32 ∪ int64 *throws* and the caller
+  keeps incompatible schemas in separate registry slots
+  (DebeziumJsonDeserializer.java:223-253).
+- Struct unions sort fields by name (SchemaTransformer.java:258-259); a field
+  missing from any input becomes optional (:265-267); initial inference keeps
+  JSON insertion order (StructWalker.java:30-41).
+- JSON null inside an object drops the field (:119-121); empty arrays are
+  dropped (:74-76); all-null array elements yield an empty-struct element
+  schema (:100-108).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional
+
+import pyarrow as pa
+
+INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
+INT64_MIN, INT64_MAX = -(2**63), 2**63 - 1
+
+PRIMITIVE_KINDS = frozenset(
+    {"int8", "int16", "int32", "int64", "float32", "float64",
+     "boolean", "string", "bytes"}
+)
+NUMBER_KINDS = frozenset({"int8", "int16", "int32", "int64", "float32"})
+# ^ float64 deliberately excluded: convert-numbers-to-double only rewrites the
+#   *other* number kinds (SchemaTransformer.java:25-31).
+
+
+class SchemaUnionError(ValueError):
+    """Two schemas cannot be union-widened (SchemaTransformer.java:225-233)."""
+
+
+class SchemaInferenceError(ValueError):
+    """A JSON value cannot be mapped into the type system."""
+
+
+class FastPathMiss(Exception):
+    """Strict mapping against a known schema failed; take the slow path
+    (DebeziumJsonDeserializer.java:196-212 catches any exception)."""
+
+
+@dataclass(frozen=True)
+class SType:
+    """Immutable structural schema value (Kafka Connect Schema analog)."""
+
+    kind: str
+    name: Optional[str] = None
+    optional: bool = False
+    fields: Optional[tuple] = None      # struct: tuple[(name, SType), ...] ordered
+    element: Optional["SType"] = None   # array element schema
+
+    def __post_init__(self):
+        if self.kind == "struct" and self.fields is None:
+            object.__setattr__(self, "fields", ())
+        if self.kind == "array" and self.element is None:
+            raise SchemaInferenceError("array schema requires an element schema")
+
+    # -- convenience ----------------------------------------------------
+    def field_schema(self, name: str) -> Optional["SType"]:
+        for fname, fschema in self.fields or ():
+            if fname == name:
+                return fschema
+        return None
+
+    def field_names(self) -> list:
+        return [fname for fname, _ in self.fields or ()]
+
+    def as_optional(self) -> "SType":
+        return self if self.optional else replace(self, optional=True)
+
+
+# ---------------------------------------------------------------------------
+# Name sanitization (utils/AvroUtils.java:26-48)
+# ---------------------------------------------------------------------------
+
+def sanitize_column_name(name: str) -> str:
+    """Avro-legal names: leading digit gets a ``_`` prefix; every char outside
+    ``[a-zA-Z0-9_]`` becomes ``_``."""
+    out = []
+    for i, c in enumerate(name):
+        if i == 0 and c.isdigit():
+            out.append("_")
+            out.append(c)
+        elif c == "_" or ("A" <= c <= "Z") or ("a" <= c <= "z") or ("0" <= c <= "9"):
+            out.append(c)
+        else:
+            out.append("_")
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Inference config
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class InferConfig:
+    """Mirrors the SMT's inference-relevant config
+    (DebeziumJsonDeserializer.java:41-48)."""
+
+    optional_struct_fields: bool = False
+    convert_numbers_to_double: bool = False
+    sanitize_field_names: bool = False
+    ignored_fields: frozenset = frozenset()
+
+    @staticmethod
+    def rewrite_ignored_paths(paths) -> frozenset:
+        """Config paths use ``.`` and ``[]`` notation; the matcher uses the
+        recursion key notation (DebeziumJsonDeserializer.java:127-130)."""
+        return frozenset(
+            p.replace(".", "_").replace("[]", "_array_item") for p in paths if p
+        )
+
+
+# ---------------------------------------------------------------------------
+# Literal inference (SchemaTransformer.java:126-147 + Values.inferSchema)
+# ---------------------------------------------------------------------------
+
+def infer_literal(value: Any, cfg: InferConfig) -> tuple:
+    """Map a JSON literal to (SType, value)."""
+    if isinstance(value, bool):
+        kind = "boolean"
+    elif isinstance(value, int):
+        if INT32_MIN <= value <= INT32_MAX:
+            kind = "int32"
+        elif INT64_MIN <= value <= INT64_MAX:
+            kind = "int64"
+        else:
+            # BigInteger → double (SchemaTransformer.java:129-133)
+            kind = "float64"
+            value = float(value)
+    elif isinstance(value, float):
+        kind = "float64"
+    elif isinstance(value, str):
+        kind = "string"
+    elif isinstance(value, (bytes, bytearray)):
+        kind = "bytes"
+    else:
+        raise SchemaInferenceError(f"unsupported JSON literal type {type(value)}")
+
+    if cfg.convert_numbers_to_double and kind in NUMBER_KINDS:
+        value = float(value)
+        kind = "float64"
+
+    return SType(kind, optional=cfg.optional_struct_fields), value
+
+
+# ---------------------------------------------------------------------------
+# Tree inference (SchemaTransformer.java:50-124)
+# ---------------------------------------------------------------------------
+
+def infer_json_value(obj: Any, key: str, cfg: InferConfig) -> Optional[tuple]:
+    """JSON tree → (SType, value); ``None`` means "drop this field".
+
+    Drop rules: ignored path (:51-52), JSON null (:119-121), empty array
+    (:74-76).
+    """
+    if key in cfg.ignored_fields:
+        return None
+
+    if obj is None:
+        return None
+
+    if isinstance(obj, dict):
+        names: list = []
+        schemas: dict = {}
+        values: dict = {}
+        for raw_name, child in obj.items():
+            fname = sanitize_column_name(raw_name) if cfg.sanitize_field_names else raw_name
+            t = infer_json_value(child, key + "_" + fname, cfg)
+            if t is None:
+                continue
+            if fname not in schemas:
+                names.append(fname)
+            schemas[fname], values[fname] = t
+        stype = SType(
+            "struct",
+            name=key,
+            optional=cfg.optional_struct_fields,
+            fields=tuple((n, schemas[n]) for n in names),
+        )
+        return stype, values
+
+    if isinstance(obj, list):
+        if len(obj) == 0:
+            return None
+        elem_schemas: list = []
+        elem_values: list = []
+        for child in obj:
+            t = infer_json_value(child, key + "_array_item", cfg)
+            if t is None:
+                elem_values.append(None)
+            else:
+                elem_values.append(t[1])
+                elem_schemas.append(t[0])
+        if elem_schemas:
+            elem_schema = union_types(
+                *elem_schemas, optional_struct_fields=cfg.optional_struct_fields
+            )
+        else:
+            # All elements null/ignored → empty struct element schema (:100-108)
+            elem_schema = SType(
+                "struct",
+                name=key + "_array_item",
+                optional=cfg.optional_struct_fields,
+                fields=(),
+            )
+        stype = SType(
+            "array",
+            name=key + "_array",
+            optional=cfg.optional_struct_fields,
+            element=elem_schema,
+        )
+        return stype, elem_values
+
+    return infer_literal(obj, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Union-widening (SchemaTransformer.java:208-290)
+# ---------------------------------------------------------------------------
+
+def union_types(*schemas: SType, optional_struct_fields: bool = False) -> SType:
+    """Widen schemas of the same kind; raise SchemaUnionError otherwise.
+
+    Struct: field-wise union, fields sorted by name, missing-anywhere →
+    optional. Array: element kinds must match, elements recursively unioned.
+    Primitive: kinds must be identical. Name = first schema's name; optional
+    if any input is optional.
+    """
+    if not schemas:
+        raise SchemaUnionError("cannot union an empty list of schemas")
+
+    kind = schemas[0].kind
+    for s in schemas:
+        if s.kind != kind:
+            raise SchemaUnionError(
+                f"can only union schemas of the same type; found {kind} and {s.kind}"
+            )
+
+    optional = any(s.optional for s in schemas)
+    name = schemas[0].name
+
+    if kind == "array":
+        elem_kind = schemas[0].element.kind
+        for s in schemas:
+            if s.element.kind != elem_kind:
+                raise SchemaUnionError(
+                    "can only union array schemas of the same element type; "
+                    f"found {elem_kind} and {s.element.kind}"
+                )
+        element = union_types(
+            *(s.element for s in schemas),
+            optional_struct_fields=optional_struct_fields,
+        )
+        return SType("array", name=name, optional=optional, element=element)
+
+    if kind == "struct":
+        by_name: dict = {}
+        for s in schemas:
+            for fname, fschema in s.fields or ():
+                by_name.setdefault(fname, []).append(fschema)
+        out_fields = []
+        for fname in sorted(by_name):
+            fschemas = by_name[fname]
+            unioned = union_types(
+                *fschemas, optional_struct_fields=optional_struct_fields
+            )
+            if len(fschemas) != len(schemas) or optional_struct_fields:
+                unioned = unioned.as_optional()
+            out_fields.append((fname, unioned))
+        return SType("struct", name=name, optional=optional, fields=tuple(out_fields))
+
+    return SType(kind, name=name, optional=optional)
+
+
+# ---------------------------------------------------------------------------
+# Repackage a value onto a widened schema (SchemaTransformer.java:149-206)
+# ---------------------------------------------------------------------------
+
+def repackage(schema: SType, value: Any) -> Any:
+    """Rebuild ``value`` so every struct conforms to ``schema`` (missing
+    fields → None)."""
+    if value is None:
+        return None
+    if schema.kind == "array":
+        return _repackage_list(schema.element, value)
+    if schema.kind == "struct":
+        if not isinstance(value, dict):
+            raise SchemaInferenceError(
+                f"expected a struct value, got {type(value).__name__}"
+            )
+        return {
+            fname: repackage(fschema, value.get(fname))
+            for fname, fschema in schema.fields or ()
+        }
+    return value
+
+
+def _repackage_list(elem_schema: SType, value: Any) -> list:
+    if not isinstance(value, list):
+        raise SchemaInferenceError(
+            f"expected a list value, got {type(value).__name__}"
+        )
+    if elem_schema.kind != "struct":
+        return value
+    out = []
+    for child in value:
+        if child is None:
+            out.append(None)
+        elif isinstance(child, dict):
+            out.append(repackage(elem_schema, child))
+        else:
+            raise SchemaInferenceError(
+                f"array-of-struct child has invalid type {type(child).__name__}"
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Strict fast-path mapping (json/SchemaMapper.java:19-66 + validateValue)
+# ---------------------------------------------------------------------------
+
+def map_json_to_schema(schema: SType, obj: Any, cfg: InferConfig) -> Any:
+    """Project a JSON tree onto a *known* schema; raise FastPathMiss on any
+    shape/type mismatch or unknown field.
+
+    Folds in the reference's post-mapping ``ConnectSchema.validateValue``
+    (DebeziumJsonDeserializer.java:183-185,205): a literal whose inferred kind
+    differs from the schema kind is a miss.
+    """
+    if obj is None:
+        if schema.optional:
+            return None
+        raise FastPathMiss("null value for non-optional schema")
+
+    if schema.kind == "struct":
+        if not isinstance(obj, dict):
+            raise FastPathMiss("expected an object for a struct schema")
+        out: dict = {}
+        for raw_name, child in obj.items():
+            if child is None:
+                continue
+            fname = sanitize_column_name(raw_name) if cfg.sanitize_field_names else raw_name
+            fschema = schema.field_schema(fname)
+            if fschema is None:
+                raise FastPathMiss(f"unknown field {fname!r}")
+            out[fname] = map_json_to_schema(fschema, child, cfg)
+        # validateValue: absent non-optional fields invalidate the mapping
+        for fname, fschema in schema.fields or ():
+            if not fschema.optional and fname not in out:
+                raise FastPathMiss(f"missing non-optional field {fname!r}")
+        return out
+
+    if schema.kind == "array":
+        if not isinstance(obj, list):
+            raise FastPathMiss("expected an array for an array schema")
+        return [map_json_to_schema(schema.element, el, cfg) for el in obj]
+
+    try:
+        lit_schema, value = infer_literal(obj, cfg)
+    except SchemaInferenceError as e:
+        raise FastPathMiss(str(e))
+    if lit_schema.kind != schema.kind:
+        raise FastPathMiss(
+            f"literal kind {lit_schema.kind} != schema kind {schema.kind}"
+        )
+    return value
+
+
+# ---------------------------------------------------------------------------
+# Arrow interop
+# ---------------------------------------------------------------------------
+
+_KIND_TO_ARROW = {
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "boolean": pa.bool_(),
+    "string": pa.string(),
+    "bytes": pa.binary(),
+}
+_ARROW_TO_KIND = {v: k for k, v in _KIND_TO_ARROW.items()}
+# large variants map onto the same kinds
+_ARROW_TO_KIND[pa.large_string()] = "string"
+_ARROW_TO_KIND[pa.large_binary()] = "bytes"
+
+
+def to_arrow(schema: SType) -> pa.DataType:
+    """SType → pyarrow.DataType (struct/array names are not representable in
+    Arrow types; they live in the SType serde, §SchemaDto)."""
+    if schema.kind == "struct":
+        return pa.struct(
+            [
+                pa.field(fname, to_arrow(fschema), nullable=True)
+                for fname, fschema in schema.fields or ()
+            ]
+        )
+    if schema.kind == "array":
+        return pa.list_(to_arrow(schema.element))
+    return _KIND_TO_ARROW[schema.kind]
+
+
+def from_arrow(dtype: pa.DataType, name: Optional[str] = None,
+               optional: bool = True) -> SType:
+    """pyarrow.DataType → SType (names lost by Arrow default to None)."""
+    if pa.types.is_struct(dtype):
+        return SType(
+            "struct",
+            name=name,
+            optional=optional,
+            fields=tuple(
+                (f.name, from_arrow(f.type, optional=f.nullable))
+                for f in dtype
+            ),
+        )
+    if pa.types.is_list(dtype) or pa.types.is_large_list(dtype):
+        return SType(
+            "array",
+            name=name,
+            optional=optional,
+            element=from_arrow(dtype.value_type),
+        )
+    if pa.types.is_timestamp(dtype):
+        return SType("int64", name=name, optional=optional)
+    kind = _ARROW_TO_KIND.get(dtype)
+    if kind is None:
+        raise SchemaInferenceError(f"unsupported arrow type {dtype}")
+    return SType(kind, name=name, optional=optional)
+
+
+def union_arrow_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Union-widen two Arrow types with the reference's rules (used by the
+    sink's schema-evolution merge)."""
+    return to_arrow(union_types(from_arrow(a), from_arrow(b)))
+
+
+# ---------------------------------------------------------------------------
+# JSON wire format (utils/SchemaSerDer.java:14-39, utils/SchemaDto.java:10-70)
+# ---------------------------------------------------------------------------
+
+_KIND_TO_WIRE = {
+    "int8": "INT8", "int16": "INT16", "int32": "INT32", "int64": "INT64",
+    "float32": "FLOAT32", "float64": "FLOAT64", "boolean": "BOOLEAN",
+    "string": "STRING", "bytes": "BYTES", "struct": "STRUCT", "array": "ARRAY",
+}
+_WIRE_TO_KIND = {v: k for k, v in _KIND_TO_WIRE.items()}
+
+
+def stype_to_dict(schema: SType) -> dict:
+    out: dict = {
+        "type": _KIND_TO_WIRE[schema.kind],
+        "name": schema.name,
+        "isOptional": schema.optional,
+    }
+    if schema.kind == "array":
+        out["valueSchema"] = stype_to_dict(schema.element)
+    elif schema.kind == "struct":
+        out["fields"] = [
+            {"index": i, "name": fname, "schema": stype_to_dict(fschema)}
+            for i, (fname, fschema) in enumerate(schema.fields or ())
+        ]
+    return out
+
+
+def stype_from_dict(d: dict) -> SType:
+    kind = _WIRE_TO_KIND[d["type"]]
+    name = d.get("name")
+    optional = bool(d.get("isOptional", False))
+    if kind == "array":
+        return SType(kind, name=name, optional=optional,
+                     element=stype_from_dict(d["valueSchema"]))
+    if kind == "struct":
+        fields = tuple(
+            (f["name"], stype_from_dict(f["schema"]))
+            for f in sorted(d.get("fields") or [], key=lambda f: f.get("index", 0))
+        )
+        return SType(kind, name=name, optional=optional, fields=fields)
+    return SType(kind, name=name, optional=optional)
