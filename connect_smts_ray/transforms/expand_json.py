@@ -1,0 +1,223 @@
+"""ExpandJson — the DebeziumJsonDeserializer SMT as a Ray Data actor stage.
+
+Behavioral parity with /root/reference
+``smt/DebeziumJsonDeserializer.java:59-256``:
+
+- JSON-string columns (the ``io.debezium.data.Json`` analog) are parsed and
+  expanded into typed nested struct columns, schemas inferred per record.
+- ``null`` / ``""`` payloads drop the field for that record
+  (:87-89) — columnar equivalent: a null in the expanded column.
+- Union-widening registry: a *list* of candidate schemas per column because
+  some shapes are mutually incompatible (:56, :223-253). New records union
+  into the first compatible slot; the slot is replaced by the widened union.
+- Probabilistic fast path (:196-212): strict-map the parsed tree against each
+  known slot before falling back to infer+union.
+- Tombstones (null payload) pass through untouched (:60-63).
+
+Ray Data mapping: a callable class for
+``ds.map_batches(ExpandJson(cfg), batch_format="pyarrow", concurrency=N)``.
+Config + bootstrap schemas are parsed once per actor in ``__init__``; each
+``__call__`` processes one zero-copy Arrow batch. Because each actor widens
+its registry independently (exactly like one Connect task, §3.4 of SURVEY),
+block schemas may differ until converged; pipelines that need a single
+stable schema pass ``bootstrap_schemas`` (the reference's
+``union-previous-messages-schema.topic.{t}.field.{f}`` analog,
+:134-162) or reconcile at the sink with
+``connect_smts_ray.core.schema.union_arrow_types``.
+
+Output columns: the source column is replaced in place by the expanded value
+typed to slot 0's widened schema; additional incompatible slots (rare) emit
+``{col}__s{k}`` columns, null where a row belongs to a different slot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import orjson
+import pyarrow as pa
+
+from connect_smts_ray.core.schema import (
+    FastPathMiss,
+    InferConfig,
+    SchemaUnionError,
+    SType,
+    infer_json_value,
+    map_json_to_schema,
+    stype_from_dict,
+    stype_to_dict,
+    to_arrow,
+    union_types,
+)
+
+
+@dataclass(frozen=True)
+class ExpandJsonConfig:
+    """Engine analog of the SMT's ConfigDef
+    (smt/DebeziumJsonDeserializer.java:41-48)."""
+
+    columns: tuple = ("value_json",)
+    union_previous_messages_schema: bool = True
+    probabilistic_fast_path: bool = True
+    optional_struct_fields: bool = False
+    convert_numbers_to_double: bool = False
+    sanitize_field_names: bool = False
+    ignored_fields: tuple = ()
+    # column -> list of serialized SType dicts (SchemaSerDer wire format)
+    bootstrap_schemas: Optional[dict] = None
+    # replace the source column in place (reference semantics); if False the
+    # expanded column is appended as f"{col}_expanded"
+    replace_source: bool = True
+
+    def infer_config(self) -> InferConfig:
+        return InferConfig(
+            optional_struct_fields=self.optional_struct_fields,
+            convert_numbers_to_double=self.convert_numbers_to_double,
+            sanitize_field_names=self.sanitize_field_names,
+            ignored_fields=InferConfig.rewrite_ignored_paths(self.ignored_fields),
+        )
+
+
+class ExpandJson:
+    """Stateful batch transform; one instance per Ray actor."""
+
+    def __init__(self, config: ExpandJsonConfig = ExpandJsonConfig()):
+        self.config = config
+        self.cfg = config.infer_config()
+        # registry: column -> list[SType] (slot list, smt/DebeziumJsonDeserializer.java:56)
+        self.registry: dict = {col: [] for col in config.columns}
+        # cached Arrow types per slot, invalidated on widening
+        self._arrow_cache: dict = {}
+        for col, serialized in (config.bootstrap_schemas or {}).items():
+            self.registry.setdefault(col, [])
+            self.registry[col].extend(stype_from_dict(d) for d in serialized)
+
+    # -- registry -----------------------------------------------------------
+
+    def known_schemas(self, col: str):
+        return list(self.registry.get(col, ()))
+
+    def serialized_registry(self) -> dict:
+        return {
+            col: [stype_to_dict(s) for s in slots]
+            for col, slots in self.registry.items()
+        }
+
+    def _arrow_type(self, col: str, slot: int) -> pa.DataType:
+        stype = self.registry[col][slot]
+        hit = self._arrow_cache.get((col, slot))
+        if hit is not None and hit[0] == stype:
+            return hit[1]
+        at = to_arrow(stype)
+        self._arrow_cache[(col, slot)] = (stype, at)
+        return at
+
+    # -- per-record core (transformDebeziumJsonField, :187-256) -------------
+
+    def _transform_one(self, col: str, raw: str):
+        """Returns (slot_index, value) or None when the field is dropped."""
+        try:
+            node = orjson.loads(raw)
+        except orjson.JSONDecodeError as e:
+            raise ValueError(f"cannot parse JSON value {raw!r}") from e
+
+        slots = self.registry[col]
+        union_mode = self.config.union_previous_messages_schema
+
+        if union_mode and self.config.probabilistic_fast_path:
+            for i, known in enumerate(slots):
+                try:
+                    value = map_json_to_schema(known, node, self.cfg)
+                    return (i, value)
+                except FastPathMiss:
+                    continue
+                except Exception:
+                    continue
+
+        transformed = infer_json_value(node, col, self.cfg)
+        if transformed is None:
+            return None
+        schema, value = transformed
+        if not union_mode:
+            # still need a slot for Arrow column typing; widen slot 0 lazily
+            if not slots:
+                slots.append(schema)
+                return (0, value)
+            try:
+                unioned = union_types(
+                    slots[0], schema,
+                    optional_struct_fields=self.cfg.optional_struct_fields,
+                )
+                if unioned != slots[0]:
+                    slots[0] = unioned
+                return (0, value)
+            except SchemaUnionError:
+                return self._register_new_slot(slots, schema, value)
+
+        for i, known in enumerate(slots):
+            try:
+                unioned = union_types(
+                    known, schema,
+                    optional_struct_fields=self.cfg.optional_struct_fields,
+                )
+            except SchemaUnionError:
+                continue
+            if unioned != known:
+                slots[i] = unioned
+            return (i, value)
+
+        return self._register_new_slot(slots, schema, value)
+
+    @staticmethod
+    def _register_new_slot(slots: list, schema: SType, value):
+        slots.append(schema)
+        return (len(slots) - 1, value)
+
+    # -- per-batch ----------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for col in self.config.columns:
+            if col not in batch.column_names:
+                continue
+            batch = self._expand_column(batch, col)
+        return batch
+
+    def _expand_column(self, batch: pa.Table, col: str) -> pa.Table:
+        raw = batch.column(col).to_pylist()
+        n = len(raw)
+        slot_of: list = [None] * n
+        val_of: list = [None] * n
+        for i, r in enumerate(raw):
+            # tombstone / null / empty-string payloads → dropped field (:60-63,:87-89)
+            if r is None or r == "":
+                continue
+            t = self._transform_one(col, r)
+            if t is None:
+                continue
+            slot_of[i], val_of[i] = t
+
+        slots = self.registry[col]
+        used = sorted({s for s in slot_of if s is not None})
+        arrays = {}
+        for s in used or ([0] if slots else []):
+            vals = [val_of[i] if slot_of[i] == s else None for i in range(n)]
+            at = self._arrow_type(col, s)
+            arrays[s] = pa.array(vals, type=at)
+        if not arrays:
+            # no record ever produced a schema: emit all-null column
+            arrays = {0: pa.nulls(n, type=pa.null())}
+
+        idx = batch.column_names.index(col)
+        out = batch
+        first = True
+        for s, arr in sorted(arrays.items()):
+            name = col if self.config.replace_source else f"{col}_expanded"
+            if s > 0:
+                name = f"{name}__s{s}"
+            if first and self.config.replace_source:
+                out = out.set_column(idx, pa.field(name, arr.type), arr)
+            else:
+                out = out.append_column(pa.field(name, arr.type), arr)
+            first = False
+        return out

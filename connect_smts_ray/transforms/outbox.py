@@ -1,0 +1,293 @@
+"""Outbox — routing/projection/tombstone SMT as a stateless Arrow stage.
+
+Behavioral parity with /root/reference ``smt/Outbox.java:21-261``:
+
+- Pass-through: topic contains ``dbz_signal`` (case-insensitive, :74-77) or
+  value schema named ``io.debezium.connector.common.Heartbeat`` (:85-88).
+- Drop: null value (Debezium key-only tombstone, :79-82).
+- Tombstone generation: ``__deleted == "true"`` (:94-97) or null ``payload``
+  (:99-100) → null value, key/partition preserved.
+- Projection: new value = ``value.payload`` (stays a JSON string; expansion
+  is ExpandJson's job when chained, :99-100).
+- Topic: per-record ``topic`` column overrides config ``topic``;
+  ``topic-prefix`` prepends with ``.`` (:103-115); ``name@N`` carries the
+  partition count (:249-259).
+- Partitioning (:186-229): ``partition-number`` mode reads
+  ``partition_number`` int32; ``partition-key`` mode computes
+  ``toPositive(murmur2(utf8(key))) % N`` (bit-exact Kafka murmur2).
+- Headers promotion (:134-184): partition-key mode adds a ``partition_key``
+  header; a ``headers`` struct column contributes each field as a string
+  header; a ``headers`` JSON-string column is decoded as a string map with
+  numbers coerced to strings; other types are ignored with an error log.
+
+Columnar record model: a batch is a table with envelope columns
+``topic`` (optional), ``key``, value columns, and the routed output gains
+``out_topic: string``, ``out_partition: int32``, ``payload`` (the projected
+value; null = tombstone), ``is_tombstone: bool`` and
+``out_headers: map-as-JSON-string``. Rows that the reference would *drop*
+(key-only tombstones) are filtered out; pass-through rows keep their
+original topic and a null partition.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Optional
+
+import orjson
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from connect_smts_ray.core.hashing import murmur2_positive_many
+
+logger = logging.getLogger(__name__)
+
+HEARTBEAT_SCHEMA_NAME = "io.debezium.connector.common.Heartbeat"
+
+
+class OutboxError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class TopicDescription:
+    topic: str
+    num_partitions: Optional[int] = None
+
+    @staticmethod
+    def from_string(s: str) -> "TopicDescription":
+        parts = s.split("@")
+        if len(parts) > 2:
+            raise OutboxError(f"Topic name '{s}' is invalid.")
+        if len(parts) == 2:
+            return TopicDescription(parts[0], int(parts[1]))
+        return TopicDescription(s, None)
+
+
+@dataclass(frozen=True)
+class OutboxConfig:
+    topic: Optional[str] = None
+    topic_prefix: Optional[str] = None
+    partition_setting: str = "partition-number"  # or "partition-key"
+    num_partitions: Optional[int] = None
+    # engine-level column names
+    topic_column: str = "topic"            # per-record topic override
+    payload_column: str = "payload"
+    headers_column: str = "headers"
+    value_schema_name_column: str = "value_schema_name"  # heartbeat detection
+
+    def __post_init__(self):
+        if self.partition_setting not in ("partition-number", "partition-key"):
+            raise OutboxError(
+                f"Invalid partition setting provided: {self.partition_setting}"
+            )
+
+    @property
+    def target_topic(self) -> Optional[str]:
+        if self.topic is None:
+            return None
+        return (
+            f"{self.topic_prefix}.{self.topic}"
+            if self.topic_prefix is not None
+            else self.topic
+        )
+
+
+def _decode_headers_value(v) -> Optional[str]:
+    """Normalize one row's headers into a JSON string map (numbers coerced to
+    strings, nulls kept — Jackson HashMap<String,String> coercion,
+    smt/Outbox.java:165-176)."""
+    if v is None:
+        return None
+    if isinstance(v, dict):  # struct column
+        out = {k: (None if x is None else str(x)) for k, x in v.items()}
+        return orjson.dumps(out).decode()
+    if isinstance(v, str):  # JSON string column
+        try:
+            m = orjson.loads(v)
+        except orjson.JSONDecodeError:
+            logger.error("Could not decode headers.")
+            return None
+        if not isinstance(m, dict):
+            logger.error("Could not decode headers: not an object.")
+            return None
+        out = {}
+        for k, x in m.items():
+            if x is None:
+                out[k] = None
+            elif isinstance(x, bool):
+                out[k] = "true" if x else "false"
+            else:
+                out[k] = str(x)
+        return orjson.dumps(out).decode()
+    logger.error(
+        "Field 'headers' should be STRUCT or STRING, was %s", type(v).__name__
+    )
+    return None
+
+
+def outbox_route(batch: pa.Table, config: OutboxConfig) -> pa.Table:
+    """Stateless routing transform for ``ds.map_batches(...,
+    batch_format="pyarrow")``. Use via ``functools.partial`` or a lambda."""
+    n = batch.num_rows
+    cols = set(batch.column_names)
+
+    # -- pass-through masks -------------------------------------------------
+    if config.topic_column in cols:
+        src_topic = batch.column(config.topic_column).to_pylist()
+    else:
+        src_topic = [None] * n
+    signal_mask = [
+        t is not None and "dbz_signal" in t.lower() for t in src_topic
+    ]
+    if config.value_schema_name_column in cols:
+        schema_names = batch.column(config.value_schema_name_column).to_pylist()
+        heartbeat_mask = [s == HEARTBEAT_SCHEMA_NAME for s in schema_names]
+    else:
+        heartbeat_mask = [False] * n
+
+    passthrough = [a or b for a, b in zip(signal_mask, heartbeat_mask)]
+
+    # -- value / tombstone --------------------------------------------------
+    if config.payload_column in cols:
+        payload = batch.column(config.payload_column).to_pylist()
+    else:
+        payload = [None] * n
+
+    if "__deleted" in cols:
+        deleted = [
+            d == "true" for d in batch.column("__deleted").to_pylist()
+        ]
+    else:
+        deleted = [False] * n
+
+    # Key-only Debezium tombstones: every value column is null → drop.
+    # Engine marker: a `value_is_null` bool column (the columnar stand-in for
+    # record.value() == null, :79-82); absent → nothing dropped.
+    if "value_is_null" in cols:
+        drop_mask = [
+            bool(v) and not p
+            for v, p in zip(batch.column("value_is_null").to_pylist(), passthrough)
+        ]
+    else:
+        drop_mask = [False] * n
+
+    is_tombstone = [
+        (not pt) and (d or p is None)
+        for pt, d, p in zip(passthrough, deleted, payload)
+    ]
+
+    # -- topic resolution (:103-115) ---------------------------------------
+    out_topic: list = [None] * n
+    topic_for_row: list = [None] * n  # TopicDescription
+    cfg_topic = config.target_topic
+    has_topic_col = config.topic_column in cols
+    for i in range(n):
+        if passthrough[i] or drop_mask[i]:
+            out_topic[i] = src_topic[i]
+            continue
+        t = None
+        if has_topic_col and src_topic[i] is not None:
+            t = (
+                f"{config.topic_prefix}.{src_topic[i]}"
+                if config.topic_prefix is not None
+                else src_topic[i]
+            )
+        elif cfg_topic is not None:
+            t = cfg_topic
+        if t is None:
+            raise OutboxError(
+                "Target topic wasn't provided in the source table nor the "
+                "configuration."
+            )
+        td = TopicDescription.from_string(t)
+        out_topic[i] = td.topic
+        topic_for_row[i] = td
+
+    # -- partition (:186-229) ----------------------------------------------
+    out_partition: list = [None] * n
+    if config.partition_setting == "partition-number":
+        if "partition_number" in cols:
+            pn = batch.column("partition_number").to_pylist()
+        else:
+            pn = [None] * n
+        for i in range(n):
+            if passthrough[i] or drop_mask[i]:
+                continue
+            if pn[i] is None:
+                raise OutboxError(
+                    "Unable to find partition_number in source record"
+                )
+            out_partition[i] = int(pn[i])
+    else:  # partition-key
+        if "partition_key" in cols:
+            pk = batch.column("partition_key").to_pylist()
+        else:
+            pk = [None] * n
+        active = [
+            i for i in range(n) if not passthrough[i] and not drop_mask[i]
+        ]
+        for i in active:
+            if pk[i] is None:
+                raise OutboxError("Unable to find partition_key in source record")
+        if active:
+            hashes = murmur2_positive_many([pk[i].encode() for i in active])
+            for j, i in enumerate(active):
+                num = (
+                    topic_for_row[i].num_partitions
+                    if topic_for_row[i] is not None
+                    else None
+                )
+                if num is None:
+                    num = config.num_partitions
+                if num is None:
+                    raise OutboxError(
+                        "Unable to find the number of partitions for this "
+                        "target topic."
+                    )
+                out_partition[i] = int(hashes[j]) % num
+
+    # -- headers (:134-184) -------------------------------------------------
+    if config.headers_column in cols:
+        raw_headers = batch.column(config.headers_column).to_pylist()
+    else:
+        raw_headers = [None] * n
+    out_headers: list = [None] * n
+    pk_col = (
+        batch.column("partition_key").to_pylist()
+        if "partition_key" in cols
+        else [None] * n
+    )
+    for i in range(n):
+        if passthrough[i] or drop_mask[i]:
+            continue
+        h = _decode_headers_value(raw_headers[i])
+        hdrs = orjson.loads(h) if h is not None else {}
+        if config.partition_setting == "partition-key":
+            hdrs = {**{"partition_key": pk_col[i]}, **hdrs}
+        out_headers[i] = orjson.dumps(hdrs).decode() if hdrs else h
+
+    # -- assemble -----------------------------------------------------------
+    keep = [not d for d in drop_mask]
+    out = batch
+    for name, values, typ in (
+        ("out_topic", out_topic, pa.string()),
+        ("out_partition", out_partition, pa.int32()),
+        ("out_payload", [None if is_tombstone[i] or passthrough[i] else payload[i] for i in range(n)], pa.string()),
+        ("is_tombstone", is_tombstone, pa.bool_()),
+        ("is_passthrough", passthrough, pa.bool_()),
+        ("out_headers", out_headers, pa.string()),
+    ):
+        out = out.append_column(pa.field(name, typ), pa.array(values, type=typ))
+    return out.filter(pa.array(keep, type=pa.bool_()))
+
+
+class OutboxRoute:
+    """Callable wrapper so the stage can be used directly in map_batches."""
+
+    def __init__(self, config: OutboxConfig):
+        self.config = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return outbox_route(batch, self.config)
