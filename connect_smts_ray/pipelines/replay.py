@@ -1,0 +1,211 @@
+"""Flagship CDC replay pipeline (SURVEY §3.5) — the full chain:
+
+    corpus (repo,path,commit,lang,content)
+      → SynthesizeBinlog                      # Debezium-shaped events, N× scale
+      → EncryptColumn(payload)                # fixture synthesis: encrypted source
+      → DecryptColumn(payload)                # actor pool, JWK ring in __init__
+      → outbox_route                          # tombstones, partition routing
+      → ExpandJson(out_payload)               # actor pool, schema registry
+      → FieldMapping                          # flatten struct → lake columns
+      → LWW upsert (hash shuffle on (repo,path)) + manifests
+
+Each epoch covers a contiguous ``commit_lsn`` range (per-key lsn is monotone
+across epochs — the Kafka per-partition ordering guarantee the LWW merge
+relies on). Resume = rerun any epoch range; committed ``(partition_id,
+epoch)`` manifests make replays exact no-ops, so the final lake state is
+byte-identical from any checkpoint (tests/test_replay.py asserts
+sha256-exact reconvergence).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from connect_smts_ray.core.schema import SType, stype_to_dict
+from connect_smts_ray.sources.binlog import BinlogConfig, synthesize_events
+from connect_smts_ray.sources.corpus import read_corpus
+from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
+from connect_smts_ray.transforms.crypto import (
+    DecryptColumn,
+    EncryptColumn,
+    JoseConfig,
+)
+from connect_smts_ray.transforms.expand_json import ExpandJson, ExpandJsonConfig
+from connect_smts_ray.transforms.field_mapping import (
+    FieldMap,
+    FieldMappingConfig,
+    apply_field_mapping,
+)
+from connect_smts_ray.transforms.outbox import OutboxConfig, outbox_route
+
+# Reference test JWK (JoseTest.java:25) — a synthetic symmetric test key.
+TEST_JWK = (
+    "eyJrdHkiOiJvY3QiLCJraWQiOiJIMmg1WHlIM0dPSHQ4Wm5vTndBOUFoay1FQlJ3cTQxTHo3U01p"
+    "WDJDLVRJIiwiYWxnIjoiQTI1NkdDTSIsImsiOiJkR2tQRU41YUhaQnFocDY5TmpVWGpjTUJST1R4"
+    "amZ6Yl9hYldVeUo2ajBBIn0="
+)
+
+# Stable payload schema for ExpandJson bootstrap: every actor starts from the
+# same widened schema → identical block schemas across the cluster
+# (the union-previous-messages-schema.topic.{t}.field.{f} analog).
+PAYLOAD_BOOTSTRAP = SType(
+    "struct",
+    name="out_payload",
+    fields=(
+        ("commit", SType("string", optional=True)),
+        ("content", SType("string", optional=True)),
+        ("lang", SType("string", optional=True)),
+        ("path", SType("string", optional=True)),
+        ("repo", SType("string", optional=True)),
+        ("version", SType("int32", optional=True)),
+    ),
+)
+
+LAKE_MAPPING = FieldMappingConfig(
+    keep=("repo", "path", "commit_lsn", "source_offset", "is_tombstone"),
+    mappings=(
+        FieldMap("commit", "out_payload.commit"),
+        FieldMap("lang", "out_payload.lang"),
+        FieldMap("content", "out_payload.content"),
+        FieldMap("version", "out_payload.version", pa.int32()),
+    ),
+)
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    sf_dir: str
+    lake_dir: str
+    events_per_key: int = 8
+    num_partitions: int = 16
+    epochs: int = 1
+    encrypt: bool = True
+    keys: str = TEST_JWK
+    expand_concurrency: int = 4
+    crypto_concurrency: int = 4
+    # Fractional so the stage pools co-schedule with the stateless tasks on
+    # small CPU budgets; size concurrency × num_cpus ≤ cluster CPUs.
+    actor_num_cpus: float = 0.5
+    batch_size: int = 8192
+    seed: int = 42
+
+    def binlog(self) -> BinlogConfig:
+        return BinlogConfig(events_per_key=self.events_per_key, seed=self.seed)
+
+    def upsert(self) -> UpsertConfig:
+        return UpsertConfig(
+            lake_dir=self.lake_dir, num_partitions=self.num_partitions
+        )
+
+    def jose(self) -> JoseConfig:
+        return JoseConfig(keys=self.keys, columns=("payload",))
+
+    def expand(self) -> ExpandJsonConfig:
+        return ExpandJsonConfig(
+            columns=("out_payload",),
+            bootstrap_schemas={"out_payload": [stype_to_dict(PAYLOAD_BOOTSTRAP)]},
+        )
+
+    def outbox(self) -> OutboxConfig:
+        return OutboxConfig(
+            topic="lake.files",
+            partition_setting="partition-key",
+            num_partitions=self.num_partitions,
+        )
+
+    def epoch_lsn_range(self, epoch: int) -> tuple:
+        per = max(1, self.events_per_key // self.epochs)
+        lo = epoch * per
+        hi = (epoch + 1) * per if epoch < self.epochs - 1 else self.events_per_key
+        return lo, hi
+
+
+def _payload_to_string(batch: pa.Table) -> pa.Table:
+    idx = batch.column_names.index("payload")
+    return batch.set_column(
+        idx,
+        pa.field("payload", pa.string()),
+        pc.cast(batch.column("payload"), pa.string()),
+    )
+
+
+def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
+    """corpus → binlog events (optionally restricted to one epoch's lsn
+    range) → decrypted, routed, expanded, flattened lake-ready rows."""
+    ds = read_corpus(cfg.sf_dir)
+    binlog_cfg = cfg.binlog()
+    ds = ds.map_batches(
+        lambda b: synthesize_events(b, binlog_cfg),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    if epoch is not None:
+        lo, hi = cfg.epoch_lsn_range(epoch)
+        ds = ds.map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(b.column("commit_lsn"), pa.scalar(lo)),
+                    pc.less(b.column("commit_lsn"), pa.scalar(hi)),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    if cfg.encrypt:
+        ds = ds.map_batches(
+            EncryptColumn,
+            fn_constructor_kwargs={"config": cfg.jose(), "deterministic": True},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.crypto_concurrency,
+            num_cpus=cfg.actor_num_cpus,
+        )
+        ds = ds.map_batches(
+            DecryptColumn,
+            fn_constructor_kwargs={"config": cfg.jose()},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.crypto_concurrency,
+            num_cpus=cfg.actor_num_cpus,
+        )
+        ds = ds.map_batches(_payload_to_string, batch_format="pyarrow")
+
+    outbox_cfg = cfg.outbox()
+    ds = ds.map_batches(
+        lambda b: outbox_route(b, outbox_cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    ds = ds.map_batches(
+        ExpandJson,
+        fn_constructor_kwargs={"config": cfg.expand()},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.expand_concurrency,
+        num_cpus=cfg.actor_num_cpus,
+    )
+    ds = ds.map_batches(
+        lambda b: apply_field_mapping(b, LAKE_MAPPING), batch_format="pyarrow"
+    )
+    return ds
+
+
+def replay(cfg: ReplayConfig, fresh: bool = False) -> list:
+    """Run all epochs; returns the list of per-epoch lineage tables."""
+    if fresh:
+        shutil.rmtree(cfg.lake_dir, ignore_errors=True)
+    lineage = []
+    for epoch in range(cfg.epochs):
+        ds = build_event_stream(cfg, epoch=epoch if cfg.epochs > 1 else None)
+        lin = run_upsert(ds, cfg.upsert(), epoch=epoch)
+        lineage.append(lin.to_pandas())
+    return lineage
+
+
+def final_state(cfg: ReplayConfig) -> pa.Table:
+    return read_lake(cfg.upsert())

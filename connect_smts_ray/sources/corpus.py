@@ -1,0 +1,72 @@
+"""Deterministic source-code-repo corpus (BASELINE.json input_hint shape).
+
+The engine's authoritative input is a Parquet table
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+In the sandbox we synthesize it deterministically from the driver-provided
+``documents`` table (seed data, /root/testdata/sf*/documents.parquet) so no
+external data is involved: repo = the document's ``source``, path is derived
+from ``doc_id``, content is the document text, commit is a stable hash.
+
+Everything is a pure function of the row → identical output regardless of
+block partitioning or cluster size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        pa.field("repo", pa.string(), nullable=False),
+        pa.field("path", pa.string(), nullable=False),
+        pa.field("commit", pa.string()),
+        pa.field("lang", pa.string()),
+        pa.field("content", pa.string()),
+    ]
+)
+
+
+def _documents_to_corpus(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    langs = batch.column("lang")
+    texts = batch.column("text")
+    repos = batch.column("source")
+    paths = [f"src/file_{d}.txt" for d in doc_ids]
+    commits = [
+        hashlib.sha1(f"{r}/{p}".encode()).hexdigest()[:12]
+        for r, p in zip(repos.to_pylist(), paths)
+    ]
+    return pa.table(
+        {
+            "repo": pc.cast(repos, pa.string()),
+            "path": pa.array(paths, type=pa.string()),
+            "commit": pa.array(commits, type=pa.string()),
+            "lang": pc.cast(langs, pa.string()),
+            "content": pc.cast(texts, pa.string()),
+        }
+    )
+
+
+def read_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus dataset derived from ``{sf_dir}/documents.parquet``."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return ds.map_batches(_documents_to_corpus, batch_format="pyarrow")
+
+
+def corpus_table(sf_dir: str) -> pa.Table:
+    """Driver-side (small-scale) corpus for oracles/tests."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return _documents_to_corpus(t)

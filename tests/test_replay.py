@@ -1,0 +1,190 @@
+"""End-to-end replay oracles (FIXTURES F7):
+
+- full replay → final LWW table equals the pure-Python oracle, per-row
+  sha256(content) equality (the BASELINE.json correctness gate);
+- replays are idempotent (exactly-once manifests);
+- checkpoint resume: epoch-split run ≡ single run, byte-identical;
+- schema evolution: late-arriving nested fields widen the lake schema.
+"""
+
+import hashlib
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from connect_smts_ray.pipelines.replay import (
+    ReplayConfig,
+    build_event_stream,
+    final_state,
+    replay,
+)
+from connect_smts_ray.sources.binlog import BinlogConfig, expected_final_state
+from connect_smts_ray.sources.corpus import corpus_table
+
+
+def state_digest(table: pa.Table) -> str:
+    """Order-insensitive digest over (repo, path, sha256(content), lsn)."""
+    rows = sorted(
+        zip(
+            table.column("repo").to_pylist(),
+            table.column("path").to_pylist(),
+            [
+                hashlib.sha256((c or "").encode()).hexdigest()
+                for c in table.column("content").to_pylist()
+            ],
+            table.column("commit_lsn").to_pylist(),
+        )
+    )
+    return hashlib.sha256(repr(rows).encode()).hexdigest()
+
+
+@pytest.fixture()
+def cfg(tmp_path, sf_dir):
+    return ReplayConfig(
+        sf_dir=sf_dir,
+        lake_dir=str(tmp_path / "lake"),
+        events_per_key=6,
+        num_partitions=8,
+        expand_concurrency=2,
+        crypto_concurrency=2,
+    )
+
+
+def oracle_table(sf_dir, events_per_key, seed=42) -> dict:
+    corpus = corpus_table(sf_dir)
+    return expected_final_state(
+        corpus, BinlogConfig(events_per_key=events_per_key, seed=seed)
+    )
+
+
+def test_full_replay_matches_oracle(ray_session, cfg, sf_dir):
+    replay(cfg, fresh=True)
+    got = final_state(cfg)
+    want = oracle_table(sf_dir, cfg.events_per_key)
+
+    got_rows = {
+        (r, p): (hashlib.sha256(c.encode()).hexdigest(), lsn, v)
+        for r, p, c, lsn, v in zip(
+            got.column("repo").to_pylist(),
+            got.column("path").to_pylist(),
+            got.column("content").to_pylist(),
+            got.column("commit_lsn").to_pylist(),
+            got.column("version").to_pylist(),
+        )
+    }
+    want_rows = {
+        k: (
+            hashlib.sha256(v["content"].encode()).hexdigest(),
+            v["commit_lsn"],
+            v["version"],
+        )
+        for k, v in want.items()
+    }
+    assert got_rows == want_rows
+    assert got.num_rows == len(want)
+
+
+def test_replay_is_idempotent(ray_session, cfg):
+    lineage1 = replay(cfg, fresh=True)
+    d1 = state_digest(final_state(cfg))
+    lineage2 = replay(cfg, fresh=False)  # same epoch again → all skipped
+    assert lineage2[0]["skipped"].all()
+    assert state_digest(final_state(cfg)) == d1
+
+
+def test_checkpoint_resume_reconverges(ray_session, tmp_path, sf_dir):
+    single = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake1"),
+        events_per_key=6, num_partitions=8, epochs=1,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    split = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake2"),
+        events_per_key=6, num_partitions=8, epochs=3,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(single, fresh=True)
+    replay(split, fresh=True)
+    assert state_digest(final_state(single)) == state_digest(final_state(split))
+
+    # resume mid-checkpoint: wipe nothing, rerun only the last epoch
+    import pandas as pd
+
+    ds = build_event_stream(split, epoch=2)
+    from connect_smts_ray.sinks.upsert import run_upsert
+
+    lin = run_upsert(ds, split.upsert(), epoch=2).to_pandas()
+    assert lin["skipped"].all()
+    assert state_digest(final_state(split)) == state_digest(final_state(single))
+
+
+def test_lineage_counts(ray_session, cfg, sf_dir):
+    lineage = replay(cfg, fresh=True)
+    lin = lineage[0]
+    assert (lin["rows_merged"] >= 0).all()
+    assert lin["bytes_written"].sum() > 0
+    state = final_state(cfg)
+    assert lin["rows_merged"].sum() == state.num_rows
+    # every partition has at most num_partitions manifests
+    assert len(lin) <= cfg.num_partitions
+
+
+def test_schema_evolution_widens_lake(ray_session, tmp_path):
+    """Events whose payload later adds a nested field → final schema carries
+    the new column; pre-evolution rows read as null (SURVEY §4.2.4)."""
+    import ray.data
+    from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
+
+    lake = str(tmp_path / "lake_evo")
+    cfg = UpsertConfig(lake_dir=lake, num_partitions=4)
+
+    batch1 = pa.table({
+        "repo": ["r"] * 2, "path": ["a", "b"],
+        "commit_lsn": pa.array([0, 0], type=pa.int64()),
+        "source_offset": pa.array([1, 2], type=pa.int64()),
+        "is_tombstone": [False, False],
+        "content": ["c1", "c2"],
+    })
+    run_upsert(ray.data.from_arrow(batch1), cfg, epoch=0).materialize()
+
+    batch2 = pa.table({
+        "repo": ["r"], "path": ["a"],
+        "commit_lsn": pa.array([1], type=pa.int64()),
+        "source_offset": pa.array([3], type=pa.int64()),
+        "is_tombstone": [False],
+        "content": ["c1v2"],
+        "new_field": ["hello"],   # discovered later
+    })
+    run_upsert(ray.data.from_arrow(batch2), cfg, epoch=1).materialize()
+
+    state = read_lake(cfg)
+    assert "new_field" in state.column_names
+    rows = {
+        (r, p): (c, nf)
+        for r, p, c, nf in zip(
+            state.column("repo").to_pylist(),
+            state.column("path").to_pylist(),
+            state.column("content").to_pylist(),
+            state.column("new_field").to_pylist(),
+        )
+    }
+    assert rows[("r", "a")] == ("c1v2", "hello")
+    assert rows[("r", "b")] == ("c2", None)  # old row: null for new column
+
+
+def test_tombstone_deletes_key(ray_session, tmp_path):
+    import ray.data
+    from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake_del"), num_partitions=2)
+    batch = pa.table({
+        "repo": ["r", "r", "r"], "path": ["a", "a", "b"],
+        "commit_lsn": pa.array([0, 1, 0], type=pa.int64()),
+        "source_offset": pa.array([1, 2, 3], type=pa.int64()),
+        "is_tombstone": [False, True, False],
+        "content": ["c1", None, "c2"],
+    })
+    run_upsert(ray.data.from_arrow(batch), cfg, epoch=0).materialize()
+    state = read_lake(cfg)
+    assert state.column("path").to_pylist() == ["b"]
