@@ -1,0 +1,78 @@
+"""Relational building blocks the engine exposes around the CDC core:
+broadcast (small-side) joins, pre-aggregated groupbys, tumbling windows.
+
+- ``broadcast_join``: dimension table is ``ray.put`` once; each batch does a
+  pandas merge against it — no shuffle (the 100-TB path for star joins).
+- ``tumbling_window``: event-time bucketing into fixed windows + grouped
+  aggregate; the groupby runs over *pre-aggregated* per-batch partials when
+  the aggregate is decomposable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
+                   suffix: str = "_r"):
+    """Join a Dataset against a small in-memory table without a shuffle."""
+    import ray
+
+    ref = ray.put(small)
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return batch.merge(rhs, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(join_batch, batch_format="pandas")
+
+
+def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
+    """Event-time tumbling windows.
+
+    ``aggs`` maps output name → (source col, "sum"|"count"|"min"|"max").
+    Decomposable aggregates are partially reduced per batch before the
+    groupby, so the shuffle carries one row per (key, window) per block.
+    """
+    width_us = width_seconds * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df[ts_col].astype("datetime64[us]").astype("int64")
+        df["window_start"] = (ts // width_us) * width_us
+        grouped = df.groupby(list(key_cols) + ["window_start"], sort=False)
+        out = {}
+        for name, (src, op) in aggs.items():
+            if op == "count":
+                out[name] = grouped[src].count()
+            elif op == "sum":
+                out[name] = grouped[src].sum()
+            elif op == "min":
+                out[name] = grouped[src].min()
+            elif op == "max":
+                out[name] = grouped[src].max()
+            else:
+                raise ValueError(f"unsupported aggregate {op}")
+        return pa.Table.from_pandas(
+            pd.DataFrame(out).reset_index(), preserve_index=False
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        head = df.iloc[:1][list(key_cols) + ["window_start"]].reset_index(drop=True)
+        for name, (_, op) in aggs.items():
+            if op in ("count", "sum"):
+                head[name] = df[name].sum()
+            elif op == "min":
+                head[name] = df[name].min()
+            elif op == "max":
+                head[name] = df[name].max()
+        return pa.Table.from_pandas(head, preserve_index=False)
+
+    return partials.groupby(list(key_cols) + ["window_start"]).map_groups(
+        final, batch_format="pyarrow"
+    )

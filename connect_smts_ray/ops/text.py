@@ -1,0 +1,128 @@
+"""Text analysis ops for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms over the ``documents``
+table ``(doc_id, text, lang, source, n_chars)``:
+
+- ``token_count``     — whitespace-token counts (pyarrow regex kernel).
+- ``fingerprint``     — md5 of whitespace-normalized text (exact-dup key;
+                        SQL-oracle-able via DuckDB ``md5``).
+- ``quality_score``   — length / punctuation / stopword / repetition
+                        heuristics → one float score.
+- ``lang_id``         — stopword-profile n-gram heuristic over
+                        {en, es, fr, de}.
+
+Stateful pieces (compiled regexes, stopword tables) live in actor
+``__init__``; per-batch work is numpy/pyarrow kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    counts = pc.count_substring_regex(batch.column(text_col), r"\S+")
+    return batch.append_column(
+        pa.field("n_tokens", pa.int64()), pc.cast(counts, pa.int64())
+    )
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5(whitespace-normalized text) — deterministic document fingerprint."""
+    normalized = pc.replace_substring_regex(
+        batch.column(text_col), pattern=r"\s+", replacement=" "
+    )
+    fps = [
+        None if v is None else hashlib.md5(v.encode()).hexdigest()
+        for v in normalized.to_pylist()
+    ]
+    return batch.append_column(
+        pa.field("fingerprint", pa.string()), pa.array(fps, type=pa.string())
+    )
+
+
+# Small public stopword profiles (common function words).
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "es"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "que"},
+    "de": {"der", "die", "das", "und", "ist", "von", "ein", "eine", "den", "zu"},
+}
+
+
+class LangId:
+    """Actor stage: stopword-profile language id with deterministic
+    tie-break (score desc, then language code asc)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
+        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for v in batch.column(self.text_col).to_pylist():
+            if not v:
+                preds.append(None)
+                continue
+            words = self.word_re.findall(v.lower())
+            best = max(
+                sorted(self.tables),
+                key=lambda lang: (
+                    sum(w in self.tables[lang] for w in words),
+                    lang,
+                ),
+            )
+            preds.append(best)
+        return batch.append_column(
+            pa.field("lang_pred", pa.string()), pa.array(preds, type=pa.string())
+        )
+
+
+class QualityScore:
+    """Actor stage: heuristic quality scoring (length, punctuation ratio,
+    stopword ratio, repetition) → ``quality`` in [0, 1] plus components."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"\w+")
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.stop = frozenset().union(*STOPWORDS.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_chars = np.zeros(n)
+        punct_ratio = np.zeros(n)
+        stop_ratio = np.zeros(n)
+        rep_ratio = np.zeros(n)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            n_chars[i] = len(t)
+            punct_ratio[i] = len(self.punct_re.findall(t)) / len(t)
+            words = self.word_re.findall(t.lower())
+            if words:
+                stop_ratio[i] = sum(w in self.stop for w in words) / len(words)
+                rep_ratio[i] = 1.0 - len(set(words)) / len(words)
+        length_score = np.clip(n_chars / 500.0, 0, 1)
+        punct_score = 1.0 - np.clip(punct_ratio * 5, 0, 1)
+        stop_score = np.clip(stop_ratio * 4, 0, 1)
+        rep_score = 1.0 - np.clip((rep_ratio - 0.5) * 2, 0, 1)
+        quality = (length_score + punct_score + stop_score + rep_score) / 4.0
+        out = batch
+        for name, arr in (
+            ("stop_ratio", stop_ratio),
+            ("punct_ratio", punct_ratio),
+            ("rep_ratio", rep_ratio),
+            ("quality", quality),
+        ):
+            out = out.append_column(
+                pa.field(name, pa.float64()), pa.array(arr, type=pa.float64())
+            )
+        return out

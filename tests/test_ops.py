@@ -1,0 +1,259 @@
+"""Ops-layer tests: dedup families, similarity search, text analysis,
+multimodal plumbing, relational helpers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def docs_with_dups(ray_session):
+    import ray.data
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "a completely different document about ray data pipelines and arrow",
+        "numbers and words mixed together in a fairly unique ordering here",
+    ]
+    texts = [
+        base[0],
+        base[0],  # exact dup of 0
+        base[0].replace("lazy", "sleepy"),  # near dup of 0
+        base[1],
+        base[2],
+        base[1] + " with a tiny suffix appended",  # near dup of 3
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    return ray.data.from_arrow(t)
+
+
+def test_exact_dedup(docs_with_dups):
+    from connect_smts_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs_with_dups).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert 0 in ids and 1 not in ids  # min-id survivor kept
+    assert len(ids) == 5
+
+
+def test_minhash_dedup(docs_with_dups):
+    from connect_smts_ray.ops.dedup import MinHashConfig, minhash_dedup
+
+    survivors, comp = minhash_dedup(
+        docs_with_dups, MinHashConfig(jaccard_threshold=0.5)
+    )
+    ids = sorted(r["doc_id"] for r in survivors.take_all())
+    assert 1 not in ids            # exact dup collapsed
+    assert 2 not in ids            # near dup collapsed
+    assert 0 in ids and 3 in ids and 4 in ids
+    assert comp[1] == 0 and comp[2] == 0
+
+
+def test_ngram_jaccard_values():
+    from connect_smts_ray.ops.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    mid = ngram_jaccard("a b c d e", "a b c d x")
+    assert 0.0 < mid < 1.0
+
+
+def test_simhash_dedup(docs_with_dups):
+    from connect_smts_ray.ops.dedup import simhash_dedup
+
+    survivors, comp = simhash_dedup(docs_with_dups, max_hamming=6)
+    ids = sorted(r["doc_id"] for r in survivors.take_all())
+    assert 1 not in ids  # exact dup always hamming 0
+    assert 0 in ids
+
+
+def test_union_find():
+    from connect_smts_ray.ops.dedup import union_find_components
+
+    comp = union_find_components([(1, 2), (2, 3), (5, 6)])
+    assert comp[1] == 1 or 1 not in comp  # rep maps to min id
+    assert comp[2] == 1 and comp[3] == 1
+    assert comp[6] == 5
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+    from connect_smts_ray.ops.dedup import embedding_dedup
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    vecs[5] = vecs[0] * 1.001          # near-dup pair
+    vecs[11] = vecs[7] + 1e-4          # near-dup pair
+    t = pa.table({
+        "vec_id": pa.array(range(20), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    survivors, comp = embedding_dedup(
+        ray.data.from_arrow(t), threshold=0.999, n_planes=8
+    )
+    ids = {r["vec_id"] for r in survivors.take_all()}
+    assert 5 not in ids and 0 in ids
+    assert 11 not in ids and 7 in ids
+
+
+def test_knn_brute_force(ray_session):
+    import ray.data
+    from connect_smts_ray.ops.similarity import knn_brute_force
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(100, 16))
+    t = pa.table({
+        "vec_id": pa.array(range(100), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    q = np.asarray(pa.Table.from_arrays(
+        [t.column("embedding")], names=["e"]
+    ).column("e").to_pylist()[:3], dtype=np.float64)
+    out = knn_brute_force(ds, q, k=5, query_ids=[0, 1, 2])
+    df = out.to_pandas()
+    # each query's rank-0 neighbor is itself (cosine 1.0)
+    top = df[df["rank"] == 0].set_index("query_id")["neighbor_id"]
+    assert top[0] == 0 and top[1] == 1 and top[2] == 2
+    assert (df.groupby("query_id").size() == 5).all()
+    # exact: matches a numpy oracle
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit[:3] @ unit.T
+    for qi in range(3):
+        want = list(np.lexsort((np.arange(100), -sims[qi]))[:5])
+        got = list(df[df["query_id"] == qi].sort_values("rank")["neighbor_id"])
+        assert got == want
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data
+    from connect_smts_ray.ops.similarity import IvfConfig, knn_brute_force, knn_ivf
+
+    rng = np.random.RandomState(4)
+    vecs = rng.normal(size=(300, 12))
+    t = pa.table({
+        "vec_id": pa.array(range(300), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    q = vecs[:5]
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    approx = knn_ivf(ds, q, k=10, cfg=IvfConfig(n_centroids=8, n_probe=4)).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # probing 4/8 buckets
+
+
+def test_text_stages(ray_session, sf_dir):
+    import ray.data
+    from connect_smts_ray.ops.text import LangId, QualityScore, add_fingerprint, add_token_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = (
+        ds.map_batches(add_token_count, batch_format="pyarrow")
+        .map_batches(add_fingerprint, batch_format="pyarrow")
+        .map_batches(LangId, batch_format="pyarrow", concurrency=1, num_cpus=0.5)
+        .map_batches(QualityScore, batch_format="pyarrow", concurrency=1, num_cpus=0.5)
+    )
+    rows = out.take(20)
+    for r in rows:
+        assert r["n_tokens"] == len(r["text"].split())
+        assert len(r["fingerprint"]) == 32
+        assert r["lang_pred"] in ("en", "es", "fr", "de")
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+    from connect_smts_ray.ops.multimodal import (
+        DecodeConfig,
+        DecodeMedia,
+        FrameSample,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(32)
+    ds = ray.data.from_arrow(t)
+    feats = ds.map_batches(
+        DecodeMedia,
+        fn_constructor_kwargs={"config": DecodeConfig(fake=True)},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=1,
+        num_cpus=0.5,
+    )
+    rows = feats.take(5)
+    assert all(len(r["features"]) == 32 for r in rows)
+    # deterministic: same payload → same features
+    again = ds.map_batches(
+        DecodeMedia,
+        fn_constructor_kwargs={"config": DecodeConfig(fake=True)},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=1,
+        num_cpus=0.5,
+    ).take(5)
+    assert [r["features"] for r in rows] == [r["features"] for r in again]
+
+    frames = ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"n_frames": 4},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=1,
+        num_cpus=0.5,
+    )
+    assert frames.count() == 32 * 4
+
+    with pytest.raises(Exception):
+        DecodeMedia(DecodeConfig(fake=False))(t.slice(0, 2))
+
+
+def test_broadcast_join(ray_session, sf_dir):
+    import pandas as pd
+    import ray.data
+    from connect_smts_ray.ops.relational import broadcast_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_mktsegment"]
+    ].rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, customer, on="o_custkey")
+    rows = joined.take(10)
+    assert all("c_mktsegment" in r for r in rows)
+    assert joined.count() == orders.count()  # all orders have customers
+
+
+def test_tumbling_window(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+    from connect_smts_ray.ops.relational import tumbling_window
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = tumbling_window(
+        events, ts_col="ts", width_seconds=3600, key_cols=["user_id"],
+        aggs={"n_events": ("event_id", "count"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+    want = duckdb.sql(
+        f"""
+        SELECT user_id,
+               epoch_us(date_trunc('hour', ts)) AS window_start,
+               count(*) AS n_events, sum(value) AS sum_value
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2
+        """
+    ).df()
+    got = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert np.allclose(got["sum_value"].values, want["sum_value"].values)
