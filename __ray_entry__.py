@@ -1,44 +1,589 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship CDC replay on sf0.001. ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY §2 + §2.4 + the
+training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible entry. Ray is initialised by the driver BEFORE this
+module is imported — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full CDC replay (binlog → decrypt → outbox → expand-json →
+    LWW upsert with manifests) on sf0.001; returns the final lake table."""
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        final_state,
+        replay,
+    )
+
+    lake = tempfile.mkdtemp(prefix="csr_lake_")
+    cfg = ReplayConfig(
+        sf_dir="/root/testdata/sf0.001",
+        lake_dir=lake,
+        events_per_key=6,
+        num_partitions=8,
+        expand_concurrency=2,
+        crypto_concurrency=2,
+    )
+    replay(cfg, fresh=True)
+    return final_state(cfg)
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable takes sf_dir, returns Dataset / DataFrame / Table
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_cdc_replay(sf_dir: str):
+    """Full replay → final LWW table (non-SQL: crypto + manifests)."""
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        final_state,
+        replay,
+    )
+
+    lake = tempfile.mkdtemp(prefix="csr_lake_q_")
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=lake, events_per_key=6, num_partitions=8,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(cfg, fresh=True)
+    out = final_state(cfg)
+    return out.select(
+        ["repo", "path", "commit", "lang", "content", "version", "commit_lsn"]
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+def q_expand_json_events(sf_dir: str):
+    """ExpandJson over events.props (io.debezium.data.Json analog) →
+    flattened typed column."""
+    from connect_smts_ray.transforms.expand_json import (
+        ExpandJson,
+        ExpandJsonConfig,
+    )
+    from connect_smts_ray.transforms.field_mapping import (
+        FieldMap,
+        FieldMappingConfig,
+        apply_field_mapping,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    ds = ds.map_batches(
+        ExpandJson,
+        fn_constructor_kwargs={"config": ExpandJsonConfig(columns=("props",))},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    mapping = FieldMappingConfig(
+        keep=("event_id",), mappings=(FieldMap("k", "props.k", pa.int32()),)
+    )
+    return ds.map_batches(
+        lambda b: apply_field_mapping(b, mapping), batch_format="pyarrow"
+    )
+
+
+def q_outbox_partition_number(sf_dir: str):
+    """Outbox in partition-number mode over an events-derived outbox table."""
+    from connect_smts_ray.transforms.outbox import OutboxConfig, outbox_route
+
+    cfg = OutboxConfig(topic="events.v1")
+
+    def prepare(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "partition_number": pc.cast(
+                pc.bit_wise_and(b.column("user_id"), pa.scalar(7, pa.int64())),
+                pa.int32(),
+            ),
+            "payload": b.column("props"),
+            "__deleted": pc.if_else(
+                pc.equal(b.column("event_type"), pa.scalar("error")),
+                pa.scalar("true"),
+                pa.scalar("false"),
+            ),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "props", "event_type"])
+    ds = ds.map_batches(prepare, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: outbox_route(b, cfg), batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        lambda b: b.select(
+            ["event_id", "out_topic", "out_partition", "out_payload", "is_tombstone"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_outbox_partition_key(sf_dir: str):
+    """Outbox partition-key mode: Kafka-murmur2 routing (non-SQL)."""
+    from connect_smts_ray.transforms.outbox import OutboxConfig, outbox_route
+
+    cfg = OutboxConfig(
+        topic="events.v1", partition_setting="partition-key", num_partitions=16
+    )
+
+    def prepare(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "partition_key": pc.cast(b.column("user_id"), pa.string()),
+            "payload": b.column("props"),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "props"])
+    ds = ds.map_batches(prepare, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: outbox_route(b, cfg), batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(["event_id", "out_partition"]), batch_format="pyarrow"
+    )
+
+
+def q_lww_upsert_events(sf_dir: str):
+    """LWW upsert semantics over events: latest row per user_id by
+    (ts, event_id) — partial per-batch reduce + partition merge."""
+    import shutil
+
+    from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
+
+    lake = tempfile.mkdtemp(prefix="csr_lww_")
+    cfg = UpsertConfig(
+        lake_dir=lake,
+        num_partitions=8,
+        key_columns=("user_id",),
+        order_columns=("ts_us", "event_id"),
+    )
+
+    def prepare(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "value": b.column("value"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events")
+    ds = ds.map_batches(prepare, batch_format="pyarrow")
+    run_upsert(ds, cfg, epoch=0).materialize()
+    out = read_lake(cfg)
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.select(["user_id", "event_id", "event_type", "value", "ts_us"])
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup of documents by normalized content; min doc_id survives."""
+    from connect_smts_ray.ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup survivors (non-SQL)."""
+    from connect_smts_ray.ops.dedup import MinHashConfig, minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    survivors, _ = minhash_dedup(ds, MinHashConfig(jaccard_threshold=0.8))
+    return survivors.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup survivors (non-SQL)."""
+    from connect_smts_ray.ops.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    survivors, _ = simhash_dedup(ds, max_hamming=2)
+    return survivors.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup survivors (non-SQL)."""
+    from connect_smts_ray.ops.dedup import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    survivors, _ = embedding_dedup(ds, threshold=0.99, n_planes=12)
+    return survivors.map_batches(
+        lambda b: b.select(["vec_id"]), batch_format="pyarrow"
+    )
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-5 neighbors for the first 8 vectors."""
+    import pyarrow.parquet as pq
+
+    from connect_smts_ray.ops.similarity import knn_brute_force
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 8)
+    qvecs = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute_force(
+        ds, qvecs, k=5, query_ids=qt.column("vec_id").to_pylist()
+    )
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-5 (non-SQL; recall tested in pytest)."""
+    import pyarrow.parquet as pq
+
+    from connect_smts_ray.ops.similarity import IvfConfig, knn_ivf
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 8)
+    qvecs = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(
+        ds, qvecs, k=5, cfg=IvfConfig(),
+        query_ids=qt.column("vec_id").to_pylist(),
+    ).select(["query_id", "neighbor_id", "rank"])
+
+
+def q_token_count(sf_dir: str):
+    from connect_smts_ray.ops.text import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_token_count, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from connect_smts_ray.ops.text import add_fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_fingerprint, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from connect_smts_ray.ops.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+    ).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+def q_quality_score(sf_dir: str):
+    from connect_smts_ray.ops.text import QualityScore
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        QualityScore, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+    ).map_batches(
+        lambda b: b.select(["doc_id", "quality"]), batch_format="pyarrow"
+    )
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling 1-hour windows per user over events. Money sums run in
+    integer cents so distributed summation is bit-exact vs the oracle."""
+    from connect_smts_ray.ops.relational import tumbling_window
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))), pa.int64())
+        return b.append_column(pa.field("value_cents", pa.int64()), cents)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = tumbling_window(
+        ds, ts_col="ts", width_seconds=3600, key_cols=["user_id"],
+        aggs={"n_events": ("event_id", "count"),
+              "sum_cents": ("value_cents", "sum")},
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "window_start": b.column("window_start"),
+            "n_events": b.column("n_events"),
+            "sum_value": pc.divide(
+                pc.cast(b.column("sum_cents"), pa.float64()), pa.scalar(100.0)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast join orders ⨝ customer + grouped revenue per segment."""
+    import pandas as pd
+
+    from connect_smts_ray.ops.relational import broadcast_join
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, customer, on="o_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        df = b.to_pandas()
+        df["price_cents"] = np.rint(df["o_totalprice"] * 100).astype("int64")
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            price_cents=("price_cents", "sum"), n_orders=("price_cents", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        cents = pc.sum(g.column("price_cents")).as_py()
+        return pa.table({
+            "c_mktsegment": [g.column("c_mktsegment")[0].as_py()],
+            "total_price": pa.array([cents / 100.0], type=pa.float64()),
+            "n_orders": pa.array(
+                [pc.sum(g.column("n_orders")).as_py()], type=pa.int64()
+            ),
+        })
+
+    return partials.groupby("c_mktsegment").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pre-aggregated groupby (engine aggregate demo)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        df = b.to_pandas()
+        # fixed-point partials: associative integer sums → bit-exact result
+        df["qty_c"] = np.rint(df["l_quantity"] * 100).astype("int64")
+        df["base_c"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        df["rev_c"] = np.rint(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
+        ).astype("int64")
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            qty_c=("qty_c", "sum"),
+            base_c=("base_c", "sum"),
+            rev_c=("rev_c", "sum"),
+            n_rows=("qty_c", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": [g.column("l_returnflag")[0].as_py()],
+            "l_linestatus": [g.column("l_linestatus")[0].as_py()],
+            "sum_qty": pa.array(
+                [pc.sum(g.column("qty_c")).as_py() / 100.0], pa.float64()
+            ),
+            "sum_base_price": pa.array(
+                [pc.sum(g.column("base_c")).as_py() / 100.0], pa.float64()
+            ),
+            "revenue": pa.array(
+                [pc.sum(g.column("rev_c")).as_py() / 10000.0], pa.float64()
+            ),
+            "n_rows": pa.array([pc.sum(g.column("n_rows")).as_py()], pa.int64()),
+        })
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def q_encrypt_roundtrip(sf_dir: str):
+    """Field-level encrypt→decrypt round-trip over document text (non-SQL;
+    result must equal the input texts)."""
+    from connect_smts_ray.transforms.crypto import (
+        DecryptColumn,
+        EncryptColumn,
+        JoseConfig,
+    )
+    from connect_smts_ray.pipelines.replay import TEST_JWK
+
+    cfg = JoseConfig(keys=TEST_JWK, columns=("text",))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        EncryptColumn,
+        fn_constructor_kwargs={"config": cfg, "deterministic": True},
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+    )
+    ds = ds.map_batches(
+        DecryptColumn,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+    )
+    return ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.cast(b.column("text"), pa.string()),
+        }),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "cdc_replay": q_cdc_replay,
+        "expand_json_events": q_expand_json_events,
+        "outbox_partition_number": q_outbox_partition_number,
+        "outbox_partition_key": q_outbox_partition_key,
+        "lww_upsert_events": q_lww_upsert_events,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "window_events": q_window_events,
+        "join_orders_customer": q_join_orders_customer,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "encrypt_roundtrip": q_encrypt_roundtrip,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered on the same parquet)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "expand_json_events": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INTEGER) AS k
+            FROM events
+        """,
+        "outbox_partition_number": """
+            SELECT event_id,
+                   'events.v1' AS out_topic,
+                   CAST(user_id & 7 AS INTEGER) AS out_partition,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE props END
+                       AS out_payload,
+                   (event_type = 'error') AS is_tombstone
+            FROM events
+        """,
+        "lww_upsert_events": """
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS ts_us
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC
+                ) AS rn
+                FROM events
+            )
+            WHERE rn = 1
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id,
+                   arg_min(text, doc_id) AS text
+            FROM documents
+            GROUP BY regexp_replace(text, '\\s+', ' ', 'g')
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT q.query_id,
+                       e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                       ) AS score
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(rank - 1 AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC
+                ) AS rank
+                FROM scored
+            )
+            WHERE rank <= 5
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "window_events": """
+            SELECT user_id,
+                   epoch_us(date_trunc('hour', ts)) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "join_orders_customer": """
+            SELECT c.c_mktsegment,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS total_price,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                       AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                       AS sum_base_price,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) / 10000.0 AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY 1, 2
+        """,
+    }
