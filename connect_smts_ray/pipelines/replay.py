@@ -94,6 +94,17 @@ class ReplayConfig:
     actor_num_cpus: float = 0.5
     batch_size: int = 8192
     seed: int = 42
+    # Blocks to split the corpus read into. A single small Parquet file
+    # otherwise yields ONE block and the whole downstream pipeline collapses
+    # onto one task; None → 2 tasks per pool slot across both actor pools.
+    read_blocks: int | None = None
+
+    def effective_read_blocks(self) -> int:
+        if self.read_blocks is not None:
+            return self.read_blocks
+        return 2 * max(
+            2, self.expand_concurrency, self.crypto_concurrency
+        )
 
     def binlog(self) -> BinlogConfig:
         return BinlogConfig(events_per_key=self.events_per_key, seed=self.seed)
@@ -138,12 +149,19 @@ def _payload_to_string(batch: pa.Table) -> pa.Table:
 def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
     """corpus → binlog events (optionally restricted to one epoch's lsn
     range) → decrypted, routed, expanded, flattened lake-ready rows."""
-    ds = read_corpus(cfg.sf_dir)
+    # Task granularity note: batch_size=None everywhere below makes one task
+    # per input BLOCK. This matters because the synth stage amplifies rows
+    # events_per_key×: a row-count batch_size would bundle tasks by
+    # pre-amplification corpus rows and collapse the whole pipeline into one
+    # task on small inputs. Blocks after synthesis are already ~(corpus block
+    # rows × events_per_key) events — the right batch size — and at real
+    # scale Ray's dynamic block splitting caps them at target_max_block_size.
+    ds = read_corpus(cfg.sf_dir, num_blocks=cfg.effective_read_blocks())
     binlog_cfg = cfg.binlog()
     ds = ds.map_batches(
         lambda b: synthesize_events(b, binlog_cfg),
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=None,
     )
     if epoch is not None:
         lo, hi = cfg.epoch_lsn_range(epoch)
@@ -161,7 +179,7 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
             EncryptColumn,
             fn_constructor_kwargs={"config": cfg.jose(), "deterministic": True},
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=None,
             concurrency=cfg.crypto_concurrency,
             num_cpus=cfg.actor_num_cpus,
         )
@@ -169,7 +187,7 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
             DecryptColumn,
             fn_constructor_kwargs={"config": cfg.jose()},
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=None,
             concurrency=cfg.crypto_concurrency,
             num_cpus=cfg.actor_num_cpus,
         )
@@ -179,13 +197,13 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
     ds = ds.map_batches(
         lambda b: outbox_route(b, outbox_cfg),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=None,
     )
     ds = ds.map_batches(
         ExpandJson,
         fn_constructor_kwargs={"config": cfg.expand()},
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=None,
         concurrency=cfg.expand_concurrency,
         num_cpus=cfg.actor_num_cpus,
     )

@@ -71,71 +71,97 @@ def synthesize_events(batch: pa.Table, cfg: BinlogConfig) -> pa.Table:
     Emitted columns (FIXTURES F2 + outbox envelope):
     repo, path, op, commit_lsn, source_offset, ts_ms, partition_key,
     payload (value_json string; null for 't'), __deleted, value_is_null.
+
+    Vectorized: the op matrix / lsn / offset columns are pure numpy over the
+    (rows × events_per_key) grid; repo/path replicate via Arrow ``take``
+    (no Python string copies); only the JSON payload needs a per-event
+    Python step, built from a cached per-key prefix so the static fields are
+    serialized once per key, not once per event.
     """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    k = cfg.events_per_key
     repos = batch.column("repo").to_pylist()
     paths = batch.column("path").to_pylist()
     commits = batch.column("commit").to_pylist()
     langs = batch.column("lang").to_pylist()
     contents = batch.column("content").to_pylist()
 
-    k = cfg.events_per_key
-    out = {
-        "repo": [], "path": [], "op": [], "commit_lsn": [],
-        "source_offset": [], "ts_ms": [], "partition_key": [],
-        "payload": [], "__deleted": [], "value_is_null": [],
-    }
-    for repo, path, commit, lang, content in zip(
-        repos, paths, commits, langs, contents
-    ):
-        ks = key_seed(repo, path, cfg.seed)
-        pk = f"{repo}{KEY_SEP}{path}"
-        version = 0
-        for i in range(k):
-            op = op_at(ks, i)
-            out["repo"].append(repo)
-            out["path"].append(path)
-            out["op"].append(op)
-            out["commit_lsn"].append(i)
-            out["source_offset"].append(((ks & 0x7FFFFFFFFFFF) << 16) | i)
-            out["ts_ms"].append(cfg.base_ts_ms + i)
-            out["partition_key"].append(pk)
-            if op == "t":
-                out["payload"].append(None)
-                out["__deleted"].append(None)
-                out["value_is_null"].append(True)
-            elif op == "d":
-                out["payload"].append(None)
-                out["__deleted"].append("true")
-                out["value_is_null"].append(False)
-            else:
-                if op == "u":
-                    version = i
-                body = orjson.dumps(
-                    {
-                        "repo": repo,
-                        "path": path,
-                        "commit": commit,
-                        "lang": lang,
-                        "content": content_version(content, repo, path, version),
-                        "version": version,
-                    }
-                ).decode()
-                out["payload"].append(body)
-                out["__deleted"].append("false")
-                out["value_is_null"].append(False)
+    ks = np.fromiter(
+        (key_seed(r, p, cfg.seed) for r, p in zip(repos, paths)),
+        dtype=np.uint64,
+        count=n,
+    )
+    i_row = np.arange(k, dtype=np.uint64)
+    rand = (
+        ks[:, None] * np.uint64(2654435761) + i_row[None, :] * np.uint64(40503)
+    ) & np.uint64(0xFFFFFFFF)
+    bucket = (rand % np.uint64(100)).astype(np.int16)
+    # op codes: 0='c', 1='u', 2='d', 3='t' — matches op_at exactly
+    code = np.where(bucket < 70, 1, np.where(bucket < 85, 2, 3)).astype(np.int8)
+    code[:, 0] = 0
+    flat_code = code.ravel()
+
+    take_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+    lsn = np.tile(np.arange(k, dtype=np.int64), n)
+    soff = (
+        ((ks.astype(np.int64) & 0x7FFFFFFFFFFF) << 16)[:, None]
+        | np.arange(k, dtype=np.int64)[None, :]
+    ).ravel()
+
+    op_lut = np.array(["c", "u", "d", "t"])
+    ops = pa.array(op_lut[flat_code], type=pa.string())
+
+    pk_col = pc.binary_join_element_wise(
+        pc.cast(batch.column("repo"), pa.string()),
+        pc.cast(batch.column("path"), pa.string()),
+        KEY_SEP,
+    )
+
+    # payload: only codes 0/1 carry a body; version = 0 for 'c', i for 'u'
+    payloads: list = [None] * (n * k)
+    for r in range(n):
+        row_code = code[r]
+        body_idx = np.nonzero(row_code <= 1)[0]
+        if len(body_idx) == 0:
+            continue
+        repo, path, content = repos[r], paths[r], contents[r]
+        prefix = orjson.dumps(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": commits[r],
+                "lang": langs[r],
+            }
+        ).decode()[:-1]
+        base = r * k
+        for i in body_idx:
+            i = int(i)
+            version = 0 if row_code[i] == 0 else i
+            cv = content_version(content, repo, path, version)
+            payloads[base + i] = (
+                f'{prefix},"content":{orjson.dumps(cv).decode()},'
+                f'"version":{version}}}'
+            )
+
+    deleted = np.full(n * k, None, dtype=object)
+    deleted[flat_code <= 1] = "false"
+    deleted[flat_code == 2] = "true"
 
     return pa.table(
         {
-            "repo": pa.array(out["repo"], type=pa.string()),
-            "path": pa.array(out["path"], type=pa.string()),
-            "op": pa.array(out["op"], type=pa.string()),
-            "commit_lsn": pa.array(out["commit_lsn"], type=pa.int64()),
-            "source_offset": pa.array(out["source_offset"], type=pa.int64()),
-            "ts_ms": pa.array(out["ts_ms"], type=pa.int64()),
-            "partition_key": pa.array(out["partition_key"], type=pa.string()),
-            "payload": pa.array(out["payload"], type=pa.string()),
-            "__deleted": pa.array(out["__deleted"], type=pa.string()),
-            "value_is_null": pa.array(out["value_is_null"], type=pa.bool_()),
+            "repo": pc.take(pc.cast(batch.column("repo"), pa.string()), take_idx),
+            "path": pc.take(pc.cast(batch.column("path"), pa.string()), take_idx),
+            "op": ops,
+            "commit_lsn": pa.array(lsn, type=pa.int64()),
+            "source_offset": pa.array(soff, type=pa.int64()),
+            "ts_ms": pa.array(lsn + cfg.base_ts_ms, type=pa.int64()),
+            "partition_key": pc.take(pk_col, take_idx),
+            "payload": pa.array(payloads, type=pa.string()),
+            "__deleted": pa.array(deleted, type=pa.string()),
+            "value_is_null": pa.array(flat_code == 3),
         }
     )
 

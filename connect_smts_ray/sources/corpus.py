@@ -53,11 +53,22 @@ def _documents_to_corpus(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_corpus(sf_dir: str) -> "ray.data.Dataset":
-    """Corpus dataset derived from ``{sf_dir}/documents.parquet``."""
+def read_corpus(sf_dir: str, num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Corpus dataset derived from ``{sf_dir}/documents.parquet``.
+
+    ``num_blocks`` forces the read to split into that many blocks — essential
+    on small inputs where a single Parquet file would otherwise produce ONE
+    block and serialize the whole downstream pipeline onto one task. At real
+    scale (many files / row groups) the read parallelizes naturally and the
+    override is a no-op-ish repartition hint.
+    """
+    kwargs = {}
+    if num_blocks is not None:
+        kwargs["override_num_blocks"] = num_blocks
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
+        **kwargs,
     )
     return ds.map_batches(_documents_to_corpus, batch_format="pyarrow")
 

@@ -79,7 +79,11 @@ class JoseConfig:
 
 def _decrypt_one(ring: list, by_kid: dict, raw: bytes,
                  skip_on_error: bool) -> bytes:
-    """Decrypt one flattened-JWE payload with the ring (smt/Jose.java:95-159)."""
+    """Decrypt one flattened-JWE payload with the ring (smt/Jose.java:95-159).
+
+    ``ring`` holds (kid, AESGCM) pairs and ``by_kid`` maps kid → AESGCM —
+    cipher objects are constructed once per actor (north-star envelope-key
+    cache), not per record."""
     try:
         flattened = orjson.loads(raw)
         protected = flattened["protected"]
@@ -111,13 +115,13 @@ def _decrypt_one(ring: list, by_kid: dict, raw: bytes,
     kid = header.get("kid")
     if kid is not None and kid in by_kid:
         try:
-            return AESGCM(by_kid[kid]).decrypt(iv, data, aad)
+            return by_kid[kid].decrypt(iv, data, aad)
         except Exception:
             pass
 
-    for _, key in ring:
+    for _, cipher in ring:
         try:
-            return AESGCM(key).decrypt(iv, data, aad)
+            return cipher.decrypt(iv, data, aad)
         except Exception:
             continue
 
@@ -126,13 +130,13 @@ def _decrypt_one(ring: list, by_kid: dict, raw: bytes,
     raise JoseError("Message could not be decrypted with any encryption key")
 
 
-def _encrypt_one(kid: Optional[str], key: bytes, plaintext: bytes,
+def _encrypt_one(kid: Optional[str], cipher: AESGCM, plaintext: bytes,
                  iv: bytes) -> bytes:
     header = {"enc": "A256GCM", "alg": "dir"}
     if kid is not None:
         header["kid"] = kid
     protected = _b64url_encode(orjson.dumps(header))
-    ct_tag = AESGCM(key).encrypt(iv, plaintext, protected.encode("ascii"))
+    ct_tag = cipher.encrypt(iv, plaintext, protected.encode("ascii"))
     ciphertext, tag = ct_tag[:-16], ct_tag[-16:]
     return orjson.dumps(
         {
@@ -149,8 +153,10 @@ class DecryptColumn:
 
     def __init__(self, config: JoseConfig):
         self.config = config
-        self.ring = config.parse_ring()
-        self.by_kid = {kid: key for kid, key in self.ring if kid is not None}
+        self.ring = [
+            (kid, AESGCM(key)) for kid, key in config.parse_ring()
+        ]
+        self.by_kid = {kid: c for kid, c in self.ring if kid is not None}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for col in self.config.columns:
@@ -191,6 +197,7 @@ class EncryptColumn:
         self.config = config
         self.ring = config.parse_ring()
         self.kid, self.key = self.ring[0]
+        self.cipher = AESGCM(self.key)
         self.deterministic = deterministic
         self._hashlib = hashlib
         self._os = os
@@ -214,7 +221,7 @@ class EncryptColumn:
                     continue
                 if isinstance(v, str):
                     v = v.encode()
-                out.append(_encrypt_one(self.kid, self.key, v, self._iv(v, i)))
+                out.append(_encrypt_one(self.kid, self.cipher, v, self._iv(v, i)))
             idx = batch.column_names.index(col)
             batch = batch.set_column(
                 idx, pa.field(col, pa.binary()), pa.array(out, type=pa.binary())
