@@ -235,6 +235,103 @@ def q_dedup_embedding(sf_dir: str):
     )
 
 
+def q_dedup_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup survivors (non-SQL; exact-Jaccard verified)."""
+    from connect_smts_ray.ops.dedup import jaccard_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    survivors, _ = jaccard_dedup(ds, threshold=0.5)
+    return survivors.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+def q_top_docs_by_tokens(sf_dir: str):
+    """Distributed top-20 documents by token count (per-block partial top-k,
+    no global sort)."""
+    from connect_smts_ray.ops.relational import topk
+    from connect_smts_ray.ops.text import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    return topk(ds, by="n_tokens", k=20, descending=True,
+                tiebreak=("doc_id", True))
+
+
+def q_events_type_stats(sf_dir: str):
+    """Grouped event stats per event_type — partial fixed-point combine
+    before the groupby (one row per type per block crosses the shuffle)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df["value_c"] = np.rint(df["value"] * 100).astype("int64")
+        g = df.groupby("event_type", sort=False).agg(
+            value_c=("value_c", "sum"), n_events=("value_c", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": [g.column("event_type")[0].as_py()],
+            "n_events": pa.array(
+                [pc.sum(g.column("n_events")).as_py()], pa.int64()
+            ),
+            "sum_value": pa.array(
+                [pc.sum(g.column("value_c")).as_py() / 100.0], pa.float64()
+            ),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: documents → opaque binary payloads → actor-pool
+    decode stub → fixed-dim feature vectors (non-SQL; deterministic fake)."""
+    from connect_smts_ray.ops.multimodal import DecodeConfig, DecodeMedia
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = [
+            None if t is None else t.encode()
+            for t in b.column("text").to_pylist()
+        ]
+        return pa.table({
+            "media_id": b.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(to_media, batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeMedia,
+        fn_constructor_kwargs={"config": DecodeConfig(feature_dim=16, fake=True)},
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5, batch_size=256,
+    )
+
+    def summarize(b: pa.Table) -> pa.Table:
+        feats = b.column("features").to_pylist()
+        return pa.table({
+            "media_id": b.column("media_id"),
+            "feat_dim": pa.array(
+                [None if f is None else len(f) for f in feats], pa.int32()
+            ),
+            "feat_norm": pa.array(
+                [None if f is None else float(np.linalg.norm(f)) for f in feats],
+                pa.float64(),
+            ),
+        })
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 neighbors for the first 8 vectors."""
     import pyarrow.parquet as pq
@@ -469,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outbox_partition_key": q_outbox_partition_key,
         "lww_upsert_events": q_lww_upsert_events,
         "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -482,6 +580,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q_join_orders_customer,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "encrypt_roundtrip": q_encrypt_roundtrip,
+        "top_docs_by_tokens": q_top_docs_by_tokens,
+        "events_type_stats": q_events_type_stats,
+        "media_features": q_media_features,
     }
 
 
@@ -572,6 +673,24 @@ def oracle_sql() -> dict[str, str]:
                        AS total_price,
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "encrypt_roundtrip": """
+            SELECT doc_id, text FROM documents
+        """,
+        "top_docs_by_tokens": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            ORDER BY n_tokens DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "events_type_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events
             GROUP BY 1
         """,
         "lineitem_pricing_summary": """

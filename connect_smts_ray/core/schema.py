@@ -394,6 +394,84 @@ def map_json_to_schema(schema: SType, obj: Any, cfg: InferConfig) -> Any:
     return value
 
 
+def compile_fast_checker(schema: SType):
+    """Compile ``schema`` into a predicate ``check(obj) -> bool`` that is True
+    iff ``map_json_to_schema(schema, obj, cfg)`` would succeed (for configs
+    with sanitize/ignore/convert-to-double all off).
+
+    Used for the vectorized batch fast path: validate every parsed row with
+    the compiled checker (cheap isinstance/range tests, no output building),
+    then build the whole Arrow column with ONE ``pa.array(rows, type=...)``
+    call. Conservative misses are safe — they only route the batch to the
+    row-wise slow path, which is authoritative.
+
+    Literal rules mirror ``infer_literal`` + the exact-kind match of the fast
+    path: an int that fits int32 under an int64 schema is a MISS (separate
+    registry slot — the reference's validateValue class check,
+    DebeziumJsonDeserializer.java:196-212); big ints (→float64) are routed to
+    the slow path rather than special-cased.
+    """
+    kind = schema.kind
+    if kind == "struct":
+        field_checkers = {
+            name: compile_fast_checker(s) for name, s in (schema.fields or ())
+        }
+        required = tuple(
+            name for name, s in (schema.fields or ()) if not s.optional
+        )
+
+        def check(obj, _fc=field_checkers, _req=required):
+            if type(obj) is not dict:
+                return False
+            for k, v in obj.items():
+                if v is None:
+                    continue
+                c = _fc.get(k)
+                if c is None or not c(v):
+                    return False
+            for r in _req:
+                if obj.get(r) is None:
+                    return False
+            return True
+
+        return check
+
+    if kind == "array":
+        ec = compile_fast_checker(schema.element)
+        elem_optional = schema.element.optional
+
+        def check(obj, _ec=ec, _opt=elem_optional):
+            if type(obj) is not list:
+                return False
+            for el in obj:
+                if el is None:
+                    if not _opt:
+                        return False
+                elif not _ec(el):
+                    return False
+            return True
+
+        return check
+
+    if kind == "boolean":
+        return lambda v: type(v) is bool
+    if kind == "int32":
+        return lambda v: type(v) is int and INT32_MIN <= v <= INT32_MAX
+    if kind == "int64":
+        return lambda v: (
+            type(v) is int
+            and INT64_MIN <= v <= INT64_MAX
+            and not (INT32_MIN <= v <= INT32_MAX)
+        )
+    if kind == "float64":
+        return lambda v: type(v) is float
+    if kind == "string":
+        return lambda v: type(v) is str
+    # int8/int16/float32/bytes are never produced by JSON inference → always
+    # route to the slow path.
+    return lambda v: False
+
+
 # ---------------------------------------------------------------------------
 # Arrow interop
 # ---------------------------------------------------------------------------

@@ -203,6 +203,28 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(ga & gb) / len(ga | gb)
 
 
+def jaccard_dedup(ds, threshold: float = 0.5, shingle_words: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """n-gram Jaccard near-dup, standalone: a permissive MinHash-LSH pass
+    proposes candidates (recall knob: more bands → higher recall), every
+    candidate pair is verified with EXACT word-k-gram Jaccard, components
+    linked, min-id survivor kept. Returns (survivors Dataset, components).
+
+    This is the "n-gram Jaccard" family of the dedup suite — the verify
+    stage is authoritative, LSH is only the blocker, so the result equals
+    all-pairs exact Jaccard at the given threshold up to LSH recall.
+    """
+    cfg = MinHashConfig(
+        num_perm=64,
+        bands=32,  # 2 rows/band → candidates down to Jaccard ≈ 0.2
+        shingle_words=shingle_words,
+        jaccard_threshold=threshold,
+    )
+    return minhash_dedup(
+        ds, cfg, text_col=text_col, id_col=id_col, verify_jaccard=True
+    )
+
+
 def union_find_components(pairs) -> dict:
     """Driver-side union-find: {doc_id -> component representative (min id)}.
     Safe because LSH emits pairs, not the corpus; see module docstring."""

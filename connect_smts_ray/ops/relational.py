@@ -29,6 +29,31 @@ def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
+def topk(ds, by, k: int, descending: bool = True, tiebreak=None):
+    """Distributed top-k without a global sort: each block reduces to its
+    own top-k, then the (num_blocks × k)-row remainder collapses in one
+    final reduce. ``tiebreak`` (col, ascending: bool) makes the result
+    deterministic under ties.
+    """
+    order = [(by, "descending" if descending else "ascending")]
+    if tiebreak is not None:
+        col, asc = tiebreak
+        order.append((col, "ascending" if asc else "descending"))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(order).slice(0, k)
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(order).slice(0, k)
+
+    # Final reduce over ≤ num_blocks × k rows — tiny; one task.
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
 def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
     """Event-time tumbling windows.
 

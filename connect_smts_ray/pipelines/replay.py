@@ -96,15 +96,23 @@ class ReplayConfig:
     seed: int = 42
     # Blocks to split the corpus read into. A single small Parquet file
     # otherwise yields ONE block and the whole downstream pipeline collapses
-    # onto one task; None → 2 tasks per pool slot across both actor pools.
+    # onto one task. None → derived so each block amplifies to roughly
+    # ``target_events_per_block`` events: block size must be bounded in
+    # EVENTS (post-amplification), not corpus rows — oversized event blocks
+    # (>100k rows) measured 8× slower end-to-end at 32 CPUs (giant per-batch
+    # Python object churn inside every actor + lumpy scheduling).
     read_blocks: int | None = None
+    target_events_per_block: int = 24576
 
-    def effective_read_blocks(self) -> int:
+    def effective_read_blocks(self, n_corpus_rows: int | None = None) -> int:
         if self.read_blocks is not None:
             return self.read_blocks
-        return 2 * max(
-            2, self.expand_concurrency, self.crypto_concurrency
-        )
+        floor = 2 * max(2, self.expand_concurrency, self.crypto_concurrency)
+        if not n_corpus_rows:
+            return floor
+        by_events = -(-n_corpus_rows * self.events_per_key
+                      // self.target_events_per_block)
+        return max(floor, min(by_events, 4096))
 
     def binlog(self) -> BinlogConfig:
         return BinlogConfig(events_per_key=self.events_per_key, seed=self.seed)
@@ -156,7 +164,10 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
     # task on small inputs. Blocks after synthesis are already ~(corpus block
     # rows × events_per_key) events — the right batch size — and at real
     # scale Ray's dynamic block splitting caps them at target_max_block_size.
-    ds = read_corpus(cfg.sf_dir, num_blocks=cfg.effective_read_blocks())
+    import pyarrow.parquet as _pq
+
+    n_corpus = _pq.read_metadata(f"{cfg.sf_dir}/documents.parquet").num_rows
+    ds = read_corpus(cfg.sf_dir, num_blocks=cfg.effective_read_blocks(n_corpus))
     binlog_cfg = cfg.binlog()
     ds = ds.map_batches(
         lambda b: synthesize_events(b, binlog_cfg),

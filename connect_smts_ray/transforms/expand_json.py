@@ -43,6 +43,7 @@ from connect_smts_ray.core.schema import (
     InferConfig,
     SchemaUnionError,
     SType,
+    compile_fast_checker,
     infer_json_value,
     map_json_to_schema,
     stype_from_dict,
@@ -87,8 +88,9 @@ class ExpandJson:
         self.cfg = config.infer_config()
         # registry: column -> list[SType] (slot list, smt/DebeziumJsonDeserializer.java:56)
         self.registry: dict = {col: [] for col in config.columns}
-        # cached Arrow types per slot, invalidated on widening
+        # cached Arrow types / compiled checkers per slot, invalidated on widening
         self._arrow_cache: dict = {}
+        self._checker_cache: dict = {}
         for col, serialized in (config.bootstrap_schemas or {}).items():
             self.registry.setdefault(col, [])
             self.registry[col].extend(stype_from_dict(d) for d in serialized)
@@ -112,6 +114,15 @@ class ExpandJson:
         at = to_arrow(stype)
         self._arrow_cache[(col, slot)] = (stype, at)
         return at
+
+    def _checker(self, col: str, slot: int):
+        stype = self.registry[col][slot]
+        hit = self._checker_cache.get((col, slot))
+        if hit is not None and hit[0] == stype:
+            return hit[1]
+        fn = compile_fast_checker(stype)
+        self._checker_cache[(col, slot)] = (stype, fn)
+        return fn
 
     # -- per-record core (transformDebeziumJsonField, :187-256) -------------
 
@@ -183,8 +194,50 @@ class ExpandJson:
             batch = self._expand_column(batch, col)
         return batch
 
+    def _vectorized_fast_path(self, batch: pa.Table, col: str, raw: list):
+        """Whole-batch fast path: compiled-checker validation per parsed row
+        against slot 0, then ONE ``pa.array`` build. Returns the new batch or
+        None (→ authoritative row-wise path). Only valid for configs where
+        ``compile_fast_checker`` mirrors ``map_json_to_schema`` exactly."""
+        if not (
+            self.config.union_previous_messages_schema
+            and self.config.probabilistic_fast_path
+            and not self.cfg.sanitize_field_names
+            and not self.cfg.convert_numbers_to_double
+            and not self.cfg.ignored_fields
+            and self.registry[col]
+        ):
+            return None
+        check = self._checker(col, 0)
+        parsed: list = [None] * len(raw)
+        for i, r in enumerate(raw):
+            if r is None or r == "":
+                continue  # dropped field → null (:60-63,:87-89)
+            try:
+                node = orjson.loads(r)
+            except orjson.JSONDecodeError:
+                return None
+            if node is None:
+                continue
+            if not check(node):
+                return None
+            parsed[i] = node
+        at = self._arrow_type(col, 0)
+        try:
+            arr = pa.array(parsed, type=at)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            return None
+        idx = batch.column_names.index(col)
+        name = col if self.config.replace_source else f"{col}_expanded"
+        if self.config.replace_source:
+            return batch.set_column(idx, pa.field(name, at), arr)
+        return batch.append_column(pa.field(name, at), arr)
+
     def _expand_column(self, batch: pa.Table, col: str) -> pa.Table:
         raw = batch.column(col).to_pylist()
+        fast = self._vectorized_fast_path(batch, col, raw)
+        if fast is not None:
+            return fast
         n = len(raw)
         slot_of: list = [None] * n
         val_of: list = [None] * n

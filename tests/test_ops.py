@@ -257,3 +257,32 @@ def test_tumbling_window(ray_session, sf_dir):
     assert len(got) == len(want)
     assert (got["n_events"].values == want["n_events"].values).all()
     assert np.allclose(got["sum_value"].values, want["sum_value"].values)
+
+
+def test_jaccard_dedup(docs_with_dups):
+    from connect_smts_ray.ops.dedup import jaccard_dedup
+
+    survivors, comp = jaccard_dedup(docs_with_dups, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in survivors.take_all())
+    # near-dups of doc 0 (ids 1, 2) and of doc 3 (id 5) collapse; min id wins
+    assert 0 in ids and 3 in ids and 4 in ids
+    assert 1 not in ids and 2 not in ids and 5 not in ids
+
+
+def test_topk(ray_session):
+    import ray.data
+    from connect_smts_ray.ops.relational import topk
+
+    t = pa.table({
+        "id": pa.array(range(100), type=pa.int64()),
+        "score": pa.array([(i * 37) % 50 for i in range(100)], type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = topk(ds, by="score", k=10, descending=True,
+               tiebreak=("id", True)).take_all()
+    want = sorted(
+        ({"id": i, "score": (i * 37) % 50} for i in range(100)),
+        key=lambda r: (-r["score"], r["id"]),
+    )[:10]
+    assert [r["id"] for r in out] == [r["id"] for r in want]
+    assert [r["score"] for r in out] == [r["score"] for r in want]

@@ -57,18 +57,7 @@ def _pairs():
     return sorted(set(qs) & set(oracles))
 
 
-@pytest.mark.parametrize("name", [
-    "expand_json_events",
-    "outbox_partition_number",
-    "lww_upsert_events",
-    "dedup_exact",
-    "knn_bruteforce",
-    "token_count",
-    "fingerprint",
-    "window_events",
-    "join_orders_customer",
-    "lineitem_pricing_summary",
-])
+@pytest.mark.parametrize("name", _pairs())
 def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as e
 
@@ -100,7 +89,7 @@ def test_rows_only_queries_run(ray_session):
 
     sf = "/root/testdata/sf0.001"
     for name in ["outbox_partition_key", "dedup_minhash", "dedup_simhash",
-                 "dedup_embedding", "knn_ivf", "lang_id", "quality_score",
-                 "encrypt_roundtrip"]:
+                 "dedup_embedding", "dedup_jaccard", "knn_ivf", "lang_id",
+                 "quality_score", "media_features"]:
         df = to_pandas(e.queries()[name](sf))
         assert len(df) > 0, name
