@@ -293,6 +293,91 @@ def q_events_type_stats(sf_dir: str):
     )
 
 
+def q_expand_json_evolution(sf_dir: str):
+    """Schema evolution through ExpandJson: half the payloads carry an extra
+    field the bootstrap schema has never seen — the union-widening registry
+    must add it as optional and older rows read as null."""
+    from connect_smts_ray.transforms.expand_json import (
+        ExpandJson,
+        ExpandJsonConfig,
+    )
+
+    def reshape(b: pa.Table) -> pa.Table:
+        import orjson
+
+        ids = b.column("event_id").to_pylist()
+        out = []
+        for i, p in zip(ids, b.column("props").to_pylist()):
+            if p is None:
+                out.append(None)
+                continue
+            d = orjson.loads(p)
+            if i % 2 == 1:
+                d["extra"] = int(i)
+            out.append(orjson.dumps(d).decode())
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "props": pa.array(out, type=pa.string()),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    ds = ds.map_batches(reshape, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ExpandJson,
+        fn_constructor_kwargs={"config": ExpandJsonConfig(columns=("props",))},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        props = b.column("props")
+        typ = props.type
+        k = pc.struct_field(props, "k") if typ.get_field_index("k") >= 0 else pa.nulls(len(b), pa.int64())
+        extra = (
+            pc.struct_field(props, "extra")
+            if typ.get_field_index("extra") >= 0
+            else pa.nulls(len(b), pa.int64())
+        )
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "k": pc.cast(k, pa.int64()),
+            "extra": pc.cast(extra, pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def q_asof_join_orders(sf_dir: str):
+    """As-of join: each event matched to the customer's most recent order at
+    event time (backward; ties → max o_orderkey). Broadcast right side +
+    per-batch merge_asof — no shuffle."""
+    import pandas as pd
+
+    from connect_smts_ray.ops.relational import asof_join_broadcast
+
+    right = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    joined = asof_join_broadcast(
+        ds, right, left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey", tiebreak="o_orderkey",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        matched = b.filter(pc.is_valid(b.column("o_orderkey")))
+        return pa.table({
+            "event_id": matched.column("event_id"),
+            "user_id": matched.column("user_id"),
+            "o_orderkey": pc.cast(matched.column("o_orderkey"), pa.int64()),
+            "o_totalprice": matched.column("o_totalprice"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: documents → opaque binary payloads → actor-pool
     decode stub → fixed-dim feature vectors (non-SQL; deterministic fake)."""
@@ -582,6 +667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "events_type_stats": q_events_type_stats,
+        "expand_json_evolution": q_expand_json_evolution,
+        "asof_join_orders": q_asof_join_orders,
         "media_features": q_media_features,
     }
 
@@ -692,6 +779,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events
             GROUP BY 1
+        """,
+        "expand_json_evolution": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   CASE WHEN event_id % 2 = 1 AND props IS NOT NULL
+                        THEN event_id ELSE NULL END AS extra
+            FROM events
+        """,
+        "asof_join_orders": """
+            SELECT event_id, user_id, o_orderkey, o_totalprice
+            FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            WHERE rn = 1
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -98,6 +98,8 @@ class MinHasher:
     shingle hashes, generated once per actor from the config seed.
     """
 
+    _GRAM_MULT = np.uint64(1099511628211)  # FNV prime; uint64 wrap is the mix
+
     def __init__(self, cfg: MinHashConfig = MinHashConfig(),
                  text_col: str = "text", id_col: str = "doc_id"):
         self.cfg = cfg
@@ -106,19 +108,40 @@ class MinHasher:
         rng = np.random.RandomState(cfg.seed)
         self.a = rng.randint(1, _MERSENNE, size=cfg.num_perm, dtype=np.int64).astype(np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=cfg.num_perm, dtype=np.int64).astype(np.uint64)
+        # per-actor word→hash cache: corpora are Zipfian, so most blake2b
+        # calls are repeats — the cache turns shingling numpy-bound
+        self._word_hash: dict = {}
+
+    def _word_hashes(self, words) -> np.ndarray:
+        wc = self._word_hash
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = wc.get(w)
+            if h is None:
+                h = _stable_hash64(w)
+                wc[w] = h
+            out[i] = h
+        return out
 
     def shingles(self, text: str) -> np.ndarray:
+        """Unique word-k-gram hashes: per-word blake2b (cached) combined by a
+        vectorized rolling polynomial in uint64 (wrap = the mix)."""
         words = _WORD_RE.findall(text.lower())
+        if not words:
+            return np.zeros(0, dtype=np.uint64)
+        wh = self._word_hashes(words)
         k = self.cfg.shingle_words
         if len(words) < k:
-            grams = [" ".join(words)] if words else []
-        else:
-            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        if not grams:
-            return np.zeros(0, dtype=np.uint64)
-        return np.fromiter(
-            (_stable_hash64(g) for g in set(grams)), dtype=np.uint64
-        )
+            acc = wh[0]
+            for h in wh[1:]:
+                acc = acc * self._GRAM_MULT + h
+            return np.array([acc], dtype=np.uint64)
+        n_grams = len(words) - k + 1
+        acc = wh[:n_grams].copy()
+        for j in range(1, k):
+            acc *= self._GRAM_MULT
+            acc += wh[j : n_grams + j]
+        return np.unique(acc)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -299,21 +322,29 @@ def minhash_dedup(ds, cfg: MinHashConfig = MinHashConfig(),
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """Actor stage: 64-bit simhash + 4×16-bit band bucketing columns."""
+    """Actor stage: 64-bit simhash + 4×16-bit band bucketing columns.
+    Word hashes are cached per actor; the bit-count is one vectorized
+    matrix reduction per doc (identical values to the scalar form)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
+        self._word_hash: dict = {}
 
-    @staticmethod
-    def simhash64(words) -> int:
+    def simhash64(self, words) -> int:
         if not words:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set(words):
-            h = _stable_hash64(w)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
+        wc = self._word_hash
+        uniq = set(words)
+        wh = np.empty(len(uniq), dtype=np.uint64)
+        for i, w in enumerate(uniq):
+            h = wc.get(w)
+            if h is None:
+                h = _stable_hash64(w)
+                wc[w] = h
+            wh[i] = h
+        bits = (wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         out = 0
         for bit in np.nonzero(acc > 0)[0]:
             out |= 1 << int(bit)

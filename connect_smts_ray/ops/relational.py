@@ -29,6 +29,47 @@ def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
+def asof_join_broadcast(ds, right: pd.DataFrame, left_on: str, right_on: str,
+                        left_by: str, right_by: str,
+                        tiebreak: str | None = None):
+    """As-of join (backward): for each left row, the right row with the
+    greatest ``right_on`` ≤ ``left_on`` within the same ``by`` key.
+
+    Ray Data has no as-of join; this is the broadcast variant — the right
+    side is ``ray.put`` once (sorted by key, then time, then ``tiebreak`` so
+    ties resolve to the max tiebreak value deterministically) and every
+    batch runs a vectorized ``pandas.merge_asof`` against it. No shuffle;
+    scales linearly in the left side. For a large right side, hash-partition
+    BOTH sides on the key and run the same merge per partition group
+    (same semantics, one shuffle) — the LWW upsert's partitioning applies.
+
+    Unmatched left rows keep NaN right columns (left-join semantics;
+    filter afterwards for inner).
+    """
+    import ray
+
+    # merge_asof needs BOTH frames globally sorted by the on-column; with
+    # equal times inside a by-group the positionally-last right row wins, so
+    # a (time, tiebreak) sort makes ties resolve to max(tiebreak).
+    sort_cols = [right_on] + ([tiebreak] if tiebreak else [])
+    r = right.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    ref = ray.put(r)
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return pd.merge_asof(
+            batch.sort_values(left_on, kind="mergesort"),
+            rhs,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+            direction="backward",
+        )
+
+    return ds.map_batches(join_batch, batch_format="pandas")
+
+
 def topk(ds, by, k: int, descending: bool = True, tiebreak=None):
     """Distributed top-k without a global sort: each block reduces to its
     own top-k, then the (num_blocks × k)-row remainder collapses in one
