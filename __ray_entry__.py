@@ -519,6 +519,50 @@ def q_window_events(sf_dir: str):
     )
 
 
+def q_hopping_window_events(sf_dir: str):
+    """Hopping windows (2h wide, 1h slide) per user: each event lands in 2
+    windows; integer-cent sums for bit-exact distributed aggregation."""
+    from connect_smts_ray.ops.relational import hopping_window
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))), pa.int64()
+        )
+        return b.append_column(pa.field("value_cents", pa.int64()), cents)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = hopping_window(
+        ds, ts_col="ts", width_seconds=7200, slide_seconds=3600,
+        key_cols=["user_id"],
+        aggs={"n_events": ("event_id", "count"),
+              "sum_cents": ("value_cents", "sum")},
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "window_start": b.column("window_start"),
+            "n_events": b.column("n_events"),
+            "sum_value": pc.divide(
+                pc.cast(b.column("sum_cents"), pa.float64()), pa.scalar(100.0)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_session_window_events(sf_dir: str):
+    """Gap-based sessionization per user (30-minute inactivity gap)."""
+    from connect_smts_ray.ops.relational import session_window
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return session_window(
+        ds, ts_col="ts", key_col="user_id", gap_seconds=1800,
+        order_tiebreak="event_id",
+    )
+
+
 def q_join_orders_customer(sf_dir: str):
     """Broadcast join orders ⨝ customer + grouped revenue per segment."""
     import pandas as pd
@@ -662,6 +706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "window_events": q_window_events,
+        "hopping_window_events": q_hopping_window_events,
+        "session_window_events": q_session_window_events,
         "join_orders_customer": q_join_orders_customer,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "encrypt_roundtrip": q_encrypt_roundtrip,
@@ -752,6 +798,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events
+            GROUP BY 1, 2
+        """,
+        "hopping_window_events": """
+            WITH exploded AS (
+                SELECT user_id, event_id, value,
+                       epoch_us(date_trunc('hour', ts)) AS window_start
+                FROM events
+                UNION ALL
+                SELECT user_id, event_id, value,
+                       epoch_us(date_trunc('hour', ts)) - 3600000000
+                FROM events
+            )
+            SELECT user_id, window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM exploded
+            GROUP BY 1, 2
+        """,
+        "session_window_events": """
+            SELECT user_id,
+                   session_id,
+                   count(*) AS n_events,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_end_us
+            FROM (
+                SELECT user_id, ts_us,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM (
+                    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id
+                                ) > 1800000000
+                                OR lag(epoch_us(ts)) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id
+                                ) IS NULL
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                )
+            )
             GROUP BY 1, 2
         """,
         "join_orders_customer": """

@@ -201,12 +201,11 @@ def minhash_candidates(ds, cfg: MinHashConfig = MinHashConfig(),
         concurrency=2,
         num_cpus=0.5,
     )
-    pairs = sig.groupby(["band", "band_hash"]).map_groups(
+    # Pairs from different bands can repeat; dedup happens driver-side in
+    # minhash_dedup (the pair set is tiny vs the corpus) — a second
+    # all-to-all groupby just to dedup pairs would double the shuffle cost.
+    return sig.groupby(["band", "band_hash"]).map_groups(
         _candidate_pairs_from_band, batch_format="pyarrow"
-    )
-    # dedup pairs produced by multiple bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
 
@@ -283,9 +282,9 @@ def minhash_dedup(ds, cfg: MinHashConfig = MinHashConfig(),
     import ray
 
     pair_table = minhash_candidates(ds, cfg, text_col, id_col)
-    pairs = [
+    pairs = sorted({
         (r["id_a"], r["id_b"]) for r in pair_table.take_all()
-    ]  # candidate set: tiny vs corpus
+    })  # candidate set: tiny vs corpus; dedup across bands here
 
     if verify_jaccard and pairs:
         need = {i for p in pairs for i in p}

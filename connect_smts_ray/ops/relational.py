@@ -95,19 +95,80 @@ def topk(ds, by, k: int, descending: bool = True, tiebreak=None):
     )
 
 
-def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
-    """Event-time tumbling windows.
+def hopping_window(ds, ts_col: str, width_seconds: int, slide_seconds: int,
+                   key_cols, aggs):
+    """Hopping (sliding) event-time windows: window starts every
+    ``slide_seconds``, each ``width_seconds`` long, so one event lands in
+    ``width/slide`` windows. Implemented as a vectorized per-batch explode
+    (event → its windows) feeding the same partial-then-final reduce as the
+    tumbling window — the shuffle still carries one row per (key, window)
+    per block."""
+    if width_seconds % slide_seconds:
+        raise ValueError("width_seconds must be a multiple of slide_seconds")
+    n_win = width_seconds // slide_seconds
+    slide_us = slide_seconds * 1_000_000
 
-    ``aggs`` maps output name → (source col, "sum"|"count"|"min"|"max").
-    Decomposable aggregates are partially reduced per batch before the
-    groupby, so the shuffle carries one row per (key, window) per block.
-    """
-    width_us = width_seconds * 1_000_000
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df[ts_col].astype("datetime64[us]").astype("int64")
+        base = (ts // slide_us) * slide_us
+        parts = []
+        for j in range(n_win):
+            p = df.copy()
+            p["window_start"] = base - j * slide_us
+            parts.append(p)
+        return pa.Table.from_pandas(pd.concat(parts), preserve_index=False)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return _windowed_reduce(exploded, key_cols, aggs)
+
+
+def session_window(ds, ts_col: str, key_col: str, gap_seconds: int,
+                   order_tiebreak: str):
+    """Gap-based sessionization: per key, sort by (ts, tiebreak); a gap
+    > ``gap_seconds`` starts a new session. One shuffle
+    (``groupby(key).map_groups``); emits per-session (key, session_id,
+    n_events, session_start_us, session_end_us), session_id numbered from 1
+    in time order — deterministic given the tiebreak."""
+    gap_us = gap_seconds * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values([ts_col, order_tiebreak],
+                                           kind="mergesort")
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        out = pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "session_id": sid,
+            "ts_us": ts,
+        })
+        g = out.groupby("session_id", sort=True).agg(
+            n_events=("ts_us", "size"),
+            session_start_us=("ts_us", "min"),
+            session_end_us=("ts_us", "max"),
+        ).reset_index()
+        g[key_col] = df[key_col].iloc[0]
+        return pa.Table.from_pandas(
+            g[[key_col, "session_id", "n_events",
+               "session_start_us", "session_end_us"]],
+            preserve_index=False,
+        )
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pyarrow")
+
+
+def _windowed_reduce(ds, key_cols, aggs):
+    """Partial-then-final grouped reduce over batches that already carry a
+    ``window_start`` column. ``aggs`` maps output name → (source col,
+    "sum"|"count"|"min"|"max"). Decomposable aggregates are partially
+    reduced per batch before the groupby, so the shuffle carries one row
+    per (key, window) per block."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        ts = df[ts_col].astype("datetime64[us]").astype("int64")
-        df["window_start"] = (ts // width_us) * width_us
         grouped = df.groupby(list(key_cols) + ["window_start"], sort=False)
         out = {}
         for name, (src, op) in aggs.items():
@@ -141,4 +202,20 @@ def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
 
     return partials.groupby(list(key_cols) + ["window_start"]).map_groups(
         final, batch_format="pyarrow"
+    )
+
+
+def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
+    """Event-time tumbling windows (see ``_windowed_reduce`` for the
+    aggregate spec and shuffle shape)."""
+    width_us = width_seconds * 1_000_000
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df[ts_col].astype("datetime64[us]").astype("int64")
+        df["window_start"] = (ts // width_us) * width_us
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return _windowed_reduce(
+        ds.map_batches(add_window, batch_format="pyarrow"), key_cols, aggs
     )

@@ -136,6 +136,9 @@ class ReplayConfig:
             topic="lake.files",
             partition_setting="partition-key",
             num_partitions=self.num_partitions,
+            # LAKE_MAPPING projects headers away immediately — skip the
+            # per-row header JSON encode (vectorized outbox fast path).
+            emit_headers=False,
         )
 
     def epoch_lsn_range(self, epoch: int) -> tuple:

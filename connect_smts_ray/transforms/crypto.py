@@ -130,12 +130,16 @@ def _decrypt_one(ring: list, by_kid: dict, raw: bytes,
     raise JoseError("Message could not be decrypted with any encryption key")
 
 
-def _encrypt_one(kid: Optional[str], cipher: AESGCM, plaintext: bytes,
-                 iv: bytes) -> bytes:
+def _protected_header(kid: Optional[str]) -> str:
     header = {"enc": "A256GCM", "alg": "dir"}
     if kid is not None:
         header["kid"] = kid
-    protected = _b64url_encode(orjson.dumps(header))
+    return _b64url_encode(orjson.dumps(header))
+
+
+def _encrypt_one(kid: Optional[str], cipher: AESGCM, plaintext: bytes,
+                 iv: bytes) -> bytes:
+    protected = _protected_header(kid)
     ct_tag = cipher.encrypt(iv, plaintext, protected.encode("ascii"))
     ciphertext, tag = ct_tag[:-16], ct_tag[-16:]
     return orjson.dumps(
@@ -157,8 +161,30 @@ class DecryptColumn:
             (kid, AESGCM(key)) for kid, key in config.parse_ring()
         ]
         self.by_kid = {kid: c for kid, c in self.ring if kid is not None}
+        # protected-header parse cache: a stream encrypted under one key
+        # ring repeats the same few header strings millions of times
+        self._header_cache: dict = {}
+
+    def _cipher_for_protected(self, protected: str):
+        """(cipher-or-None, ok) for a protected header string, cached."""
+        hit = self._header_cache.get(protected)
+        if hit is not None:
+            return hit
+        header = {}
+        try:
+            header = orjson.loads(_b64url_decode(protected))
+        except Exception:
+            pass
+        if header and (header.get("alg") not in (None, "dir")
+                       or header.get("enc") not in (None, "A256GCM")):
+            res = (None, False)
+        else:
+            res = (self.by_kid.get(header.get("kid")), True)
+        self._header_cache[protected] = res
+        return res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        skip = self.config.skip_on_error
         for col in self.config.columns:
             if col not in batch.column_names:
                 continue
@@ -170,15 +196,47 @@ class DecryptColumn:
                     continue
                 if isinstance(v, str):
                     v = v.encode()
-                out.append(
-                    _decrypt_one(self.ring, self.by_kid, v,
-                                 self.config.skip_on_error)
-                )
+                out.append(self._decrypt_row(v, skip))
             idx = batch.column_names.index(col)
             batch = batch.set_column(
                 idx, pa.field(col, pa.binary()), pa.array(out, type=pa.binary())
             )
         return batch
+
+    def _decrypt_row(self, raw: bytes, skip_on_error: bool) -> bytes:
+        """Hot-path variant of ``_decrypt_one`` with the header cache."""
+        try:
+            flattened = orjson.loads(raw)
+            protected = flattened["protected"]
+            iv = _b64url_decode(flattened["iv"])
+            data = (
+                _b64url_decode(flattened["ciphertext"])
+                + _b64url_decode(flattened["tag"])
+            )
+        except Exception as e:
+            if skip_on_error:
+                return raw
+            raise JoseError(f"Flattened JWE could not be decoded: {e}") from e
+
+        cipher, ok = self._cipher_for_protected(protected)
+        if not ok:
+            if skip_on_error:
+                return raw
+            raise JoseError("Unsupported JWE algorithms")
+        aad = protected.encode("ascii")
+        if cipher is not None:
+            try:
+                return cipher.decrypt(iv, data, aad)
+            except Exception:
+                pass
+        for _, c in self.ring:
+            try:
+                return c.decrypt(iv, data, aad)
+            except Exception:
+                continue
+        if skip_on_error:
+            return raw
+        raise JoseError("Message could not be decrypted with any encryption key")
 
 
 class EncryptColumn:
@@ -210,6 +268,13 @@ class EncryptColumn:
         return self._os.urandom(12)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Per-actor constants hoisted out of the row loop: the protected
+        # header (and its AAD bytes) depend only on the key.
+        protected = _protected_header(self.kid)
+        aad = protected.encode("ascii")
+        prefix = '{"protected":"' + protected + '","iv":"'
+        encrypt = self.cipher.encrypt
+        b64 = _b64url_encode
         for col in self.config.columns:
             if col not in batch.column_names:
                 continue
@@ -221,7 +286,15 @@ class EncryptColumn:
                     continue
                 if isinstance(v, str):
                     v = v.encode()
-                out.append(_encrypt_one(self.kid, self.cipher, v, self._iv(v, i)))
+                iv = self._iv(v, i)
+                ct_tag = encrypt(iv, v, aad)
+                out.append(
+                    (
+                        prefix + b64(iv) + '","ciphertext":"'
+                        + b64(ct_tag[:-16]) + '","tag":"'
+                        + b64(ct_tag[-16:]) + '"}'
+                    ).encode()
+                )
             idx = batch.column_names.index(col)
             batch = batch.set_column(
                 idx, pa.field(col, pa.binary()), pa.array(out, type=pa.binary())

@@ -76,6 +76,9 @@ class OutboxConfig:
     payload_column: str = "payload"
     headers_column: str = "headers"
     value_schema_name_column: str = "value_schema_name"  # heartbeat detection
+    # Header promotion costs a per-row JSON encode; pipelines that project
+    # headers away immediately (the CDC replay) disable it.
+    emit_headers: bool = True
 
     def __post_init__(self):
         if self.partition_setting not in ("partition-number", "partition-key"):
@@ -127,9 +130,76 @@ def _decode_headers_value(v) -> Optional[str]:
     return None
 
 
+def _outbox_route_fast(batch: pa.Table, config: OutboxConfig):
+    """Vectorized path for the common CDC shape: fixed config topic,
+    partition-key mode, no per-record topic/headers/schema-name columns,
+    headers disabled. Returns None → caller uses the generic row path
+    (which also owns all error reporting for malformed inputs)."""
+    cols = set(batch.column_names)
+    if (
+        config.partition_setting != "partition-key"
+        or config.emit_headers
+        or config.topic_column in cols
+        or config.headers_column in cols
+        or config.value_schema_name_column in cols
+        or "partition_key" not in cols
+        or config.target_topic is None
+        or batch.num_rows == 0
+    ):
+        return None
+    td = TopicDescription.from_string(config.target_topic)
+    num = td.num_partitions if td.num_partitions is not None else config.num_partitions
+    if num is None:
+        return None
+
+    if "value_is_null" in cols:
+        keep = pc.invert(pc.fill_null(batch.column("value_is_null"), False))
+        kept = batch.filter(keep)
+    else:
+        kept = batch
+    m = kept.num_rows
+    payload = (
+        pc.cast(kept.column(config.payload_column), pa.string())
+        if config.payload_column in cols
+        else pa.nulls(m, type=pa.string())
+    )
+    if "__deleted" in cols:
+        deleted = pc.equal(
+            pc.fill_null(kept.column("__deleted"), "false"), "true"
+        )
+    else:
+        deleted = pa.array([False] * m, type=pa.bool_())
+    is_tombstone = pc.or_(deleted, pc.is_null(payload))
+
+    pk = kept.column("partition_key")
+    if pk.null_count:
+        return None  # generic path raises the reference's error
+    hashes = murmur2_positive_many(
+        [s.encode() for s in pc.cast(pk, pa.string()).to_pylist()]
+    )
+    out_partition = pa.array(
+        (hashes % num).astype("int32"), type=pa.int32()
+    )
+
+    out = kept
+    for name, arr in (
+        ("out_topic", pa.array([td.topic] * m, type=pa.string())),
+        ("out_partition", out_partition),
+        ("out_payload", pc.if_else(is_tombstone, pa.nulls(m, pa.string()), payload)),
+        ("is_tombstone", is_tombstone),
+        ("is_passthrough", pa.array([False] * m, type=pa.bool_())),
+        ("out_headers", pa.nulls(m, type=pa.string())),
+    ):
+        out = out.append_column(pa.field(name, arr.type), arr)
+    return out
+
+
 def outbox_route(batch: pa.Table, config: OutboxConfig) -> pa.Table:
     """Stateless routing transform for ``ds.map_batches(...,
     batch_format="pyarrow")``. Use via ``functools.partial`` or a lambda."""
+    fast = _outbox_route_fast(batch, config)
+    if fast is not None:
+        return fast
     n = batch.num_rows
     cols = set(batch.column_names)
 
@@ -249,24 +319,25 @@ def outbox_route(batch: pa.Table, config: OutboxConfig) -> pa.Table:
                 out_partition[i] = int(hashes[j]) % num
 
     # -- headers (:134-184) -------------------------------------------------
-    if config.headers_column in cols:
-        raw_headers = batch.column(config.headers_column).to_pylist()
-    else:
-        raw_headers = [None] * n
     out_headers: list = [None] * n
-    pk_col = (
-        batch.column("partition_key").to_pylist()
-        if "partition_key" in cols
-        else [None] * n
-    )
-    for i in range(n):
-        if passthrough[i] or drop_mask[i]:
-            continue
-        h = _decode_headers_value(raw_headers[i])
-        hdrs = orjson.loads(h) if h is not None else {}
-        if config.partition_setting == "partition-key":
-            hdrs = {**{"partition_key": pk_col[i]}, **hdrs}
-        out_headers[i] = orjson.dumps(hdrs).decode() if hdrs else h
+    if config.emit_headers:
+        if config.headers_column in cols:
+            raw_headers = batch.column(config.headers_column).to_pylist()
+        else:
+            raw_headers = [None] * n
+        pk_col = (
+            batch.column("partition_key").to_pylist()
+            if "partition_key" in cols
+            else [None] * n
+        )
+        for i in range(n):
+            if passthrough[i] or drop_mask[i]:
+                continue
+            h = _decode_headers_value(raw_headers[i])
+            hdrs = orjson.loads(h) if h is not None else {}
+            if config.partition_setting == "partition-key":
+                hdrs = {**{"partition_key": pk_col[i]}, **hdrs}
+            out_headers[i] = orjson.dumps(hdrs).decode() if hdrs else h
 
     # -- assemble -----------------------------------------------------------
     keep = [not d for d in drop_mask]
