@@ -451,6 +451,39 @@ def q_knn_ivf(sf_dir: str):
     ).select(["query_id", "neighbor_id", "rank"])
 
 
+def q_replay_lineage(sf_dir: str):
+    """Per-partition lineage of a full replay: rows in, rows merged,
+    deletes applied, offset ranges, bytes written. Deterministic given the
+    corpus + config (non-SQL; manifests are the source of truth)."""
+    import shutil
+
+    from connect_smts_ray.pipelines.replay import ReplayConfig, replay
+
+    lake = tempfile.mkdtemp(prefix="csr_lineage_")
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=lake, events_per_key=6, num_partitions=8,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    lineage = replay(cfg, fresh=True)[0]
+    shutil.rmtree(lake, ignore_errors=True)
+    return lineage.sort_values("partition_id").reset_index(drop=True)[
+        ["partition_id", "epoch", "rows_in", "rows_merged",
+         "deletes_applied", "min_offset", "max_offset", "skipped"]
+    ]
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic 10% hash sample of documents (identical across runs,
+    block layouts and cluster sizes; no RNG state)."""
+    from connect_smts_ray.ops.text import deterministic_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: deterministic_sample(b, id_col="doc_id", percent=10),
+        batch_format="pyarrow",
+    )
+
+
 def q_token_count(sf_dir: str):
     from connect_smts_ray.ops.text import add_token_count
 
@@ -701,6 +734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "replay_lineage": q_replay_lineage,
+        "sample_documents": q_sample_documents,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
@@ -780,6 +815,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             WHERE rank <= 5
+        """,
+        "sample_documents": """
+            SELECT doc_id, text
+            FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
         """,
         "token_count": """
             SELECT doc_id,

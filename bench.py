@@ -118,7 +118,8 @@ def run_bench() -> dict:
         import __ray_entry__ as e
 
         for name in ("dedup_exact", "token_count", "lww_upsert_events",
-                     "knn_bruteforce", "dedup_minhash"):
+                     "knn_bruteforce", "dedup_minhash", "window_events",
+                     "asof_join_orders"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

@@ -25,6 +25,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def deterministic_sample(batch: pa.Table, id_col: str, percent: int,
+                         salt: str = "") -> pa.Table:
+    """Keep rows where ``md5(salt || id) % 100 < percent`` — a
+    content-addressed Bernoulli sample that is identical across runs, block
+    layouts and cluster sizes (no RNG state), and reproducible in SQL:
+    DuckDB ``md5_number_lower`` = little-endian uint64 of md5 bytes 8..16.
+    Stateless ``map_batches`` filter."""
+    ids = batch.column(id_col).to_pylist()
+    mask = [
+        int.from_bytes(
+            hashlib.md5(f"{salt}{v}".encode()).digest()[8:], "little"
+        ) % 100 < percent
+        for v in ids
+    ]
+    return batch.filter(pa.array(mask, type=pa.bool_()))
+
+
 def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     counts = pc.count_substring_regex(batch.column(text_col), r"\S+")
     return batch.append_column(

@@ -286,3 +286,22 @@ def test_topk(ray_session):
     )[:10]
     assert [r["id"] for r in out] == [r["id"] for r in want]
     assert [r["score"] for r in out] == [r["score"] for r in want]
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    import ray.data
+    from connect_smts_ray.ops.dedup import (
+        label_propagation,
+        union_find_components,
+    )
+
+    # two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    t = pa.table({
+        "id_a": pa.array([a for a, _ in pairs], type=pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], type=pa.int64()),
+    })
+    out = label_propagation(ray.data.from_arrow(t), max_iters=6)
+    got = {r["doc_id"]: r["component"] for r in out.take_all()}
+    want = union_find_components(pairs)
+    assert got == want

@@ -90,6 +90,6 @@ def test_rows_only_queries_run(ray_session):
     sf = "/root/testdata/sf0.001"
     for name in ["outbox_partition_key", "dedup_minhash", "dedup_simhash",
                  "dedup_embedding", "dedup_jaccard", "knn_ivf", "lang_id",
-                 "quality_score", "media_features"]:
+                 "quality_score", "media_features", "replay_lineage"]:
         df = to_pandas(e.queries()[name](sf))
         assert len(df) > 0, name
