@@ -689,6 +689,81 @@ def q_lineitem_pricing_summary(sf_dir: str):
     )
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style composite: customer ⨝ orders ⨝ lineitem with segment
+    and date filters → revenue per order → top 10. All joins are broadcast
+    (small side ray.put once), revenue pre-aggregated per batch in integer
+    basis points — the only exchange is the tiny final groupby + top-k."""
+    import pandas as pd
+
+    from connect_smts_ray.ops.relational import broadcast_join, topk
+
+    cutoff = pd.Timestamp("1998-01-01")
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    orders = orders[orders["o_orderdate"] < cutoff]
+    orders = orders.merge(cust, on="o_custkey")[
+        ["o_orderkey", "o_orderdate"]
+    ].rename(columns={"o_orderkey": "l_orderkey"})
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("l_shipdate"), pa.scalar(cutoff.to_datetime64()))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(ds, orders, on="l_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df["rev_bp"] = np.rint(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
+        ).astype("int64")
+        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False).agg(
+            rev_bp=("rev_bp", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": [g.column("l_orderkey")[0].as_py()],
+            "o_orderdate": [g.column("o_orderdate")[0].as_py()],
+            "rev_bp": pa.array([pc.sum(g.column("rev_bp")).as_py()], pa.int64()),
+        })
+
+    per_order = partials.groupby(["l_orderkey", "o_orderdate"]).map_groups(
+        final, batch_format="pyarrow"
+    )
+    top = topk(per_order, by="rev_bp", k=10, descending=True,
+               tiebreak=("l_orderkey", True))
+    return top.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "revenue": pc.divide(
+                pc.cast(b.column("rev_bp"), pa.float64()), pa.scalar(10000.0)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_encrypt_roundtrip(sf_dir: str):
     """Field-level encrypt→decrypt round-trip over document text (non-SQL;
     result must equal the input texts)."""
@@ -745,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window_events": q_session_window_events,
         "join_orders_customer": q_join_orders_customer,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "shipping_priority": q_shipping_priority,
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "events_type_stats": q_events_type_stats,
@@ -892,6 +968,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) / 10000.0 AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+            ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "encrypt_roundtrip": """
             SELECT doc_id, text FROM documents
