@@ -104,10 +104,19 @@ def murmur2_positive_many(values) -> np.ndarray:
     if isinstance(values, (pa.ChunkedArray,)):
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
-        buf = [v.as_py() if v.is_valid else b"" for v in values]
+        if values.null_count:
+            # A null key has no partition — silently hashing b"" would
+            # misroute it; callers must filter/raise first (the Outbox
+            # raises the reference's "Unable to find partition_key").
+            raise ValueError("murmur2_positive_many: null key in input")
+        buf = [v.as_py() for v in values]
         data = [v.encode() if isinstance(v, str) else v for v in buf]
     else:
-        data = [v.encode() if isinstance(v, str) else v for v in values]
+        data = []
+        for v in values:
+            if v is None:
+                raise ValueError("murmur2_positive_many: null key in input")
+            data.append(v.encode() if isinstance(v, str) else v)
 
     n = len(data)
     out = np.empty(n, dtype=np.uint32)

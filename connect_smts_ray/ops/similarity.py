@@ -45,12 +45,12 @@ def knn_brute_force(ds, query_vecs: np.ndarray, k: int = 10,
         n_q, n_b = sims.shape
         kk = min(k + (1 if exclude_self else 0), n_b)
         out_q, out_id, out_s = [], [], []
-        # argpartition per query, then exact sort of the k candidates
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # Full (score desc, id asc) lexsort per query, then take kk: an
+        # argpartition prefilter would truncate score ties arbitrarily and
+        # could drop the smallest-id tied neighbor before the id-aware sort.
         for qi in range(n_q):
-            cand = part[qi]
-            order = np.lexsort((ids[cand], -sims[qi, cand]))
-            for j in cand[order]:
+            cand = np.lexsort((ids, -sims[qi]))[:kk]
+            for j in cand:
                 out_q.append(qi)
                 out_id.append(int(ids[j]))
                 out_s.append(float(sims[qi, j]))
@@ -155,7 +155,8 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10,
             if not len(cand):
                 continue
             kk = min(k, len(cand))
-            best = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
+            # (score desc, id asc) — ties must not be truncated arbitrarily
+            best = cand[np.lexsort((ids[cand], -sims[qi, cand]))[:kk]]
             for j in best:
                 out_q.append(qi)
                 out_id.append(int(ids[j]))

@@ -88,12 +88,11 @@ class LangId:
                 preds.append(None)
                 continue
             words = self.word_re.findall(v.lower())
+            # max() returns the FIRST maximal element, so iterating languages
+            # in sorted order gives the documented asc tie-break.
             best = max(
                 sorted(self.tables),
-                key=lambda lang: (
-                    sum(w in self.tables[lang] for w in words),
-                    lang,
-                ),
+                key=lambda lang: sum(w in self.tables[lang] for w in words),
             )
             preds.append(best)
         return batch.append_column(

@@ -65,11 +65,23 @@ class UpsertConfig:
 # ---------------------------------------------------------------------------
 
 def composite_key_bytes(batch: pa.Table, key_columns) -> list:
+    """Unambiguous composite key encoding: each part is length-prefixed
+    (``len:value``) with a distinct null marker, so (None, 'x') ≠ ('', 'x')
+    and a separator byte inside a value cannot collide with the joint of an
+    adjacent key — silent key collisions would merge unrelated rows in the
+    LWW reduce."""
     cols = [batch.column(c).to_pylist() for c in key_columns]
-    return [
-        KEY_SEP.join("" if v is None else str(v) for v in row).encode()
-        for row in zip(*cols)
-    ]
+    out = []
+    for row in zip(*cols):
+        parts = []
+        for v in row:
+            if v is None:
+                parts.append("n:")
+            else:
+                s = str(v)
+                parts.append(f"{len(s)}:{s}")
+        out.append(KEY_SEP.join(parts).encode())
+    return out
 
 
 def add_partition_id(batch: pa.Table, cfg: UpsertConfig) -> pa.Table:

@@ -77,79 +77,11 @@ class JoseConfig:
         return ring
 
 
-def _decrypt_one(ring: list, by_kid: dict, raw: bytes,
-                 skip_on_error: bool) -> bytes:
-    """Decrypt one flattened-JWE payload with the ring (smt/Jose.java:95-159).
-
-    ``ring`` holds (kid, AESGCM) pairs and ``by_kid`` maps kid → AESGCM —
-    cipher objects are constructed once per actor (north-star envelope-key
-    cache), not per record."""
-    try:
-        flattened = orjson.loads(raw)
-        protected = flattened["protected"]
-        iv = _b64url_decode(flattened["iv"])
-        ciphertext = _b64url_decode(flattened["ciphertext"])
-        tag = _b64url_decode(flattened["tag"])
-    except Exception as e:
-        if skip_on_error:
-            return raw
-        raise JoseError(f"Flattened JWE could not be decoded: {e}") from e
-
-    header = {}
-    try:
-        header = orjson.loads(_b64url_decode(protected))
-    except Exception:
-        pass
-    if header and (header.get("alg") not in (None, "dir")
-                   or header.get("enc") not in (None, "A256GCM")):
-        if skip_on_error:
-            return raw
-        raise JoseError(
-            f"Unsupported JWE algorithms alg={header.get('alg')} enc={header.get('enc')}"
-        )
-
-    aad = protected.encode("ascii")
-    data = ciphertext + tag
-
-    # kid cache fast path (engine addition; the reference brute-forces, :111)
-    kid = header.get("kid")
-    if kid is not None and kid in by_kid:
-        try:
-            return by_kid[kid].decrypt(iv, data, aad)
-        except Exception:
-            pass
-
-    for _, cipher in ring:
-        try:
-            return cipher.decrypt(iv, data, aad)
-        except Exception:
-            continue
-
-    if skip_on_error:
-        return raw
-    raise JoseError("Message could not be decrypted with any encryption key")
-
-
 def _protected_header(kid: Optional[str]) -> str:
     header = {"enc": "A256GCM", "alg": "dir"}
     if kid is not None:
         header["kid"] = kid
     return _b64url_encode(orjson.dumps(header))
-
-
-def _encrypt_one(kid: Optional[str], cipher: AESGCM, plaintext: bytes,
-                 iv: bytes) -> bytes:
-    protected = _protected_header(kid)
-    ct_tag = cipher.encrypt(iv, plaintext, protected.encode("ascii"))
-    ciphertext, tag = ct_tag[:-16], ct_tag[-16:]
-    return orjson.dumps(
-        {
-            "protected": protected,
-            "iv": _b64url_encode(iv),
-            "ciphertext": _b64url_encode(ciphertext),
-            "tag": _b64url_encode(tag),
-        }
-    )
 
 
 class DecryptColumn:
@@ -208,6 +140,7 @@ class DecryptColumn:
         try:
             flattened = orjson.loads(raw)
             protected = flattened["protected"]
+            aad = protected.encode("ascii")
             iv = _b64url_decode(flattened["iv"])
             data = (
                 _b64url_decode(flattened["ciphertext"])
@@ -223,7 +156,6 @@ class DecryptColumn:
             if skip_on_error:
                 return raw
             raise JoseError("Unsupported JWE algorithms")
-        aad = protected.encode("ascii")
         if cipher is not None:
             try:
                 return cipher.decrypt(iv, data, aad)

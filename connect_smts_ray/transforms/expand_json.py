@@ -211,7 +211,7 @@ class ExpandJson:
         check = self._checker(col, 0)
         parsed: list = [None] * len(raw)
         for i, r in enumerate(raw):
-            if r is None or r == "":
+            if r is None or r == "" or r == b"":
                 continue  # dropped field → null (:60-63,:87-89)
             try:
                 node = orjson.loads(r)
@@ -261,8 +261,8 @@ class ExpandJson:
         slot_of: list = [None] * n
         val_of: list = [None] * n
         for i, r in enumerate(raw):
-            # tombstone / null / empty-string payloads → dropped field (:60-63,:87-89)
-            if r is None or r == "":
+            # tombstone / null / empty payloads → dropped field (:60-63,:87-89)
+            if r is None or r == "" or r == b"":
                 continue
             t = self._transform_one(col, r)
             if t is None:
@@ -270,9 +270,14 @@ class ExpandJson:
             slot_of[i], val_of[i] = t
 
         slots = self.registry[col]
-        used = sorted({s for s in slot_of if s is not None})
+        # Slot 0 is ALWAYS emitted when any slot exists: the source column's
+        # replacement must be present (all-null if this batch only hit other
+        # slots) so block schemas stay congruent across batches.
+        used = sorted(
+            {s for s in slot_of if s is not None} | ({0} if slots else set())
+        )
         arrays = {}
-        for s in used or ([0] if slots else []):
+        for s in used:
             vals = [val_of[i] if slot_of[i] == s else None for i in range(n)]
             at = self._arrow_type(col, s)
             arrays[s] = pa.array(vals, type=at)

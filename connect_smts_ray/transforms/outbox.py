@@ -104,7 +104,14 @@ def _decode_headers_value(v) -> Optional[str]:
     if v is None:
         return None
     if isinstance(v, dict):  # struct column
-        out = {k: (None if x is None else str(x)) for k, x in v.items()}
+        out = {
+            k: (
+                None if x is None
+                else ("true" if x else "false") if isinstance(x, bool)
+                else str(x)
+            )
+            for k, x in v.items()
+        }
         return orjson.dumps(out).decode()
     if isinstance(v, str):  # JSON string column
         try:
@@ -292,7 +299,8 @@ def outbox_route(batch: pa.Table, config: OutboxConfig) -> pa.Table:
             out_partition[i] = int(pn[i])
     else:  # partition-key
         if "partition_key" in cols:
-            pk = batch.column("partition_key").to_pylist()
+            # cast to string first (int keys etc.) — matches the fast path
+            pk = pc.cast(batch.column("partition_key"), pa.string()).to_pylist()
         else:
             pk = [None] * n
         active = [
