@@ -22,6 +22,15 @@ import pyarrow.compute as pc
 # entry
 # ---------------------------------------------------------------------------
 
+
+def _round_half_away(x):
+    """Match DuckDB round(): half away from zero (np.rint / pc.round default
+    to half-to-even, a latent oracle divergence on exact .5 boundaries)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
 def entry() -> Any:
     """Flagship: full CDC replay (binlog → decrypt → outbox → expand-json →
     LWW upsert with manifests) on sf0.001; returns the final lake table."""
@@ -269,7 +278,7 @@ def q_events_type_stats(sf_dir: str):
         import pandas as pd
 
         df = b.to_pandas()
-        df["value_c"] = np.rint(df["value"] * 100).astype("int64")
+        df["value_c"] = _round_half_away(df["value"] * 100).astype("int64")
         g = df.groupby("event_type", sort=False).agg(
             value_c=("value_c", "sum"), n_events=("value_c", "size")
         ).reset_index()
@@ -530,7 +539,8 @@ def q_window_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
     def to_cents(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
         return b.append_column(pa.field("value_cents", pa.int64()), cents)
 
     ds = ds.map_batches(to_cents, batch_format="pyarrow")
@@ -561,7 +571,8 @@ def q_hopping_window_events(sf_dir: str):
 
     def to_cents(b: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))), pa.int64()
+            pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64()
         )
         return b.append_column(pa.field("value_cents", pa.int64()), cents)
 
@@ -613,7 +624,7 @@ def q_join_orders_customer(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         import numpy as np
         df = b.to_pandas()
-        df["price_cents"] = np.rint(df["o_totalprice"] * 100).astype("int64")
+        df["price_cents"] = _round_half_away(df["o_totalprice"] * 100).astype("int64")
         g = df.groupby("c_mktsegment", sort=False).agg(
             price_cents=("price_cents", "sum"), n_orders=("price_cents", "size")
         ).reset_index()
@@ -653,9 +664,9 @@ def q_lineitem_pricing_summary(sf_dir: str):
 
         df = b.to_pandas()
         # fixed-point partials: associative integer sums → bit-exact result
-        df["qty_c"] = np.rint(df["l_quantity"] * 100).astype("int64")
-        df["base_c"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
-        df["rev_c"] = np.rint(
+        df["qty_c"] = _round_half_away(df["l_quantity"] * 100).astype("int64")
+        df["base_c"] = _round_half_away(df["l_extendedprice"] * 100).astype("int64")
+        df["rev_c"] = _round_half_away(
             df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
         ).astype("int64")
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
@@ -730,7 +741,7 @@ def q_shipping_priority(sf_dir: str):
         import pandas as pd
 
         df = b.to_pandas()
-        df["rev_bp"] = np.rint(
+        df["rev_bp"] = _round_half_away(
             df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
         ).astype("int64")
         g = df.groupby(["l_orderkey", "o_orderdate"], sort=False).agg(
