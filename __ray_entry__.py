@@ -751,15 +751,15 @@ def q_shipping_priority(sf_dir: str):
 
     partials = joined.map_batches(partial, batch_format="pyarrow")
 
-    def final(g: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_orderkey": [g.column("l_orderkey")[0].as_py()],
-            "o_orderdate": [g.column("o_orderdate")[0].as_py()],
-            "rev_bp": pa.array([pc.sum(g.column("rev_bp")).as_py()], pa.int64()),
-        })
+    from ray.data.aggregate import Sum
 
-    per_order = partials.groupby(["l_orderkey", "o_orderdate"]).map_groups(
-        final, batch_format="pyarrow"
+    per_order = partials.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_bp")
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [{"sum(rev_bp)": "rev_bp"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
     )
     top = topk(per_order, by="rev_bp", k=10, descending=True,
                tiebreak=("l_orderkey", True))

