@@ -607,6 +607,47 @@ def q_session_window_events(sf_dir: str):
     )
 
 
+def q_hash_join_events_orders(sf_dir: str):
+    """Native Ray Data hash join (shuffle join, both sides large): events ⨝
+    orders on user_id = o_custkey, then grouped pair-stats per event_type.
+    Complements broadcast_join: this path repartitions BOTH sides by key."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = ds.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("user_id",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df["price_c"] = _round_half_away(df["o_totalprice"] * 100).astype("int64")
+        g = df.groupby("event_type", sort=False).agg(
+            price_c=("price_c", "sum"), n_pairs=("price_c", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(Sum("price_c"), Sum("n_pairs"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n_pairs": pc.cast(b.column("sum(n_pairs)"), pa.int64()),
+            "sum_price": pc.divide(
+                pc.cast(b.column("sum(price_c)"), pa.float64()), pa.scalar(100.0)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_join_orders_customer(sf_dir: str):
     """Broadcast join orders ⨝ customer + grouped revenue per segment."""
     import pandas as pd
@@ -829,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": q_window_events,
         "hopping_window_events": q_hopping_window_events,
         "session_window_events": q_session_window_events,
+        "hash_join_events_orders": q_hash_join_events_orders,
         "join_orders_customer": q_join_orders_customer,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -971,6 +1013,14 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY 1, 2
+        """,
+        "hash_join_events_orders": """
+            SELECT e.event_type,
+                   count(*) AS n_pairs,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS sum_price
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+            GROUP BY 1
         """,
         "join_orders_customer": """
             SELECT c.c_mktsegment,
