@@ -428,20 +428,36 @@ def simhash_dedup(ds, max_hamming: int = 3,
         batch_format="pyarrow",
         concurrency=2,
         num_cpus=0.5,
-    ).select_columns([id_col, "simhash"] + [f"simband_{b}" for b in range(4)])
+    ).select_columns(
+        [id_col, "simhash"] + [f"simband_{b}" for b in range(4)]
+    ).materialize()
+    # ^ materialize once: the 4 per-band groupbys below would otherwise each
+    # re-execute the whole SimHasher pipeline (lazy Dataset). The signature
+    # table is (id, hash, 4 ints) — tiny vs the corpus at any scale.
 
+    # Vectorized per-band bucket gather (list AggregateFn — a map_groups
+    # per bucket costs a Python call per group); candidate pairs explode
+    # per batch and hamming-verify driver-side on the tiny pair set.
     pairs = set()
     sig_of = {}
     for band in range(4):
-        for b in sigs.groupby(f"simband_{band}").map_groups(
-            _simhash_bucket_pairs, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
-            for a_, b_, sa, sb in zip(
-                b.column("id_a").to_pylist(), b.column("id_b").to_pylist(),
-                b.column("sim_a").to_pylist(), b.column("sim_b").to_pylist(),
+        buckets = sigs.groupby(f"simband_{band}").aggregate(
+            _collect_list(id_col), _collect_list("simhash")
+        )
+        for b in buckets.iter_batches(batch_format="pyarrow"):
+            for ids_l, sims_l in zip(
+                b.column(f"list({id_col})").to_pylist(),
+                b.column("list(simhash)").to_pylist(),
             ):
-                sig_of[a_], sig_of[b_] = sa, sb
-                pairs.add((a_, b_))
+                if len(ids_l) < 2:
+                    continue
+                order = np.argsort(ids_l)
+                for x in range(len(order)):
+                    for y in range(x + 1, len(order)):
+                        i, j = int(order[x]), int(order[y])
+                        sig_of[ids_l[i]] = sims_l[i]
+                        sig_of[ids_l[j]] = sims_l[j]
+                        pairs.add((ids_l[i], ids_l[j]))
 
     verified = [
         (a, b) for a, b in sorted(pairs)
@@ -457,24 +473,6 @@ def simhash_dedup(ds, max_hamming: int = 3,
         return batch.filter(pa.array(mask, type=pa.bool_()))
 
     return ds.map_batches(drop_dups, batch_format="pyarrow"), comp
-
-
-def _simhash_bucket_pairs(group: pa.Table) -> pa.Table:
-    ids = group.column(0).to_pylist()
-    sims = group.column("simhash").to_pylist()
-    order = np.argsort(ids)
-    a, b, sa, sb = [], [], [], []
-    for x in range(len(order)):
-        for y in range(x + 1, len(order)):
-            i, j = order[x], order[y]
-            a.append(ids[i]); b.append(ids[j])
-            sa.append(sims[i]); sb.append(sims[j])
-    return pa.table({
-        "id_a": pa.array(a, type=pa.int64()),
-        "id_b": pa.array(b, type=pa.int64()),
-        "sim_a": pa.array(sa, type=pa.uint64()),
-        "sim_b": pa.array(sb, type=pa.uint64()),
-    })
 
 
 # ---------------------------------------------------------------------------
@@ -506,28 +504,37 @@ def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        vecs = np.asarray(group.column(vec_col).to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        sim = unit @ unit.T
+    # Bucket gather via the vectorized list aggregate (map_groups costs a
+    # Python call per bucket); within-bucket cosine verify per batch.
+    buckets = bucketed.groupby("lsh_bucket").aggregate(
+        _collect_list(id_col), _collect_list(vec_col)
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
         a, b = [], []
-        order = np.argsort(ids)
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if sim[i, j] >= threshold:
-                    a.append(ids[i]); b.append(ids[j])
+        for ids, vl in zip(
+            batch.column(f"list({id_col})").to_pylist(),
+            batch.column(f"list({vec_col})").to_pylist(),
+        ):
+            if len(ids) < 2:
+                continue
+            vecs = np.asarray(vl, dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms
+            sim = unit @ unit.T
+            order = np.argsort(ids)
+            for x in range(len(order)):
+                for y in range(x + 1, len(order)):
+                    i, j = int(order[x]), int(order[y])
+                    if sim[i, j] >= threshold:
+                        a.append(ids[i]); b.append(ids[j])
         return pa.table({
             "id_a": pa.array(a, type=pa.int64()),
             "id_b": pa.array(b, type=pa.int64()),
         })
 
-    pair_ds = bucketed.groupby("lsh_bucket").map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pair_ds = buckets.map_batches(bucket_pairs, batch_format="pyarrow")
     pairs = [(r["id_a"], r["id_b"]) for r in pair_ds.take_all()]
     comp = union_find_components(pairs)
     dup_ids = {k for k, v in comp.items() if v != k}
