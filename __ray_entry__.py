@@ -9,6 +9,7 @@ module is imported — nothing here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from collections.abc import Callable
 from typing import Any
@@ -31,6 +32,55 @@ def _round_half_away(x):
     return np.copysign(np.floor(np.abs(x) + 0.5), x)
 
 
+
+def _fixed_point(series, scale: float):
+    """NULL-safe fixed-point conversion for partial aggregates: half-away
+    rounding into pandas nullable Int64 so NULL values survive (sum skips
+    them, like the SQL oracles) instead of crashing astype("int64")."""
+    return _round_half_away(series * scale).astype("Int64")
+
+
+
+def _append_value_cents(b: pa.Table) -> pa.Table:
+    """Arrow-side fixed-point: value → integer cents (half away from zero,
+    matching DuckDB round), appended as ``value_cents``."""
+    cents = pc.cast(
+        pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+    return b.append_column(pa.field("value_cents", pa.int64()), cents)
+
+
+
+# Ray Data's sort-based groupby cannot order NULL keys ('<' unsupported for
+# NoneType): mask string group keys with a sentinel before the shuffle and
+# restore NULL afterwards so results keep SQL GROUP BY semantics.
+_NULL_KEY = "\x00__null__"
+
+
+def _mask_null_keys(df, cols):
+    for c in cols:
+        df[c] = df[c].fillna(_NULL_KEY)
+    return df
+
+
+def _unmask_null_keys(batch: pa.Table, cols) -> pa.Table:
+    for c in cols:
+        if c not in batch.column_names:
+            continue
+        arr = batch.column(c)
+        arr = pc.if_else(
+            pc.equal(arr, pa.scalar(_NULL_KEY)),
+            pa.scalar(None, type=pa.string()),
+            arr,
+        )
+        batch = batch.set_column(
+            batch.column_names.index(c), pa.field(c, pa.string()), arr
+        )
+    return batch
+
+
 def entry() -> Any:
     """Flagship: full CDC replay (binlog → decrypt → outbox → expand-json →
     LWW upsert with manifests) on sf0.001; returns the final lake table."""
@@ -50,7 +100,9 @@ def entry() -> Any:
         crypto_concurrency=2,
     )
     replay(cfg, fresh=True)
-    return final_state(cfg)
+    state = final_state(cfg)
+    shutil.rmtree(lake, ignore_errors=True)
+    return state
 
 
 # ---------------------------------------------------------------------------
@@ -78,6 +130,7 @@ def q_cdc_replay(sf_dir: str):
     )
     replay(cfg, fresh=True)
     out = final_state(cfg)
+    shutil.rmtree(lake, ignore_errors=True)
     return out.select(
         ["repo", "path", "commit", "lang", "content", "version", "commit_lsn"]
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
@@ -275,19 +328,19 @@ def q_events_type_stats(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = b.to_pandas()
-        df["value_c"] = _round_half_away(df["value"] * 100).astype("int64")
-        g = df.groupby("event_type", sort=False).agg(
+        df["value_c"] = _fixed_point(df["value"], 100)
+        g = df.groupby("event_type", sort=False, dropna=False).agg(
             value_c=("value_c", "sum"), n_events=("value_c", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            _mask_null_keys(g, ["event_type"]), preserve_index=False
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pa.Table) -> pa.Table:
-        return pa.table({
+        return _unmask_null_keys(pa.table({
             "event_type": [g.column("event_type")[0].as_py()],
             "n_events": pa.array(
                 [pc.sum(g.column("n_events")).as_py()], pa.int64()
@@ -295,7 +348,7 @@ def q_events_type_stats(sf_dir: str):
             "sum_value": pa.array(
                 [pc.sum(g.column("value_c")).as_py() / 100.0], pa.float64()
             ),
-        })
+        }), ["event_type"])
 
     return partials.groupby("event_type").map_groups(
         final, batch_format="pyarrow"
@@ -434,7 +487,8 @@ def q_knn_bruteforce(sf_dir: str):
 
     qt = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).slice(0, 8)
+    )
+    qt = qt.filter(pc.less(qt.column("vec_id"), 8))  # match oracle WHERE vec_id < 8
     qvecs = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_brute_force(
@@ -451,7 +505,8 @@ def q_knn_ivf(sf_dir: str):
 
     qt = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).slice(0, 8)
+    )
+    qt = qt.filter(pc.less(qt.column("vec_id"), 8))  # match oracle WHERE vec_id < 8
     qvecs = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return knn_ivf(
@@ -538,12 +593,7 @@ def q_window_events(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
-    def to_cents(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)),
-                     round_mode="half_towards_infinity"), pa.int64())
-        return b.append_column(pa.field("value_cents", pa.int64()), cents)
-
-    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow")
     out = tumbling_window(
         ds, ts_col="ts", width_seconds=3600, key_cols=["user_id"],
         aggs={"n_events": ("event_id", "count"),
@@ -569,14 +619,7 @@ def q_hopping_window_events(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
-    def to_cents(b: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)),
-                     round_mode="half_towards_infinity"), pa.int64()
-        )
-        return b.append_column(pa.field("value_cents", pa.int64()), cents)
-
-    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow")
     out = hopping_window(
         ds, ts_col="ts", width_seconds=7200, slide_seconds=3600,
         key_cols=["user_id"],
@@ -622,14 +665,14 @@ def q_hash_join_events_orders(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = b.to_pandas()
-        df["price_c"] = _round_half_away(df["o_totalprice"] * 100).astype("int64")
-        g = df.groupby("event_type", sort=False).agg(
+        df["price_c"] = _fixed_point(df["o_totalprice"], 100)
+        g = df.groupby("event_type", sort=False, dropna=False).agg(
             price_c=("price_c", "sum"), n_pairs=("price_c", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            _mask_null_keys(g, ["event_type"]), preserve_index=False
+        )
 
     from ray.data.aggregate import Sum
 
@@ -637,13 +680,13 @@ def q_hash_join_events_orders(sf_dir: str):
         "event_type"
     ).aggregate(Sum("price_c"), Sum("n_pairs"))
     return out.map_batches(
-        lambda b: pa.table({
+        lambda b: _unmask_null_keys(pa.table({
             "event_type": b.column("event_type"),
             "n_pairs": pc.cast(b.column("sum(n_pairs)"), pa.int64()),
             "sum_price": pc.divide(
                 pc.cast(b.column("sum(price_c)"), pa.float64()), pa.scalar(100.0)
             ),
-        }),
+        }), ["event_type"]),
         batch_format="pyarrow",
     )
 
@@ -663,25 +706,26 @@ def q_join_orders_customer(sf_dir: str):
     joined = broadcast_join(orders, customer, on="o_custkey")
 
     def partial(b: pa.Table) -> pa.Table:
-        import numpy as np
         df = b.to_pandas()
-        df["price_cents"] = _round_half_away(df["o_totalprice"] * 100).astype("int64")
-        g = df.groupby("c_mktsegment", sort=False).agg(
+        df["price_cents"] = _fixed_point(df["o_totalprice"], 100)
+        g = df.groupby("c_mktsegment", sort=False, dropna=False).agg(
             price_cents=("price_cents", "sum"), n_orders=("price_cents", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            _mask_null_keys(g, ["c_mktsegment"]), preserve_index=False
+        )
 
     partials = joined.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pa.Table) -> pa.Table:
         cents = pc.sum(g.column("price_cents")).as_py()
-        return pa.table({
+        return _unmask_null_keys(pa.table({
             "c_mktsegment": [g.column("c_mktsegment")[0].as_py()],
             "total_price": pa.array([cents / 100.0], type=pa.float64()),
             "n_orders": pa.array(
                 [pc.sum(g.column("n_orders")).as_py()], type=pa.int64()
             ),
-        })
+        }), ["c_mktsegment"])
 
     return partials.groupby("c_mktsegment").map_groups(
         final, batch_format="pyarrow"
@@ -700,17 +744,14 @@ def q_lineitem_pricing_summary(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        import numpy as np
-        import pandas as pd
-
         df = b.to_pandas()
         # fixed-point partials: associative integer sums → bit-exact result
-        df["qty_c"] = _round_half_away(df["l_quantity"] * 100).astype("int64")
-        df["base_c"] = _round_half_away(df["l_extendedprice"] * 100).astype("int64")
-        df["rev_c"] = _round_half_away(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
-        ).astype("int64")
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+        df["qty_c"] = _fixed_point(df["l_quantity"], 100)
+        df["base_c"] = _fixed_point(df["l_extendedprice"], 100)
+        df["rev_c"] = _fixed_point(
+            df["l_extendedprice"] * (1 - df["l_discount"]), 10000
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, dropna=False).agg(
             qty_c=("qty_c", "sum"),
             base_c=("base_c", "sum"),
             rev_c=("rev_c", "sum"),
@@ -779,13 +820,11 @@ def q_shipping_priority(sf_dir: str):
     joined = broadcast_join(ds, orders, on="l_orderkey")
 
     def partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = b.to_pandas()
-        df["rev_bp"] = _round_half_away(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
-        ).astype("int64")
-        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False).agg(
+        df["rev_bp"] = _fixed_point(
+            df["l_extendedprice"] * (1 - df["l_discount"]), 10000
+        )
+        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False, dropna=False).agg(
             rev_bp=("rev_bp", "sum")
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)

@@ -190,6 +190,10 @@ def run_scaling() -> dict:
                 "GRAFT_SCALING_EVENTS_PER_KEY", "600"
             ),
         )
+        # A user-set fixed pool size would pin BOTH widths to the same actor
+        # pools, contradicting the proportional-pools protocol BASELINE.md
+        # documents — the children must derive pools from their own cpus.
+        env.pop("GRAFT_POOL", None)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -198,7 +202,14 @@ def run_scaling() -> dict:
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # Scan backwards for the result line: stray stdout after the JSON
+        # (late Ray log forwarding, atexit prints) must not lose the run.
+        for line in reversed(out.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        raise RuntimeError(f"no JSON result line in child output:\n{out[-2000:]}")
 
     def best_of(ncpu: int, repeats: int) -> dict:
         # Sustained-throughput protocol: repeats, keep the best — co-tenant
