@@ -1,0 +1,153 @@
+"""Regression tests for review-found defects — each test pins a fix that
+the standard fixtures could not catch (no NULLs, no ties, no slot-1-only
+batches in the driver corpora)."""
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_expand_json_slot0_always_emitted(ray_session):
+    """A batch whose rows all union-miss slot 0 must still emit the primary
+    column (all-null), not only the __s1 column."""
+    from connect_smts_ray.core.schema import SType, stype_to_dict
+    from connect_smts_ray.transforms.expand_json import (
+        ExpandJson,
+        ExpandJsonConfig,
+    )
+
+    boot = SType("struct", name="j", fields=(("a", SType("int32", optional=True)),))
+    ex = ExpandJson(ExpandJsonConfig(
+        columns=("j",), bootstrap_schemas={"j": [stype_to_dict(boot)]}
+    ))
+    out = ex(pa.table({"j": pa.array(['{"a":"x"}', '{"a":"y"}'], pa.string())}))
+    assert "j" in out.column_names
+    assert out.column("j").null_count == 2
+    assert "j__s1" in out.column_names
+
+
+def test_expand_json_empty_bytes_payload(ray_session):
+    """b'' payloads drop like '' (the decrypt chain emits binary columns)."""
+    from connect_smts_ray.transforms.expand_json import (
+        ExpandJson,
+        ExpandJsonConfig,
+    )
+
+    ex = ExpandJson(ExpandJsonConfig(columns=("j",)))
+    out = ex(pa.table({"j": pa.array([b'{"a":1}', b"", None], pa.binary())}))
+    assert out.column("j").null_count == 2
+
+
+def test_decrypt_skip_on_error_malformed_protected(ray_session):
+    """Non-ASCII / non-string protected headers must honor skip_on_error."""
+    from connect_smts_ray.pipelines.replay import TEST_JWK
+    from connect_smts_ray.transforms.crypto import DecryptColumn, JoseConfig
+
+    dc = DecryptColumn(JoseConfig(keys=TEST_JWK, columns=("p",), skip_on_error=True))
+    bad = pa.table({"p": pa.array([
+        b'{"protected":"\\u00e9","iv":"AA","ciphertext":"AA","tag":"AA"}',
+        b'{"protected":5,"iv":"AA","ciphertext":"AA","tag":"AA"}',
+    ], pa.binary())})
+    out = dc(bad)
+    assert out.column("p").to_pylist() == bad.column("p").to_pylist()
+
+
+def test_knn_tie_break_smallest_id(ray_session):
+    import ray.data
+
+    from connect_smts_ray.ops.similarity import knn_brute_force
+
+    t = pa.table({
+        "vec_id": pa.array([30, 10, 20], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 3, pa.list_(pa.float64())),
+    })
+    res = knn_brute_force(ray.data.from_arrow(t), np.array([[1.0, 0.0]]), k=1)
+    assert res.column("neighbor_id").to_pylist() == [10]
+
+
+def test_outbox_int_partition_key_both_paths(ray_session):
+    from dataclasses import replace
+
+    from connect_smts_ray.transforms.outbox import OutboxConfig, outbox_route
+
+    b = pa.table({
+        "partition_key": pa.array([1234, 99], pa.int64()),
+        "payload": pa.array(['{"x":1}', '{"y":2}'], pa.string()),
+    })
+    fast = OutboxConfig(topic="t", partition_setting="partition-key",
+                        num_partitions=3, emit_headers=False)
+    slow = replace(fast, emit_headers=True)
+    pf = outbox_route(b, fast).column("out_partition").to_pylist()
+    pg = outbox_route(b, slow).column("out_partition").to_pylist()
+    assert pf == pg
+
+
+def test_composite_keys_unambiguous():
+    from connect_smts_ray.sinks.upsert import composite_key_bytes
+
+    kb = composite_key_bytes(pa.table({
+        "repo": pa.array([None, "", "a\x1fb", "a"], pa.string()),
+        "path": pa.array(["x", "x", "c", "b\x1fc"], pa.string()),
+    }), ("repo", "path"))
+    assert len(set(kb)) == 4
+
+
+def test_murmur2_many_rejects_nulls():
+    from connect_smts_ray.core.hashing import murmur2_positive_many
+
+    with pytest.raises(ValueError, match="null key"):
+        murmur2_positive_many(pa.array(["a", None], pa.string()))
+
+
+def test_events_type_stats_with_nulls(ray_session):
+    """NULL value and NULL event_type rows must match SQL GROUP BY exactly
+    (NULL group kept, NULL values skipped by sum, counted by count(*))."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    extra = pa.table({
+        "event_id": pa.array([999991, 999992], pa.int64()),
+        "ts": pa.array([src.column("ts")[0].as_py()] * 2,
+                       src.schema.field("ts").type),
+        "user_id": pa.array([3, 4], pa.int64()),
+        "event_type": pa.array([None, "view"], pa.string()),
+        "value": pa.array([12.5, None], pa.float64()),
+        "props": pa.array(['{"k":1}', '{"k":2}'], pa.string()),
+    })
+    tmpd = tempfile.mkdtemp()
+    pq.write_table(
+        pa.concat_tables([src.select(extra.column_names), extra]).combine_chunks(),
+        f"{tmpd}/events.parquet",
+    )
+
+    got = e.queries()["events_type_stats"](tmpd).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmpd}/events.parquet')"
+    )
+    want = con.execute(e.oracle_sql()["events_type_stats"]).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    g, w = canon(got), canon(want)
+    assert len(g) == len(w)
+    assert hashlib.sha256(
+        g.to_csv(index=False, float_format="%.9g").encode()
+    ).hexdigest() == hashlib.sha256(
+        w.to_csv(index=False, float_format="%.9g").encode()
+    ).hexdigest()
