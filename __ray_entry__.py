@@ -515,6 +515,39 @@ def q_knn_ivf(sf_dir: str):
     ).select(["query_id", "neighbor_id", "rank"])
 
 
+def q_cdc_replay_resume(sf_dir: str):
+    """Checkpoint-resume proof at the driver surface: epoch 0 commits, then
+    the FULL multi-epoch replay runs over the same lake — committed
+    (partition, epoch) manifests replay as no-ops and the final state must
+    equal the single-shot replay bit-for-bit (non-SQL; compared rows-only
+    by the driver, sha256-exact vs cdc_replay by construction)."""
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        final_state,
+        replay,
+    )
+
+    lake = tempfile.mkdtemp(prefix="csr_lake_resume_")
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=lake, events_per_key=6, num_partitions=8,
+        epochs=3, expand_concurrency=2, crypto_concurrency=2,
+    )
+    # partial run: only epoch 0 commits (simulated interruption)...
+    ds = __import__(
+        "connect_smts_ray.pipelines.replay", fromlist=["build_event_stream"]
+    ).build_event_stream(cfg, epoch=0)
+    from connect_smts_ray.sinks.upsert import run_upsert
+
+    run_upsert(ds, cfg.upsert(), epoch=0).materialize()
+    # ...then resume: the full replay skips epoch 0 via manifests
+    replay(cfg, fresh=False)
+    out = final_state(cfg)
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.select(
+        ["repo", "path", "commit", "lang", "content", "version", "commit_lsn"]
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
 def q_replay_lineage(sf_dir: str):
     """Per-partition lineage of a full replay: rows in, rows merged,
     deletes applied, offset ranges, bytes written. Deterministic given the
@@ -900,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "cdc_replay_resume": q_cdc_replay_resume,
         "replay_lineage": q_replay_lineage,
         "sample_documents": q_sample_documents,
         "token_count": q_token_count,

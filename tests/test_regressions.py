@@ -151,3 +151,48 @@ def test_events_type_stats_with_nulls(ray_session):
     ).hexdigest() == hashlib.sha256(
         w.to_csv(index=False, float_format="%.9g").encode()
     ).hexdigest()
+
+
+def test_hot_key_skew_upsert(ray_session):
+    """A key carrying 90% of all events (extreme skew) must still resolve
+    to the correct LWW winner with bounded shuffle: the per-block partial
+    combiner collapses the hot key to one row per block BEFORE the hash
+    exchange (max-reduce is associative, so salting is subsumed —
+    SURVEY §4.2.2)."""
+    import ray.data
+
+    from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
+
+    n_hot, n_cold = 9000, 1000
+    t = pa.table({
+        "repo": pa.array(["hot"] * n_hot + [f"c{i}" for i in range(n_cold)],
+                         pa.string()),
+        "path": pa.array(["p"] * (n_hot + n_cold), pa.string()),
+        "commit_lsn": pa.array(
+            list(range(n_hot)) + [0] * n_cold, pa.int64()
+        ),
+        "source_offset": pa.array(range(n_hot + n_cold), pa.int64()),
+        "content": pa.array(
+            [f"v{i}" for i in range(n_hot)] + ["cold"] * n_cold, pa.string()
+        ),
+        "is_tombstone": pa.array([False] * (n_hot + n_cold), pa.bool_()),
+    })
+    lake = tempfile.mkdtemp(prefix="hotkey_")
+    cfg = UpsertConfig(lake_dir=lake, num_partitions=8)
+    ds = ray.data.from_arrow(t).repartition(16)
+    lineage = run_upsert(ds, cfg, epoch=0).to_pandas()
+    state = read_lake(cfg)
+
+    # hot key resolves to max-lsn content; every cold key survives
+    rows = {
+        (r, p): c for r, p, c in zip(
+            state.column("repo").to_pylist(),
+            state.column("path").to_pylist(),
+            state.column("content").to_pylist(),
+        )
+    }
+    assert rows[("hot", "p")] == f"v{n_hot - 1}"
+    assert len(rows) == 1 + n_cold
+    # combiner bound: the shuffle carried at most (keys × blocks) rows,
+    # never the 9000 hot-key events
+    assert lineage["rows_in"].sum() <= (1 + n_cold) * 16
