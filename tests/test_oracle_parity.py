@@ -90,6 +90,7 @@ def test_rows_only_queries_run(ray_session):
     sf = "/root/testdata/sf0.001"
     for name in ["outbox_partition_key", "dedup_minhash", "dedup_simhash",
                  "dedup_embedding", "dedup_jaccard", "knn_ivf", "lang_id",
-                 "quality_score", "media_features", "replay_lineage"]:
+                 "quality_score", "media_features", "replay_lineage",
+                 "cdc_replay_resume"]:
         df = to_pandas(e.queries()[name](sf))
         assert len(df) > 0, name
