@@ -109,10 +109,19 @@ def entry() -> Any:
 # queries — each callable takes sf_dir, returns Dataset / DataFrame / Table
 # ---------------------------------------------------------------------------
 
+def _strip_schema_metadata(b: pa.Table) -> pa.Table:
+    """Driver-written parquet carries pandas schema metadata (a dict) that
+    defeats Ray Data's schema-dedup hash and spams 'Failed to hash the
+    schemas' warnings in every downstream stage — drop it at the read."""
+    return b.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns
+    ).map_batches(_strip_schema_metadata, batch_format="pyarrow")
 
 
 def q_cdc_replay(sf_dir: str):
@@ -1059,8 +1068,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "session_window_events": """
+            -- session_id must be CAST: DuckDB's windowed sum() returns
+            -- HUGEINT, which pandas renders as float64 — the Ray side emits
+            -- int64, and the driver's value hash distinguishes 11.0 from 11.
             SELECT user_id,
-                   session_id,
+                   CAST(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events,
                    min(ts_us) AS session_start_us,
                    max(ts_us) AS session_end_us

@@ -124,40 +124,66 @@ def hopping_window(ds, ts_col: str, width_seconds: int, slide_seconds: int,
 
 
 def session_window(ds, ts_col: str, key_col: str, gap_seconds: int,
-                   order_tiebreak: str):
+                   order_tiebreak: str, num_partitions: int = 64):
     """Gap-based sessionization: per key, sort by (ts, tiebreak); a gap
-    > ``gap_seconds`` starts a new session. One shuffle
-    (``groupby(key).map_groups``); emits per-session (key, session_id,
-    n_events, session_start_us, session_end_us), session_id numbered from 1
-    in time order — deterministic given the tiebreak."""
+    > ``gap_seconds`` starts a new session. Emits per-session (key,
+    session_id, n_events, session_start_us, session_end_us), session_id
+    numbered from 1 in time order — deterministic given the tiebreak.
+
+    Scale shape: keys are hash-bucketed into ``num_partitions`` groups and
+    each WHOLE BUCKET sessionizes in one vectorized pass (sort + segmented
+    cumsum over all its users at once) — one Python call per bucket, not
+    per user (a per-user ``map_groups`` measured ~18s for 135k groups at
+    sf0.1). The bucket hash is content-derived (pandas hash_pandas_object,
+    seedless murmur) → identical assignment across runs/cluster layouts.
+    One shuffle (groupby the bucket id)."""
     gap_us = gap_seconds * 1_000_000
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pandas()
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(
+            pa.field("__bucket", pa.int32()), pa.array(part, type=pa.int32())
+        )
+
     def sessions(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values([ts_col, order_tiebreak],
-                                           kind="mergesort")
+        df = group.to_pandas().sort_values(
+            [key_col, ts_col, order_tiebreak], kind="mergesort"
+        )
         ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        new = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new)
+        keys = df[key_col].to_numpy()
+        n = len(df)
+        new = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_key = keys[1:] == keys[:-1]
+            new[1:] = (~same_key | (np.diff(ts) > gap_us)).astype(np.int64)
+        g_sid = np.cumsum(new)                      # bucket-global session no.
+        # renumber per key from 1: subtract the key's first global sid - 1
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = ~same_key
+        base = np.maximum.accumulate(np.where(first, g_sid, 0))
         out = pd.DataFrame({
-            key_col: df[key_col].to_numpy(),
-            "session_id": sid,
+            key_col: keys,
+            "session_id": g_sid - base + 1,
             "ts_us": ts,
         })
-        g = out.groupby("session_id", sort=True).agg(
+        g = out.groupby([key_col, "session_id"], sort=False).agg(
             n_events=("ts_us", "size"),
             session_start_us=("ts_us", "min"),
             session_end_us=("ts_us", "max"),
         ).reset_index()
-        g[key_col] = df[key_col].iloc[0]
         return pa.Table.from_pandas(
             g[[key_col, "session_id", "n_events",
                "session_start_us", "session_end_us"]],
             preserve_index=False,
         )
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pyarrow")
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        sessions, batch_format="pyarrow"
+    )
 
 
 def _windowed_reduce(ds, key_cols, aggs):

@@ -33,6 +33,9 @@ CORPUS_SCHEMA = pa.schema(
 
 
 def _documents_to_corpus(batch: pa.Table) -> pa.Table:
+    # pa.table(...) below builds a metadata-free schema, which also strips
+    # the driver parquet's pandas metadata dict (it otherwise defeats Ray
+    # Data's schema-dedup hash: 'Failed to hash the schemas' per task).
     doc_ids = batch.column("doc_id").to_pylist()
     langs = batch.column("lang")
     texts = batch.column("text")
