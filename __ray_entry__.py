@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from connect_smts_ray.core.arrow import from_pandas as _from_pandas
+
 
 # ---------------------------------------------------------------------------
 # entry
@@ -342,9 +344,7 @@ def q_events_type_stats(sf_dir: str):
         g = df.groupby("event_type", sort=False, dropna=False).agg(
             value_c=("value_c", "sum"), n_events=("value_c", "size")
         ).reset_index()
-        return pa.Table.from_pandas(
-            _mask_null_keys(g, ["event_type"]), preserve_index=False
-        )
+        return _from_pandas(_mask_null_keys(g, ["event_type"]))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -712,9 +712,7 @@ def q_hash_join_events_orders(sf_dir: str):
         g = df.groupby("event_type", sort=False, dropna=False).agg(
             price_c=("price_c", "sum"), n_pairs=("price_c", "size")
         ).reset_index()
-        return pa.Table.from_pandas(
-            _mask_null_keys(g, ["event_type"]), preserve_index=False
-        )
+        return _from_pandas(_mask_null_keys(g, ["event_type"]))
 
     from ray.data.aggregate import Sum
 
@@ -753,9 +751,7 @@ def q_join_orders_customer(sf_dir: str):
         g = df.groupby("c_mktsegment", sort=False, dropna=False).agg(
             price_cents=("price_cents", "sum"), n_orders=("price_cents", "size")
         ).reset_index()
-        return pa.Table.from_pandas(
-            _mask_null_keys(g, ["c_mktsegment"]), preserve_index=False
-        )
+        return _from_pandas(_mask_null_keys(g, ["c_mktsegment"]))
 
     partials = joined.map_batches(partial, batch_format="pyarrow")
 
@@ -799,7 +795,7 @@ def q_lineitem_pricing_summary(sf_dir: str):
             rev_c=("rev_c", "sum"),
             n_rows=("qty_c", "size"),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -869,7 +865,7 @@ def q_shipping_priority(sf_dir: str):
         g = df.groupby(["l_orderkey", "o_orderdate"], sort=False, dropna=False).agg(
             rev_bp=("rev_bp", "sum")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     partials = joined.map_batches(partial, batch_format="pyarrow")
 

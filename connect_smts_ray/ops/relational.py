@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from connect_smts_ray.core.arrow import from_pandas as _from_pandas
+
 
 def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
                    suffix: str = "_r"):
@@ -117,7 +119,7 @@ def hopping_window(ds, ts_col: str, width_seconds: int, slide_seconds: int,
             p = df.copy()
             p["window_start"] = base - j * slide_us
             parts.append(p)
-        return pa.Table.from_pandas(pd.concat(parts), preserve_index=False)
+        return _from_pandas(pd.concat(parts))
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return _windowed_reduce(exploded, key_cols, aggs)
@@ -174,10 +176,9 @@ def session_window(ds, ts_col: str, key_col: str, gap_seconds: int,
             session_start_us=("ts_us", "min"),
             session_end_us=("ts_us", "max"),
         ).reset_index()
-        return pa.Table.from_pandas(
+        return _from_pandas(
             g[[key_col, "session_id", "n_events",
-               "session_start_us", "session_end_us"]],
-            preserve_index=False,
+               "session_start_us", "session_end_us"]]
         )
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -208,9 +209,7 @@ def _windowed_reduce(ds, key_cols, aggs):
                 out[name] = grouped[src].max()
             else:
                 raise ValueError(f"unsupported aggregate {op}")
-        return pa.Table.from_pandas(
-            pd.DataFrame(out).reset_index(), preserve_index=False
-        )
+        return _from_pandas(pd.DataFrame(out).reset_index())
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -250,7 +249,7 @@ def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
         df = batch.to_pandas()
         ts = df[ts_col].astype("datetime64[us]").astype("int64")
         df["window_start"] = (ts // width_us) * width_us
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas(df)
 
     return _windowed_reduce(
         ds.map_batches(add_window, batch_format="pyarrow"), key_cols, aggs
