@@ -1,0 +1,341 @@
+"""Distributed candidate-pair resolution shared by the dedup families.
+
+Everything here is expressed as Dataset ops — the driver never materializes
+pairs, texts, signatures or label maps (the round-1 design gathered all of
+those into driver dicts, which is invisible at sf0.1 and fatal at 100 TB):
+
+- ``hash_join``          — reduce-side hash join: both sides are tagged,
+                           unioned, hash-bucketed on the key and each bucket
+                           joins with the Arrow kernel (``pa.Table.join``).
+                           Ray 2.49's native ``Dataset.join`` loses the
+                           schema of empty hash partitions and crashes on
+                           sparse inputs (pyarrow "No match ... FieldRef"),
+                           so the exchange is built from the groupby
+                           primitive instead — same shuffle shape, and the
+                           per-bucket join is vectorized Arrow, not Python.
+- ``dedup_pairs``        — distinct (id_a, id_b) via one grouped shuffle
+                           (LSH re-proposes the same pair once per band).
+- ``attach_pair_texts``  — repartition texts by id and hash-join them onto
+                           the pair table (two joins), so the exact verify
+                           runs distributed next to the data.
+- ``connected_components`` — aggregate-based min-label propagation:
+                           labels(node) := min(label(node), min over
+                           neighbors label(nbr)) per iteration, one join +
+                           one groupby-min each. Labels are monotone
+                           non-increasing, so convergence is detected from
+                           the scalar sum of labels — the only thing the
+                           driver ever sees. Converges in ≤ component
+                           diameter iterations (near-dup components are
+                           shallow; for adversarial long chains add pointer
+                           jumping by unioning the label table into the edge
+                           set each round).
+- ``drop_duplicates``    — anti-join of the corpus against the loser set
+                           (label != node), one shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _empty_labels():
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "component": pa.array([], type=pa.int64()),
+    }))
+
+
+def _to_arrow_schema(schema) -> pa.Schema | None:
+    """Normalize a ray.data Schema wrapper (names/types lists) to pa.Schema."""
+    if schema is None:
+        return None
+    if isinstance(schema, pa.Schema):
+        return schema
+    return pa.schema(list(zip(schema.names, schema.types)))
+
+
+def _bucket_of(key_array: pa.ChunkedArray, num_partitions: int) -> pa.Array:
+    """Deterministic, content-derived bucket id for any key dtype
+    (pandas hash_pandas_object — seedless murmur, stable across processes
+    and cluster layouts)."""
+    h = pd.util.hash_pandas_object(
+        key_array.to_pandas(), index=False
+    ).to_numpy()
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+
+
+def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
+              num_partitions: int = 16,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Reduce-side hash join of two Datasets on single key columns.
+
+    Output columns: left's columns plus (for ``inner``/``left_outer``)
+    right's non-key columns; ``left_anti`` / ``left_semi`` keep left's
+    columns only. Non-key column names must be disjoint between the sides
+    (pre-rename). One shuffle (both sides hash-bucket on the key); each
+    bucket joins with the vectorized Arrow join kernel (anti/semi use an
+    ``is_in`` membership mask instead — acero rejects list-typed non-key
+    columns, and the mask keeps arbitrary payload types joinable).
+
+    PASS ``left_schema``/``right_schema`` (pa.Schema) whenever you know
+    them: ``Dataset.schema()`` on a lazy dataset partially EXECUTES the
+    upstream plan, and on a plan ending in a shuffle that means running the
+    whole shuffle once for the probe and again for the real consumption.
+    """
+    if how not in ("inner", "left_outer", "left_anti", "left_semi"):
+        raise ValueError(f"unsupported join type {how}")
+    if left_schema is None:
+        left_schema = _to_arrow_schema(left.schema())
+    if right_schema is None:
+        right_schema = _to_arrow_schema(right.schema())
+    if left_schema is None:  # empty left → nothing to join
+        return left
+    if right_schema is None:  # empty right: anti/outer keep left, inner/semi drop
+        if how == "left_anti" or how == "left_outer":
+            return left  # left_outer: right cols unknowable; caller handles
+        return left.limit(0)
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    collide = (set(left_cols) & set(right_cols)) - (
+        {left_on} if left_on == right_on else set()
+    )
+    if collide:
+        raise ValueError(f"column collision between join sides: {collide}")
+
+    # unified wire schema: left cols + right-only cols + (__side, __jbucket);
+    # the absent side's columns ride as typed nulls so union() sees ONE schema
+    types = dict(zip(right_cols, right_schema.types))
+    types.update(dict(zip(left_cols, left_schema.types)))
+    wire_cols = left_cols + [n for n in right_cols if n not in left_cols]
+
+    def _tag(side: int, on_col: str, own_cols):
+        own = set(own_cols)
+
+        def tag(b: pa.Table) -> pa.Table:
+            cols = {}
+            for n in wire_cols:
+                if n in own:
+                    cols[n] = b.column(n)
+                else:
+                    cols[n] = pa.nulls(b.num_rows, type=types[n])
+            cols["__side"] = pa.array(
+                np.full(b.num_rows, side, dtype=np.int8))
+            cols["__jbucket"] = _bucket_of(b.column(on_col), num_partitions)
+            return pa.table(cols)
+
+        return tag
+
+    lt = left.map_batches(_tag(0, left_on, left_cols), batch_format="pyarrow")
+    rt = right.map_batches(_tag(1, right_on, right_cols), batch_format="pyarrow")
+    # clamp block count: union SUMS the sides' block counts and the sort
+    # shuffle preserves it, so chained joins otherwise compound blocks
+    # geometrically (measured: a 3-join + 2-iteration component loop grew
+    # to ~1000 tiny blocks → 66 s of pure task scheduling at sf0.1)
+    unioned = lt.union(rt).repartition(num_partitions)
+
+    out_cols = (
+        left_cols + [n for n in right_cols if n != right_on]
+        if how in ("inner", "left_outer") else list(left_cols)
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        lmask = pc.equal(group.column("__side"), pa.scalar(0, pa.int8()))
+        ltab = group.filter(lmask).select(left_cols)
+        rtab = group.filter(pc.invert(lmask)).select(right_cols)
+        if how in ("inner", "left_outer"):
+            arrow_how = "inner" if how == "inner" else "left outer"
+            return ltab.join(
+                rtab, keys=[left_on], right_keys=[right_on],
+                join_type=arrow_how,
+            ).select(out_cols)
+        # anti/semi: a membership mask beats the join kernel (and acero
+        # rejects list-typed non-key columns, e.g. embedding payloads)
+        if rtab.num_rows == 0:
+            return ltab if how == "left_anti" else ltab.slice(0, 0)
+        present = pc.is_in(
+            ltab.column(left_on), value_set=rtab.column(right_on).combine_chunks()
+        )
+        present = pc.fill_null(present, False)
+        mask = pc.invert(present) if how == "left_anti" else present
+        return ltab.filter(mask)
+
+    return unioned.groupby("__jbucket").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+def dedup_pairs(pair_ds, num_partitions: int = 16):
+    """Distinct (id_a, id_b). One grouped shuffle over the pair table only
+    (ids, not payloads)."""
+    from ray.data.aggregate import Count
+
+    out = pair_ds.repartition(num_partitions).groupby(
+        ["id_a", "id_b"]
+    ).aggregate(Count())
+    return out.map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+
+def attach_pair_texts(pair_ds, ds, id_col: str, text_col: str,
+                      num_partitions: int = 16):
+    """(id_a, id_b) ⨝ texts ⨝ texts → (id_a, id_b, text_a, text_b).
+
+    Both joins hash-partition by id — the corpus text shuffles once per
+    side, the pair table rides along. No driver text lookup. Schemas are
+    passed through explicitly so no lazy plan is probe-executed."""
+    dsch = _to_arrow_schema(ds.schema())
+    id_t = dsch.field(id_col).type
+    text_t = dsch.field(text_col).type
+    pair_schema = pa.schema([("id_a", id_t), ("id_b", id_t)])
+
+    def _side(side: str):
+        return ds.map_batches(
+            lambda b: pa.table({
+                f"{side}_key": b.column(id_col),
+                f"text_{side}": b.column(text_col),
+            }),
+            batch_format="pyarrow",
+        )
+
+    def _side_schema(side: str) -> pa.Schema:
+        return pa.schema([(f"{side}_key", id_t), (f"text_{side}", text_t)])
+
+    j = hash_join(pair_ds, _side("a"), left_on="id_a", right_on="a_key",
+                  how="inner", num_partitions=num_partitions,
+                  left_schema=pair_schema, right_schema=_side_schema("a"))
+    j_schema = pa.schema(
+        [("id_a", id_t), ("id_b", id_t), ("text_a", text_t)]
+    )
+    return hash_join(j, _side("b"), left_on="id_b", right_on="b_key",
+                     how="inner", num_partitions=num_partitions,
+                     left_schema=j_schema, right_schema=_side_schema("b"))
+
+
+def connected_components(pair_ds, num_partitions: int = 16,
+                         max_iters: int = 25):
+    """Edge Dataset[id_a, id_b] → Dataset[doc_id, component] (component =
+    min node id reachable) for every node that appears in an edge.
+
+    Aggregate-based min-label propagation; see module docstring. The driver
+    only ever receives one scalar per iteration (sum of labels)."""
+    from ray.data.aggregate import Min, Sum
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                b.column("id_a").combine_chunks(),
+                b.column("id_b").combine_chunks(),
+            ]),
+            "nbr": pa.concat_arrays([
+                b.column("id_b").combine_chunks(),
+                b.column("id_a").combine_chunks(),
+            ]),
+        })
+
+    edges = (
+        pair_ds.map_batches(symmetrize, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    if edges.count() == 0:
+        return _empty_labels()
+    id_t = _to_arrow_schema(edges.schema()).field("node").type
+    edges_schema = pa.schema([("node", id_t), ("nbr", id_t)])
+    labels_schema = pa.schema([("lnode", id_t), ("label", id_t)])
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lnode": b.column("node"),
+            "label": pc.min_element_wise(b.column("node"), b.column("min(nbr)")),
+        })
+
+    labels = (
+        edges.groupby("node").aggregate(Min("nbr"))
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def label_sum(lds) -> int:
+        return lds.aggregate(Sum("label"))["sum(label)"]
+
+    jump_schema = pa.schema([("jnode", id_t), ("jlabel", id_t)])
+    prev = label_sum(labels)
+    for _ in range(max_iters):
+        # candidate label for `node` via each neighbor's current label
+        prop = hash_join(
+            edges, labels, left_on="nbr", right_on="lnode", how="inner",
+            num_partitions=num_partitions,
+            left_schema=edges_schema, right_schema=labels_schema,
+        ).map_batches(
+            lambda b: pa.table({
+                "lnode": b.column("node"), "label": b.column("label"),
+            }),
+            batch_format="pyarrow",
+        )
+        # pointer jumping: label(label(node)) — shortcut distance doubles
+        # per round, so path-shaped components (versioned near-dup chains)
+        # converge in O(log diameter) instead of O(diameter) iterations
+        as_jump = labels.map_batches(
+            lambda b: pa.table({
+                "jnode": b.column("lnode"), "jlabel": b.column("label"),
+            }),
+            batch_format="pyarrow",
+        )
+        jump = hash_join(
+            labels, as_jump, left_on="label", right_on="jnode", how="inner",
+            num_partitions=num_partitions,
+            left_schema=labels_schema, right_schema=jump_schema,
+        ).map_batches(
+            lambda b: pa.table({
+                "lnode": b.column("lnode"), "label": b.column("jlabel"),
+            }),
+            batch_format="pyarrow",
+        )
+        cand = prop.union(jump).union(labels).repartition(num_partitions)
+        labels = (
+            cand.groupby("lnode").aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.table({
+                    "lnode": b.column("lnode"),
+                    "label": b.column("min(label)"),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev:  # labels are monotone non-increasing → fixpoint
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("lnode"),
+            "component": b.column("label"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def drop_duplicates(ds, labels, id_col: str, num_partitions: int = 16):
+    """Keep only component representatives (and untouched rows): anti-join
+    the corpus against the loser set (label != node)."""
+    losers = labels.map_batches(
+        lambda b: pa.table({
+            "loser_id": b.filter(
+                pc.not_equal(b.column("doc_id"), b.column("component"))
+            ).column("doc_id"),
+        }),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        ds, losers, left_on=id_col, right_on="loser_id", how="left_anti",
+        num_partitions=num_partitions,
+        right_schema=pa.schema([("loser_id", pa.int64())]),
+    )

@@ -42,13 +42,14 @@ def test_exact_dedup(docs_with_dups):
 def test_minhash_dedup(docs_with_dups):
     from connect_smts_ray.ops.dedup import MinHashConfig, minhash_dedup
 
-    survivors, comp = minhash_dedup(
+    survivors, labels = minhash_dedup(
         docs_with_dups, MinHashConfig(jaccard_threshold=0.5)
     )
     ids = sorted(r["doc_id"] for r in survivors.take_all())
     assert 1 not in ids            # exact dup collapsed
     assert 2 not in ids            # near dup collapsed
     assert 0 in ids and 3 in ids and 4 in ids
+    comp = {r["doc_id"]: r["component"] for r in labels.take_all()}
     assert comp[1] == 0 and comp[2] == 0
 
 
@@ -64,7 +65,7 @@ def test_ngram_jaccard_values():
 def test_simhash_dedup(docs_with_dups):
     from connect_smts_ray.ops.dedup import simhash_dedup
 
-    survivors, comp = simhash_dedup(docs_with_dups, max_hamming=6)
+    survivors, _labels = simhash_dedup(docs_with_dups, max_hamming=6)
     ids = sorted(r["doc_id"] for r in survivors.take_all())
     assert 1 not in ids  # exact dup always hamming 0
     assert 0 in ids
@@ -92,7 +93,7 @@ def test_embedding_dedup(ray_session):
         "embedding": pa.array([v.tolist() for v in vecs],
                               type=pa.list_(pa.float32())),
     })
-    survivors, comp = embedding_dedup(
+    survivors, _labels = embedding_dedup(
         ray.data.from_arrow(t), threshold=0.999, n_planes=8
     )
     ids = {r["vec_id"] for r in survivors.take_all()}
@@ -262,7 +263,7 @@ def test_tumbling_window(ray_session, sf_dir):
 def test_jaccard_dedup(docs_with_dups):
     from connect_smts_ray.ops.dedup import jaccard_dedup
 
-    survivors, comp = jaccard_dedup(docs_with_dups, threshold=0.5)
+    survivors, _labels = jaccard_dedup(docs_with_dups, threshold=0.5)
     ids = sorted(r["doc_id"] for r in survivors.take_all())
     # near-dups of doc 0 (ids 1, 2) and of doc 3 (id 5) collapse; min id wins
     assert 0 in ids and 3 in ids and 4 in ids

@@ -196,3 +196,99 @@ def test_hot_key_skew_upsert(ray_session):
     # combiner bound: the shuffle carried at most (keys × blocks) rows,
     # never the 9000 hot-key events
     assert lineage["rows_in"].sum() <= (1 + n_cold) * 16
+
+
+# ---------------------------------------------------------------------------
+# Round-2: distributed dedup (components, anti-joins, bucket caps)
+# ---------------------------------------------------------------------------
+
+_DEDUP_PINS = {
+    # sf0.001 survivor-id sets pinned when the dedup families moved from
+    # driver-side union-find/text-lookups to the fully distributed path
+    # (components.py) — the rewrite must not change a single survivor.
+    "dedup_exact": (500, "0c107320ad64414b"),
+    "dedup_jaccard": (476, "04ed23967f5edb4f"),
+    "dedup_minhash": (476, "04ed23967f5edb4f"),
+    "dedup_simhash": (322, "abbe1d1ad378c71f"),
+    "dedup_embedding": (500, "0c107320ad64414b"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_DEDUP_PINS))
+def test_dedup_survivors_pinned(ray_session, name):
+    import __ray_entry__ as e
+
+    id_col = "vec_id" if name == "dedup_embedding" else "doc_id"
+    df = e.queries()[name]("/root/testdata/sf0.001").to_pandas()
+    ids = sorted(df[id_col].tolist())
+    h = hashlib.sha256(",".join(map(str, ids)).encode()).hexdigest()[:16]
+    want_n, want_h = _DEDUP_PINS[name]
+    assert (len(ids), h) == (want_n, want_h)
+
+
+def test_exact_dedup_join_path_matches_broadcast(ray_session):
+    """The anti-join loser-removal path (dup-heavy corpora where the
+    {hash: winner} dict would not fit a worker heap) must produce the same
+    survivors as the broadcast path."""
+    import ray.data
+    from connect_smts_ray.ops.dedup import exact_dedup
+
+    texts = [f"doc {i % 7} body" for i in range(40)]  # 7 distinct contents
+    t = pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    via_bcast = sorted(
+        r["doc_id"] for r in exact_dedup(ds, strategy="broadcast").take_all()
+    )
+    via_join = sorted(
+        r["doc_id"] for r in exact_dedup(ds, strategy="join").take_all()
+    )
+    assert via_bcast == via_join == list(range(7))
+
+
+def test_embedding_dedup_giant_bucket_capped(ray_session):
+    """Adversarial dense cluster: hundreds of near-identical vectors land in
+    ONE LSH bucket in every table. The capped verify (recursive split +
+    star fallback) must still link the whole cluster and keep only the
+    min-id representative — without O(b²) work on the full bucket."""
+    import ray.data
+    from connect_smts_ray.ops.dedup import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=16)
+    dense = base + rng.normal(scale=1e-6, size=(300, 16))  # one dense cluster
+    others = rng.normal(size=(50, 16))
+    vecs = np.vstack([dense, others])
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    survivors, _ = embedding_dedup(
+        ray.data.from_arrow(t), threshold=0.999, n_planes=8, bucket_cap=32
+    )
+    ids = {r["vec_id"] for r in survivors.take_all()}
+    assert 0 in ids                       # cluster representative survives
+    assert not (ids & set(range(1, 300)))  # the other 299 collapse onto it
+    assert len(ids & set(range(300, 350))) >= 45  # random vectors survive
+
+
+def test_connected_components_long_path(ray_session):
+    """Path-shaped components (versioned near-dup chains) must converge
+    within O(log diameter) iterations — pointer jumping, not plain
+    diameter-bound propagation."""
+    import ray.data
+    from connect_smts_ray.ops.components import connected_components
+    from connect_smts_ray.ops.dedup import union_find_components
+
+    pairs = [(i, i + 1) for i in range(40)]          # one 41-node path
+    pairs += [(100, 101), (101, 102), (100, 102)]    # plus a triangle
+    t = pa.table({
+        "id_a": pa.array([a for a, _ in pairs], type=pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], type=pa.int64()),
+    })
+    out = connected_components(ray.data.from_arrow(t), max_iters=8)
+    got = {r["doc_id"]: r["component"] for r in out.take_all()}
+    assert got == union_find_components(pairs)
