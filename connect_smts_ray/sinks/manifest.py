@@ -40,10 +40,23 @@ class ManifestStore:
         return os.path.join(self.lake_dir, f"partition={pid}")
 
     def state_path(self, pid: int, epoch: int) -> str:
-        return os.path.join(self.partition_dir(pid), f"state-epoch={epoch}.parquet")
+        """Per-epoch DELTA file: only that epoch's LWW winners (tombstones
+        included — merge-on-read applies them), NOT the full partition
+        state. Epoch N+1 never rewrites epoch N's bytes."""
+        return os.path.join(self.partition_dir(pid), f"delta-epoch={epoch}.parquet")
+
+    def base_path(self, pid: int, epoch: int) -> str:
+        """Compacted base file: merged live state of every epoch ≤ epoch
+        (tombstoned keys dropped — safe because per-key commit_lsn is
+        non-decreasing across epochs)."""
+        return os.path.join(self.partition_dir(pid), f"base-epoch={epoch}.parquet")
 
     def manifest_path(self, pid: int, epoch: int) -> str:
         return os.path.join(self.manifest_dir, f"{pid}-{epoch}.json")
+
+    def base_manifest_path(self, pid: int, epoch: int) -> str:
+        # 'base-' infix makes committed_epochs()'s int() parse skip these
+        return os.path.join(self.manifest_dir, f"{pid}-base-{epoch}.json")
 
     # -- commit protocol ----------------------------------------------------
 
@@ -89,7 +102,69 @@ class ManifestStore:
         os.replace(mtmp, self.manifest_path(pid, epoch))
         return manifest
 
+    def commit_base(self, pid: int, epoch: int, write_table,
+                    lineage: dict) -> dict:
+        """Atomically commit a compacted base covering epochs ≤ epoch.
+        Idempotent: a concurrent/replayed compaction computes the identical
+        table (pure function of the committed deltas) and the second
+        os.replace is a no-op at the manifest level."""
+        existing = self.read_base_manifest(pid, epoch)
+        if existing is not None:
+            return existing
+        os.makedirs(self.partition_dir(pid), exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        final = self.base_path(pid, epoch)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        write_table(tmp)
+        bytes_written = os.path.getsize(tmp)
+        os.replace(tmp, final)
+        manifest = {
+            "partition_id": pid,
+            "epoch": epoch,
+            "kind": "base",
+            "state_file": final,
+            "bytes_written": bytes_written,
+            **lineage,
+        }
+        mpath = self.base_manifest_path(pid, epoch)
+        mtmp = f"{mpath}.tmp-{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, mpath)
+        return manifest
+
+    def read_base_manifest(self, pid: int, epoch: int) -> Optional[dict]:
+        try:
+            with open(self.base_manifest_path(pid, epoch)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     # -- read side ----------------------------------------------------------
+
+    def committed_base_epochs(self, pid: int) -> list:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        prefix = f"{pid}-base-"
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith(prefix) and name.endswith(".json"):
+                try:
+                    out.append(int(name[len(prefix):-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read_plan(self, pid: int) -> tuple:
+        """(base_epoch | None, [delta epochs after the base]) — the file set
+        whose merge-on-read IS the partition's current state."""
+        bases = self.committed_base_epochs(pid)
+        base = bases[-1] if bases else None
+        deltas = [
+            e for e in self.committed_epochs(pid)
+            if base is None or e > base
+        ]
+        return base, deltas
 
     def committed_epochs(self, pid: int) -> list:
         if not os.path.isdir(self.manifest_dir):
@@ -117,10 +192,13 @@ class ManifestStore:
         return sorted(pids)
 
     def latest_state_files(self) -> list:
-        """One parquet path per partition: the highest committed epoch."""
+        """Every file in every partition's merge-on-read plan (latest base
+        + subsequent deltas) — feed to ``ray.data.read_parquet`` for the
+        at-scale distributed read."""
         out = []
         for pid in self.all_partitions():
-            epochs = self.committed_epochs(pid)
-            if epochs:
-                out.append(self.state_path(pid, epochs[-1]))
+            base, deltas = self.read_plan(pid)
+            if base is not None:
+                out.append(self.base_path(pid, base))
+            out.extend(self.state_path(pid, e) for e in deltas)
         return out

@@ -23,10 +23,23 @@ Why this scales:
 
 LWW semantics: per key keep the row with max ``(commit_lsn,
 source_offset)``; a winning tombstone (Outbox ``__deleted``/null-payload
-record) deletes the key. State files carry the *full merged partition
-state* per epoch, so tombstones need not persist; correctness relies on the
-CDC guarantee that per-key ``commit_lsn`` is non-decreasing across epochs
-(Kafka per-partition ordering, doc/outbox.md:7-12).
+record) deletes the key.
+
+Storage layout is EPOCH-DELTA + merge-on-read (round 2; the round-1 design
+rewrote the full partition state every epoch — a full-table rewrite per
+checkpoint at 100 TB):
+
+- each epoch commits ``delta-epoch={e}.parquet`` holding ONLY that epoch's
+  LWW winners, tombstones included (they must survive until merge);
+- the partition's current state = LWW-merge of (latest compacted base +
+  every delta after it), tombstoned keys dropped at read;
+- every ``compact_every`` epochs a base file is compacted from the plan
+  (pure function of the committed deltas → idempotent under races and
+  replays); bases drop tombstoned keys, which is safe because per-key
+  ``commit_lsn`` is non-decreasing across epochs (Kafka per-partition
+  ordering, doc/outbox.md:7-12);
+- epoch N+1 never rewrites epoch N's bytes (asserted in
+  tests/test_replay.py::test_epoch_delta_no_rewrite).
 
 Ordering is order-insensitive (max-reduce), so shuffles, stragglers and
 task retries cannot change the result (SURVEY §4.2.5).
@@ -55,6 +68,10 @@ class UpsertConfig:
     key_columns: tuple = ("repo", "path")
     order_columns: tuple = ("commit_lsn", "source_offset")
     tombstone_column: str = "is_tombstone"
+    # Compact a base every N epochs (deterministic trigger: after epoch e
+    # iff (e+1) % N == 0, so replays re-arrive at the same decision).
+    # 0 disables compaction (pure delta log).
+    compact_every: int = 8
 
     def store(self) -> ManifestStore:
         return ManifestStore(self.lake_dir)
@@ -132,96 +149,139 @@ def _canonicalize(table: pa.Table, cfg: UpsertConfig) -> pa.Table:
 def merge_partition(
     group: pa.Table, cfg: UpsertConfig, epoch: int
 ) -> pa.Table:
-    """``map_groups`` body for one partition_id group: merge new winners with
-    the previous epoch's state, apply deletes, commit atomically."""
+    """``map_groups`` body for one partition_id group: LWW-reduce the
+    epoch's rows and commit them as that epoch's DELTA (tombstones kept —
+    merge-on-read applies them), then compact a base when due. Never reads
+    or rewrites previous epochs' delta bytes."""
     store = cfg.store()
     pid = int(group.column("partition_id")[0].as_py())
 
     existing_manifest = store.read_manifest(pid, epoch)
     if existing_manifest is not None:
         # Replay of a committed epoch → exact no-op (idempotence gate).
+        # Still ensure the deterministic compaction for this epoch exists
+        # (the interrupted run may have died between commit and compact).
+        _maybe_compact(store, cfg, pid, epoch)
         return _lineage_row(existing_manifest, skipped=True)
-
-    prior_epochs = [e for e in store.committed_epochs(pid) if e < epoch]
-    if prior_epochs:
-        prior = pq.read_table(store.state_path(pid, prior_epochs[-1]))
-    else:
-        prior = None
 
     rows_in = group.num_rows
     offsets = group.column(cfg.order_columns[-1])
     min_off = pa.compute.min(offsets).as_py() if rows_in else None
     max_off = pa.compute.max(offsets).as_py() if rows_in else None
 
-    new = group.drop_columns(["partition_id"])
-    if prior is not None:
-        # Schema evolution: widen prior to the union of both schemas; new
-        # fields read as null in old rows (mirrors repackage, SURVEY §4.2.4).
-        prior, new = _align_schemas(prior, new, cfg)
-        merged = pa.concat_tables([prior, new], promote_options="permissive")
-    else:
-        merged = new
-
-    winners = lww_winners(merged, cfg)
+    winners = lww_winners(group.drop_columns(["partition_id"]), cfg)
     tomb = cfg.tombstone_column
     deletes = 0
     if tomb in winners.column_names:
-        mask = winners.column(tomb)
+        mask = pa.compute.fill_null(winners.column(tomb), False)
         deletes = pa.compute.sum(
-            pa.compute.cast(pa.compute.fill_null(mask, False), pa.int64())
+            pa.compute.cast(mask, pa.int64())
         ).as_py() or 0
-        keep = pa.compute.invert(pa.compute.fill_null(mask, False))
-        winners = winners.filter(keep)
 
-    state = _canonicalize(winners, cfg)
+    delta = _canonicalize(winners, cfg)
 
     manifest = store.commit(
         pid,
         epoch,
-        lambda tmp: pq.write_table(state, tmp, compression="snappy"),
+        lambda tmp: pq.write_table(delta, tmp, compression="snappy"),
         lineage={
             "rows_in": rows_in,
-            "rows_merged": state.num_rows,
+            # live winners this epoch (delta rows minus tombstone winners)
+            "rows_merged": delta.num_rows - int(deletes),
             "deletes_applied": int(deletes),
             "offset_range": [min_off, max_off],
             "num_partitions": cfg.num_partitions,
             "key_columns": list(cfg.key_columns),
-            "schema": state.schema.to_string(),
+            "schema": delta.schema.to_string(),
         },
     )
+    _maybe_compact(store, cfg, pid, epoch)
     return _lineage_row(manifest, skipped=False)
 
 
-def _align_schemas(prior: pa.Table, new: pa.Table, cfg: UpsertConfig):
-    """Union-widen the two tables to a common schema (missing columns →
-    null; struct widening via core.schema.union_arrow_types)."""
+def merge_tables(tables: list, cfg: UpsertConfig,
+                 drop_tombstones: bool = True) -> pa.Table:
+    """Merge-on-read: align schemas (union-widening — new fields read as
+    null in older files, mirroring repackage, SURVEY §4.2.4), concat, LWW
+    per key, optionally drop tombstoned keys, canonicalize."""
+    aligned = _align_schemas(tables)
+    merged = pa.concat_tables(aligned, promote_options="permissive")
+    winners = lww_winners(merged, cfg)
+    tomb = cfg.tombstone_column
+    if drop_tombstones and tomb in winners.column_names:
+        keep = pa.compute.invert(
+            pa.compute.fill_null(winners.column(tomb), False)
+        )
+        winners = winners.filter(keep)
+    return _canonicalize(winners, cfg)
+
+
+def _maybe_compact(store: ManifestStore, cfg: UpsertConfig, pid: int,
+                   epoch: int) -> None:
+    """Deterministic compaction: after epoch e iff (e+1) % compact_every
+    == 0. The base is a pure function of the committed deltas it covers →
+    identical bytes no matter which run (first, resumed, replayed, racing
+    retry) computes it; commit_base is atomic + idempotent."""
+    if cfg.compact_every <= 0 or (epoch + 1) % cfg.compact_every != 0:
+        return
+    if store.read_base_manifest(pid, epoch) is not None:
+        return
+    bases = [b for b in store.committed_base_epochs(pid) if b < epoch]
+    prev_base = bases[-1] if bases else None
+    tables = []
+    if prev_base is not None:
+        tables.append(pq.read_table(store.base_path(pid, prev_base)))
+    delta_epochs = [
+        e for e in store.committed_epochs(pid)
+        if e <= epoch and (prev_base is None or e > prev_base)
+    ]
+    tables.extend(
+        pq.read_table(store.state_path(pid, e)) for e in delta_epochs
+    )
+    if not tables:
+        return
+    base = merge_tables(tables, cfg, drop_tombstones=True)
+    store.commit_base(
+        pid, epoch,
+        lambda tmp: pq.write_table(base, tmp, compression="snappy"),
+        lineage={
+            "covers_epochs": delta_epochs,
+            "prev_base": prev_base,
+            "rows_merged": base.num_rows,
+            "schema": base.schema.to_string(),
+        },
+    )
+
+
+def _align_schemas(tables: list) -> list:
+    """Union-widen N tables to a common schema (missing columns → typed
+    nulls; struct widening via core.schema.union_arrow_types)."""
     from connect_smts_ray.core.schema import union_arrow_types
 
-    names = list(dict.fromkeys(prior.column_names + new.column_names))
+    names: list = []
+    target: dict = {}
+    for t in tables:
+        for name in t.column_names:
+            ft = t.schema.field(name).type
+            if name not in target:
+                names.append(name)
+                target[name] = ft
+            elif target[name] != ft:
+                target[name] = union_arrow_types(target[name], ft)
     out = []
-    for t in (prior, new):
+    for t in tables:
         cols = {}
         for name in names:
-            a = t.column(name) if name in t.column_names else None
-            b_t = (
-                new.schema.field(name).type
-                if name in new.column_names
-                else prior.schema.field(name).type
-            )
-            a_t = (
-                t.schema.field(name).type if name in t.column_names else None
-            )
-            target = b_t if a_t is None else (
-                a_t if a_t == b_t else union_arrow_types(a_t, b_t)
-            )
-            if a is None:
-                cols[name] = pa.nulls(t.num_rows, type=target)
-            elif a.type != target:
-                cols[name] = pa.compute.cast(a, target)
+            if name in t.column_names:
+                a = t.column(name)
+                cols[name] = (
+                    a if a.type == target[name]
+                    else pa.compute.cast(a, target[name])
+                )
             else:
-                cols[name] = a
+                cols[name] = pa.nulls(t.num_rows, type=target[name])
         out.append(pa.table(cols))
-    return out[0], out[1]
+    return out
 
 
 def _lineage_row(manifest: dict, skipped: bool) -> pa.Table:
@@ -264,10 +324,21 @@ def run_upsert(ds, cfg: UpsertConfig, epoch: int = 0):
 
 
 def read_lake(cfg: UpsertConfig) -> pa.Table:
-    """Final table state = f(committed manifests). Small-scale driver read;
-    at scale use ``ray.data.read_parquet(store.latest_state_files())``."""
-    files = cfg.store().latest_state_files()
-    if not files:
+    """Final table state = f(committed manifests): per partition, LWW
+    merge-on-read of (latest base + subsequent deltas), tombstones applied.
+    Small-scale driver read; at scale run the same per-partition
+    ``merge_tables`` distributed — one task per partition over
+    ``store.read_plan(pid)``'s files (partitions are independent)."""
+    store = cfg.store()
+    parts = []
+    for pid in store.all_partitions():
+        base, deltas = store.read_plan(pid)
+        tables = []
+        if base is not None:
+            tables.append(pq.read_table(store.base_path(pid, base)))
+        tables.extend(pq.read_table(store.state_path(pid, e)) for e in deltas)
+        if tables:
+            parts.append(merge_tables(tables, cfg))
+    if not parts:
         return pa.table({})
-    tables = [pq.read_table(f) for f in files]
-    return pa.concat_tables(tables, promote_options="permissive")
+    return pa.concat_tables(_align_schemas(parts))

@@ -188,3 +188,114 @@ def test_tombstone_deletes_key(ray_session, tmp_path):
     run_upsert(ray.data.from_arrow(batch), cfg, epoch=0).materialize()
     state = read_lake(cfg)
     assert state.column("path").to_pylist() == ["b"]
+
+
+def test_epoch_delta_no_rewrite(ray_session, tmp_path):
+    """Epoch N+1 must not rewrite epoch N's bytes (delta log, not
+    full-state-per-epoch), and each delta's size tracks ITS rows, not the
+    accumulated partition state."""
+    import os
+
+    import ray.data
+    from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake_delta"), num_partitions=2)
+
+    def batch(epoch, n):
+        return pa.table({
+            "repo": ["r"] * n,
+            "path": [f"p{i}" for i in range(n)],
+            "commit_lsn": pa.array([epoch] * n, type=pa.int64()),
+            "source_offset": pa.array(range(n), type=pa.int64()),
+            "is_tombstone": [False] * n,
+            "content": [f"c{epoch}-{i}" for i in range(n)],
+        })
+
+    run_upsert(ray.data.from_arrow(batch(0, 100)), cfg, epoch=0).materialize()
+    store = cfg.store()
+    files0 = {
+        store.state_path(pid, 0): (
+            os.path.getmtime(store.state_path(pid, 0)),
+            hashlib.sha256(
+                open(store.state_path(pid, 0), "rb").read()
+            ).hexdigest(),
+        )
+        for pid in store.all_partitions()
+    }
+
+    # epoch 1 touches only 2 keys — its deltas must be tiny and epoch 0's
+    # files must remain byte-identical
+    run_upsert(ray.data.from_arrow(batch(1, 2)), cfg, epoch=1).materialize()
+    for path, (mtime, digest) in files0.items():
+        assert os.path.getmtime(path) == mtime
+        assert hashlib.sha256(open(path, "rb").read()).hexdigest() == digest
+    delta1_rows = sum(
+        pa.parquet.read_table(store.state_path(pid, 1)).num_rows
+        for pid in store.all_partitions()
+        if os.path.exists(store.state_path(pid, 1))
+    )
+    assert delta1_rows == 2  # not 100: deltas carry the epoch, not the state
+
+    state = read_lake(cfg)
+    rows = {
+        (r, p): c for r, p, c in zip(
+            state.column("repo").to_pylist(),
+            state.column("path").to_pylist(),
+            state.column("content").to_pylist(),
+        )
+    }
+    assert rows[("r", "p0")] == "c1-0" and rows[("r", "p1")] == "c1-1"
+    assert rows[("r", "p99")] == "c0-99"
+
+
+def test_compaction_preserves_state_and_old_bytes(ray_session, tmp_path):
+    """Compaction (every compact_every epochs) must not change the merged
+    state, must leave committed delta bytes untouched, and must make the
+    read plan collapse to base + post-base deltas."""
+    import os
+
+    import ray.data
+    from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
+
+    # one partition: compaction triggers only for partitions that receive
+    # rows in the trigger epoch, so a multi-partition assertion would race
+    # with which keys hash where
+    cfg = UpsertConfig(
+        lake_dir=str(tmp_path / "lake_compact"), num_partitions=1,
+        compact_every=2,
+    )
+
+    def batch(epoch):
+        # overlapping keys + one tombstone per epoch
+        return pa.table({
+            "repo": ["r"] * 3,
+            "path": ["a", "b", f"e{epoch}"],
+            "commit_lsn": pa.array([epoch] * 3, type=pa.int64()),
+            "source_offset": pa.array([0, 1, 2], type=pa.int64()),
+            "is_tombstone": [False, epoch == 1, False],
+            "content": [f"a{epoch}", None if epoch == 1 else f"b{epoch}",
+                        f"x{epoch}"],
+        })
+
+    digests = []
+    for e in range(4):
+        run_upsert(ray.data.from_arrow(batch(e)), cfg, epoch=e).materialize()
+        digests.append(state_digest(read_lake(cfg)))
+
+    store = cfg.store()
+    for pid in store.all_partitions():
+        base, deltas = store.read_plan(pid)
+        assert base == 3                    # trigger: (e+1) % 2 == 0 → e ∈ {1, 3}
+        assert deltas == []                 # nothing after the base
+        assert store.committed_base_epochs(pid) == [1, 3]
+    # replaying an already-committed epoch after compaction is still a no-op
+    lin = run_upsert(
+        ray.data.from_arrow(batch(2)), cfg, epoch=2
+    ).to_pandas()
+    assert lin["skipped"].all()
+    assert state_digest(read_lake(cfg)) == digests[-1]
+    # tombstone applied: 'b' was deleted at epoch 1 and re-inserted at 2, 3
+    state = read_lake(cfg)
+    rows = dict(zip(state.column("path").to_pylist(),
+                    state.column("content").to_pylist()))
+    assert rows["a"] == "a3" and rows["b"] == "b3"
