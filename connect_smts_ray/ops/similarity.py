@@ -118,6 +118,45 @@ def _kmeans_lite(sample: np.ndarray, cfg: IvfConfig) -> np.ndarray:
     return cent
 
 
+def _training_sample(ds, cfg: IvfConfig, vec_col: str,
+                     id_col: str) -> np.ndarray:
+    """Deterministic UNIFORM sample for centroid training: keep rows whose
+    md5(id) falls under a threshold sized for ~1.25× sample_size, order by
+    that hash, truncate. Identical across runs, block layouts and cluster
+    sizes — and unbiased on sorted corpora, unlike ``ds.limit(n)`` which
+    trains on the FIRST blocks only (round-1 defect: clustered/sorted
+    corpora produced centroids that had never seen the tail)."""
+    import hashlib
+
+    n = ds.count()
+    if n <= cfg.sample_size:
+        rows = ds.take_all()
+        return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    cut = int(min(1.0, 1.25 * cfg.sample_size / n) * (1 << 32))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        hv = [
+            int.from_bytes(
+                hashlib.md5(f"ivf:{i}".encode()).digest()[:4], "little"
+            )
+            for i in ids
+        ]
+        mask = pa.array([h < cut for h in hv], type=pa.bool_())
+        kept = b.filter(mask)
+        return pa.table({
+            "__h": pa.array([h for h in hv if h < cut], type=pa.uint64()),
+            vec_col: kept.column(vec_col),
+        })
+
+    # bounded driver gather: ≤ ~1.25 × sample_size rows by construction
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["__h"])
+    return np.asarray(
+        [r[vec_col] for r in rows[: cfg.sample_size]], dtype=np.float64
+    )
+
+
 def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10,
             cfg: IvfConfig = IvfConfig(),
             vec_col: str = "embedding", id_col: str = "vec_id",
@@ -126,8 +165,7 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10,
     centroid buckets per query. Same output schema as brute force."""
     import ray
 
-    sample_rows = ds.limit(cfg.sample_size).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    sample = _training_sample(ds, cfg, vec_col, id_col)
     centroids = _kmeans_lite(sample, cfg)
     cent_ref = ray.put(centroids)
 

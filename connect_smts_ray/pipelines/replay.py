@@ -196,6 +196,7 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
             batch_size=None,
             concurrency=cfg.crypto_concurrency,
             num_cpus=cfg.actor_num_cpus,
+            max_restarts=0,
         )
         ds = ds.map_batches(
             DecryptColumn,
@@ -204,6 +205,7 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
             batch_size=None,
             concurrency=cfg.crypto_concurrency,
             num_cpus=cfg.actor_num_cpus,
+            max_restarts=0,
         )
         ds = ds.map_batches(_payload_to_string, batch_format="pyarrow")
 
@@ -220,6 +222,10 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
         batch_size=None,
         concurrency=cfg.expand_concurrency,
         num_cpus=cfg.actor_num_cpus,
+        # max_restarts=0: actor replacement is owned by Ray Data's pool
+        # (state rebuilds in __init__); core-worker restart would depend on
+        # ctor args living in the object store (ray#53727 warning).
+        max_restarts=0,
     )
     ds = ds.map_batches(
         lambda b: apply_field_mapping(b, LAKE_MAPPING), batch_format="pyarrow"

@@ -165,3 +165,36 @@ def test_heterogeneous_batch_then_convergence():
     out2 = t(make_batch(['{"a":2,"b":"y"}']))
     assert out2.column("json").to_pylist() == [{"a": 2, "b": "y"}]
     assert len(t.registry["json"]) == 1
+
+
+def test_null_field_deviation_is_deliberate():
+    """PINNED DEVIATION vs the reference (deliberate, documented in
+    transforms/expand_json.py module docstring):
+
+    - Reference: a null / empty-string JSON payload drops the field FROM
+      THE RECORD'S SCHEMA entirely — `assertNull(schema.field("json"))`
+      (DebeziumJsonDeserializerTest.java:62-75 ignoresANullValue,
+      :263-273 ignoresEmptyJsonValue). Kafka Connect can do this because
+      every record carries its own schema.
+    - This engine: Arrow batches have ONE schema for all rows, so a
+      per-record dropped field is unrepresentable; the column stays in the
+      batch schema and the affected row reads as a null cell. Dropping the
+      column would also break downstream stages that select it.
+
+    Same divergence applies within nested structs (:77-95
+    ignoresANullValueWithinProperty): the reference drops `baz` from the
+    struct schema; we keep the struct field as optional with a null value
+    when other rows carry it, and the inference itself never ADDS a field
+    only seen as null (matching the reference's pruning)."""
+    # top level: column must EXIST in the output schema (Arrow invariant),
+    # value must be null (reference: field absent)
+    t, out = expand([None, ""])
+    assert "json" in out.schema.names
+    assert out.column("json").to_pylist() == [None, None]
+
+    # nested: {"foo":"bar","baz":null} — inference DROPS baz like the
+    # reference (no row ever carries a typed baz, so no column slot exists)
+    t2, out2 = expand(['{"foo": "bar", "baz": null}'])
+    assert out2.column("json").to_pylist() == [{"foo": "bar"}]
+    struct_t = out2.schema.field("json").type
+    assert struct_t.get_field_index("baz") == -1

@@ -292,3 +292,28 @@ def test_connected_components_long_path(ray_session):
     out = connected_components(ray.data.from_arrow(t), max_iters=8)
     got = {r["doc_id"]: r["component"] for r in out.take_all()}
     assert got == union_find_components(pairs)
+
+
+def test_ivf_training_sample_unbiased(ray_session):
+    """Centroid training must sample uniformly by content hash, not take
+    the first blocks (sorted corpora would otherwise bias centroids)."""
+    import ray.data
+    from connect_smts_ray.ops.similarity import IvfConfig, _training_sample
+
+    # vectors encode their own index so we can recover which ids got picked
+    vecs = [[float(i), 0.0] for i in range(2000)]
+    t = pa.table({
+        "vec_id": pa.array(range(2000), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+    })
+    cfg = IvfConfig(sample_size=200)
+    s1 = _training_sample(
+        ray.data.from_arrow(t).repartition(4), cfg, "embedding", "vec_id"
+    )
+    s2 = _training_sample(
+        ray.data.from_arrow(t).repartition(13), cfg, "embedding", "vec_id"
+    )
+    assert np.array_equal(s1, s2)          # layout-independent
+    picked = s1[:, 0].astype(int)
+    assert len(picked) == 200
+    assert picked.max() > 1500 and picked.min() < 500  # spread, not head
