@@ -32,11 +32,14 @@ typed to slot 0's widened schema; additional incompatible slots (rare) emit
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Optional
 
 import orjson
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
 
 from connect_smts_ray.core.schema import (
     FastPathMiss,
@@ -162,9 +165,10 @@ class ExpandJson:
                 )
                 if unioned != slots[0]:
                     slots[0] = unioned
+                    self._log_widened(col, 0)
                 return (0, value)
             except SchemaUnionError:
-                return self._register_new_slot(slots, schema, value)
+                return self._register_new_slot(col, slots, schema, value)
 
         for i, known in enumerate(slots):
             try:
@@ -176,14 +180,27 @@ class ExpandJson:
                 continue
             if unioned != known:
                 slots[i] = unioned
+                self._log_widened(col, i)
             return (i, value)
 
-        return self._register_new_slot(slots, schema, value)
+        return self._register_new_slot(col, slots, schema, value)
 
-    @staticmethod
-    def _register_new_slot(slots: list, schema: SType, value):
+    def _register_new_slot(self, col: str, slots: list, schema: SType, value):
         slots.append(schema)
+        self._log_widened(col, len(slots) - 1)
         return (len(slots) - 1, value)
+
+    def _log_widened(self, col: str, slot: int) -> None:
+        """Widening observability: log the serialized schema every time a
+        registry slot widens or a new slot registers, so operators can
+        bootstrap configs from logs exactly like the reference
+        (smt/DebeziumJsonDeserializer.java:240-252 logs the SchemaSerDer
+        wire format on every replacement). Widening is monotone → rare."""
+        logger.info(
+            "expand_json schema widened column=%s slot=%d schema=%s",
+            col, slot,
+            orjson.dumps(stype_to_dict(self.registry[col][slot])).decode(),
+        )
 
     # -- per-batch ----------------------------------------------------------
 

@@ -162,6 +162,13 @@ def _outbox_route_fast(batch: pa.Table, config: OutboxConfig):
     if "value_is_null" in cols:
         keep = pc.invert(pc.fill_null(batch.column("value_is_null"), False))
         kept = batch.filter(keep)
+    elif "__deleted" in cols and config.payload_column in cols:
+        # derived key-only tombstone: see the generic path's rationale
+        both_null = pc.and_(
+            pc.is_null(batch.column("__deleted")),
+            pc.is_null(batch.column(config.payload_column)),
+        )
+        kept = batch.filter(pc.invert(both_null))
     else:
         kept = batch
     m = kept.num_rows
@@ -239,13 +246,34 @@ def outbox_route(batch: pa.Table, config: OutboxConfig) -> pa.Table:
     else:
         deleted = [False] * n
 
-    # Key-only Debezium tombstones: every value column is null → drop.
-    # Engine marker: a `value_is_null` bool column (the columnar stand-in for
-    # record.value() == null, :79-82); absent → nothing dropped.
+    # Key-only Debezium tombstones (record.value() == null → drop, :79-82).
+    # Priority 1: explicit `value_is_null` marker column (the lossless
+    # columnar stand-in a richly-typed source can emit).
+    # Priority 2 (derived): every value-derived column null simultaneously.
+    # Requires `__deleted` to be present — Debezium's event flattening puts
+    # a non-null "true"/"false" there for every REAL value, so
+    # (payload IS NULL AND __deleted IS NULL) ⇔ the value itself was null;
+    # with payload alone the null is ambiguous (value.payload == null is a
+    # tombstone-GENERATING record, :99-100) and nothing is dropped.
     if "value_is_null" in cols:
         drop_mask = [
             bool(v) and not p
             for v, p in zip(batch.column("value_is_null").to_pylist(), passthrough)
+        ]
+    elif "__deleted" in cols:
+        value_cols = [
+            c for c in (
+                config.payload_column, "__deleted", config.headers_column,
+                config.value_schema_name_column,
+            ) if c in cols
+        ]
+        all_null = None
+        for c in value_cols:
+            isn = pc.is_null(batch.column(c))
+            all_null = isn if all_null is None else pc.and_(all_null, isn)
+        drop_mask = [
+            bool(v) and not p
+            for v, p in zip(all_null.to_pylist(), passthrough)
         ]
     else:
         drop_mask = [False] * n

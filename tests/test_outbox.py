@@ -220,3 +220,42 @@ def test_topic_description_parse():
 def test_invalid_partition_setting():
     with pytest.raises(OutboxError):
         OutboxConfig(topic="t", partition_setting="bogus")
+
+
+def test_key_only_tombstone_derived_without_marker():
+    """Without a value_is_null marker, null-value-ness is DERIVED from the
+    value columns themselves (ref smt/Outbox.java:79-82): a row where
+    payload AND __deleted are both null is a key-only Debezium tombstone
+    (Debezium's flattening writes a non-null "true"/"false" __deleted for
+    every real value) → dropped. A null payload with __deleted present is
+    a tombstone-GENERATING record (:99-100), not a drop."""
+    out = route(
+        [
+            {"key": "k1", "partition_number": 0, "payload": "{}",
+             "__deleted": "false"},
+            # value.payload == null, value present → emit tombstone
+            {"key": "k2", "partition_number": 1, "payload": None,
+             "__deleted": "false"},
+            # record.value() == null → drop entirely
+            {"key": "k3", "partition_number": None, "payload": None,
+             "__deleted": None},
+        ],
+        topic="t",
+    )
+    assert out.column("key").to_pylist() == ["k1", "k2"]
+    assert out.column("is_tombstone").to_pylist() == [False, True]
+
+
+def test_key_only_tombstone_derived_fast_path():
+    """Same derivation through the vectorized partition-key fast path."""
+    out = route(
+        [
+            {"key": "k1", "partition_key": "a", "payload": "{}",
+             "__deleted": "false"},
+            {"key": "k3", "partition_key": "b", "payload": None,
+             "__deleted": None},
+        ],
+        topic="t@3",
+        partition_setting="partition-key",
+    )
+    assert out.column("key").to_pylist() == ["k1"]
