@@ -1032,6 +1032,65 @@ def _jaccard_cc_sql(threshold: float) -> str:
     """
 
 
+def _murmur2_partition_sql(num_partitions: int = 16) -> str:
+    """Bit-exact Kafka murmur2 (seed 0x9747b28c, m 0x5bd1e995, r 24,
+    toPositive & 0x7fffffff — smt/Outbox.java:207-229) as pure SQL: uint32
+    arithmetic emulated in BIGINT (% 2^32; a uint32×uint32 product fits
+    int64), '>>>' as integer division, the 4-byte little-endian bulk loop
+    as a recursive CTE, and the no-break switch tail as chained CASEs.
+    Validated cell-for-cell against core/hashing.murmur2_positive_many
+    (which itself passes the reference's golden vectors)."""
+    M = "CAST(1540483477 AS BIGINT)"      # 0x5bd1e995
+    U32 = "4294967296"
+    chunk = (
+        "(CAST(unicode(substr(s, i*4+1, 1)) AS BIGINT)"
+        " + CAST(unicode(substr(s, i*4+2, 1)) AS BIGINT) * 256"
+        " + CAST(unicode(substr(s, i*4+3, 1)) AS BIGINT) * 65536"
+        " + CAST(unicode(substr(s, i*4+4, 1)) AS BIGINT) * 16777216)"
+    )
+    k1 = f"(({chunk} * {M}) % {U32})"
+    k2 = f"xor({k1}, {k1} // 16777216)"           # k ^= k >>> 24
+    k3 = f"(({k2} * {M}) % {U32})"
+    step = f"xor((h * {M}) % {U32}, {k3})"        # h = (h*m) ^ k
+    return f"""
+        WITH RECURSIVE
+        keys AS (
+          SELECT event_id, CAST(user_id AS VARCHAR) AS s FROM events
+        ),
+        init AS (
+          SELECT event_id, s, strlen(s) AS len,
+                 CAST(xor(2538058380, strlen(s)) AS BIGINT) AS h
+          FROM keys
+        ),
+        mloop AS (
+          SELECT event_id, s, len, 0 AS i, h FROM init
+          UNION ALL
+          SELECT event_id, s, len, i + 1, {step} AS h
+          FROM mloop WHERE i < len // 4
+        ),
+        bulk AS (SELECT event_id, s, len, h FROM mloop WHERE i = len // 4),
+        -- Kafka's switch has NO breaks: case 3 falls through 2 through 1
+        t3 AS (SELECT event_id, s, len,
+                 CASE WHEN len % 4 >= 3
+                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 3, 1)) AS BIGINT) * 65536)
+                      ELSE h END AS h FROM bulk),
+        t2 AS (SELECT event_id, s, len,
+                 CASE WHEN len % 4 >= 2
+                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 2, 1)) AS BIGINT) * 256)
+                      ELSE h END AS h FROM t3),
+        t1 AS (SELECT event_id, s, len,
+                 CASE WHEN len % 4 >= 1
+                      THEN (xor(h, CAST(unicode(substr(s, len - (len % 4) + 1, 1)) AS BIGINT)) * {M}) % {U32}
+                      ELSE h END AS h FROM t2),
+        f1 AS (SELECT event_id, (xor(h, h // 8192) * {M}) % {U32} AS h FROM t1),
+        f2 AS (SELECT event_id, xor(h, h // 32768) AS h FROM f1)
+        SELECT event_id,
+               CAST((h % 2147483648) % {num_partitions} AS INTEGER)
+                   AS out_partition
+        FROM f2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "expand_json_events": """
@@ -1048,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
                    (event_type = 'error') AS is_tombstone
             FROM events
         """,
+        "outbox_partition_key": _murmur2_partition_sql(16),
         "lww_upsert_events": """
             SELECT user_id, event_id, event_type, value,
                    epoch_us(ts) AS ts_us
