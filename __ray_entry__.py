@@ -491,6 +491,42 @@ def q_media_features(sf_dir: str):
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_media_frames(sf_dir: str):
+    """Multimodal frame sampling: binary payloads → n_frames pseudo-frames
+    per media row (flat_map-shaped actor stage). Frame bytes are
+    deterministic payload slices, so the per-frame byte count is
+    SQL-checkable end-to-end."""
+    from connect_smts_ray.ops.multimodal import FrameSample
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = [
+            None if t is None else t.encode()
+            for t in b.column("text").to_pylist()
+        ]
+        return pa.table({
+            "media_id": b.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(to_media, batch_format="pyarrow")
+    ds = ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"n_frames": 4, "fake": True},
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5, batch_size=256,
+    )
+    return ds.map_batches(
+        lambda b: pa.table({
+            "media_id": b.column("media_id"),
+            "frame_index": b.column("frame_index"),
+            "frame_bytes": pc.cast(
+                pc.binary_length(b.column("frame")), pa.int64()
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 neighbors for the first 8 vectors."""
     import pyarrow.parquet as pq
@@ -961,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expand_json_evolution": q_expand_json_evolution,
         "asof_join_orders": q_asof_join_orders,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1250,6 +1287,27 @@ def oracle_sql() -> dict[str, str]:
                        - 0.5) * 2, 0), 1))
                 ) / 4.0 END AS quality
             FROM c
+        """,
+        # FrameSample stub: frame f = payload[f*step : (f+1)*step] with
+        # step = max(1, len(payload) // n_frames); payload = utf8(text).
+        # Null payloads emit no frames; slices may be empty (still rows).
+        "media_frames": """
+            WITH m AS (
+              SELECT doc_id AS media_id, strlen(text) AS nb
+              FROM documents WHERE text IS NOT NULL
+            ),
+            f AS (
+              SELECT media_id, nb,
+                     greatest(1, nb // 4) AS step,
+                     unnest(generate_series(0, 3)) AS frame_index
+              FROM m
+            )
+            SELECT media_id,
+                   CAST(frame_index AS INTEGER) AS frame_index,
+                   CAST(greatest(0, least(nb, (frame_index + 1) * step)
+                                    - least(nb, frame_index * step)) AS BIGINT)
+                       AS frame_bytes
+            FROM f
         """,
         "media_features": """
             SELECT doc_id AS media_id,
