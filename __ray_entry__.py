@@ -491,6 +491,30 @@ def q_media_features(sf_dir: str):
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_sanitize_names(sf_dir: str):
+    """U6 AvroUtils.sanitizeColumnName at the driver surface: synthesize
+    messy field names (leading digits, dots, dashes, spaces) from the
+    documents table and sanitize them (utils/AvroUtils.java:26-48)."""
+    from connect_smts_ray.core.schema import sanitize_column_name
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        srcs = b.column("source").to_pylist()
+        raw = [
+            f"{i % 10}{(s or '')}.field-{i % 7} x" for i, s in zip(ids, srcs)
+        ]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "raw_name": pa.array(raw, type=pa.string()),
+            "sanitized": pa.array(
+                [sanitize_column_name(r) for r in raw], type=pa.string()
+            ),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 def q_media_frames(sf_dir: str):
     """Multimodal frame sampling: binary payloads → n_frames pseudo-frames
     per media row (flat_map-shaped actor stage). Frame bytes are
@@ -998,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_orders": q_asof_join_orders,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "sanitize_names": q_sanitize_names,
     }
 
 
@@ -1287,6 +1312,21 @@ def oracle_sql() -> dict[str, str]:
                        - 0.5) * 2, 0), 1))
                 ) / 4.0 END AS quality
             FROM c
+        """,
+        "sanitize_names": """
+            WITH raw AS (
+              SELECT doc_id,
+                     CAST(doc_id % 10 AS VARCHAR) || coalesce(source, '')
+                       || '.field-' || CAST(doc_id % 7 AS VARCHAR) || ' x'
+                       AS raw_name
+              FROM documents
+            )
+            SELECT doc_id, raw_name,
+                   CASE WHEN substr(raw_name, 1, 1) BETWEEN '0' AND '9'
+                        THEN '_' ELSE '' END
+                   || regexp_replace(raw_name, '[^a-zA-Z0-9_]', '_', 'g')
+                       AS sanitized
+            FROM raw
         """,
         # FrameSample stub: frame f = payload[f*step : (f+1)*step] with
         # step = max(1, len(payload) // n_frames); payload = utf8(text).
