@@ -515,6 +515,32 @@ def q_sanitize_names(sf_dir: str):
     return ds.map_batches(build, batch_format="pyarrow")
 
 
+def q_schema_serde(sf_dir: str):
+    """U7 SchemaSerDer wire format at the driver surface: every row runs a
+    full serialize → deserialize → serialize round-trip of the replay
+    bootstrap schema; the oracle pins the resulting wire string as a
+    literal, so any drift in the serialization format (field order, key
+    names, optionality encoding) turns this row red."""
+    import orjson
+
+    from connect_smts_ray.core.schema import stype_from_dict, stype_to_dict
+    from connect_smts_ray.pipelines.replay import PAYLOAD_BOOTSTRAP
+
+    def build(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        wire = orjson.dumps(stype_to_dict(PAYLOAD_BOOTSTRAP)).decode()
+        round_tripped = orjson.dumps(
+            stype_to_dict(stype_from_dict(orjson.loads(wire)))
+        ).decode()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "schema_json": pa.array([round_tripped] * n, type=pa.string()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 def q_media_frames(sf_dir: str):
     """Multimodal frame sampling: binary payloads → n_frames pseudo-frames
     per media row (flat_map-shaped actor stage). Frame bytes are
@@ -1023,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "sanitize_names": q_sanitize_names,
+        "schema_serde": q_schema_serde,
     }
 
 
@@ -1312,6 +1339,12 @@ def oracle_sql() -> dict[str, str]:
                        - 0.5) * 2, 0), 1))
                 ) / 4.0 END AS quality
             FROM c
+        """,
+        "schema_serde": """
+            SELECT doc_id,
+                   '{"type":"STRUCT","name":"out_payload","isOptional":false,"fields":[{"index":0,"name":"commit","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":1,"name":"content","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":2,"name":"lang","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":3,"name":"path","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":4,"name":"repo","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":5,"name":"version","schema":{"type":"INT32","name":null,"isOptional":true}}]}'
+                       AS schema_json
+            FROM documents
         """,
         "sanitize_names": """
             WITH raw AS (
