@@ -323,6 +323,39 @@ def run_upsert(ds, cfg: UpsertConfig, epoch: int = 0):
     )
 
 
+def read_lake_ds(cfg: UpsertConfig):
+    """Distributed merge-on-read: one task per partition runs
+    ``merge_tables`` over that partition's (base + deltas) — partitions are
+    independent, so the read scales with partitions and no single node ever
+    holds more than one partition's state. This is the 100-TB read path;
+    ``read_lake`` below is the small-scale driver-side convenience."""
+    import ray.data
+
+    store = cfg.store()
+    items = []
+    for pid in store.all_partitions():
+        base, deltas = store.read_plan(pid)
+        files = ([store.base_path(pid, base)] if base is not None else []) + [
+            store.state_path(pid, e) for e in deltas
+        ]
+        if files:
+            items.append({"pid": pid, "files": files})
+
+    def merge_batch(b: pa.Table) -> pa.Table:
+        outs = []
+        for row in b.to_pylist():
+            tables = [pq.read_table(f) for f in row["files"]]
+            outs.append(merge_tables(tables, cfg))
+        return pa.concat_tables(_align_schemas(outs))
+
+    if not items:
+        return ray.data.from_items([])
+    # batch_size=1 → exactly one merge task per partition
+    return ray.data.from_items(items).map_batches(
+        merge_batch, batch_size=1, batch_format="pyarrow"
+    )
+
+
 def read_lake(cfg: UpsertConfig) -> pa.Table:
     """Final table state = f(committed manifests): per partition, LWW
     merge-on-read of (latest base + subsequent deltas), tombstones applied.

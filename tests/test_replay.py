@@ -299,3 +299,16 @@ def test_compaction_preserves_state_and_old_bytes(ray_session, tmp_path):
     rows = dict(zip(state.column("path").to_pylist(),
                     state.column("content").to_pylist()))
     assert rows["a"] == "a3" and rows["b"] == "b3"
+
+
+def test_read_lake_ds_matches_driver_read(ray_session, cfg):
+    """The distributed merge-on-read path must equal the driver-side read."""
+    from connect_smts_ray.sinks.upsert import read_lake, read_lake_ds
+
+    replay(cfg, fresh=True)
+    got = read_lake_ds(cfg.upsert()).to_pandas()
+    want = read_lake(cfg.upsert()).to_pandas()
+    key = ["repo", "path"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    assert got.equals(want)
