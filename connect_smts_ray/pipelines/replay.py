@@ -103,6 +103,7 @@ class ReplayConfig:
     # Python object churn inside every actor + lumpy scheduling).
     read_blocks: int | None = None
     target_events_per_block: int = 24576
+    compact_every: int = 8  # forwarded to the upsert sink's compaction
 
     def effective_read_blocks(self, n_corpus_rows: int | None = None) -> int:
         if self.read_blocks is not None:
@@ -119,7 +120,8 @@ class ReplayConfig:
 
     def upsert(self) -> UpsertConfig:
         return UpsertConfig(
-            lake_dir=self.lake_dir, num_partitions=self.num_partitions
+            lake_dir=self.lake_dir, num_partitions=self.num_partitions,
+            compact_every=self.compact_every,
         )
 
     def jose(self) -> JoseConfig:

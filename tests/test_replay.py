@@ -312,3 +312,36 @@ def test_read_lake_ds_matches_driver_read(ray_session, cfg):
     got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
     want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
     assert got.equals(want)
+
+
+def test_resume_with_compaction_reconverges(ray_session, tmp_path, sf_dir):
+    """Epoch-split replay WITH mid-run compaction (compact_every=2 over 4
+    epochs → bases after epochs 1 and 3) must still equal the single-shot
+    replay, and resuming a committed epoch must stay a no-op after its
+    range was compacted away."""
+    single = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_s"),
+        events_per_key=8, num_partitions=4, epochs=1,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    split = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_c"),
+        events_per_key=8, num_partitions=4, epochs=4, compact_every=2,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(single, fresh=True)
+    replay(split, fresh=True)
+    assert state_digest(final_state(single)) == state_digest(final_state(split))
+
+    # at least one partition must actually have compacted
+    store = split.upsert().store()
+    assert any(store.committed_base_epochs(pid)
+               for pid in store.all_partitions())
+
+    # replay epoch 1 (covered by a base) → still skipped, state unchanged
+    from connect_smts_ray.sinks.upsert import run_upsert
+
+    ds = build_event_stream(split, epoch=1)
+    lin = run_upsert(ds, split.upsert(), epoch=1).to_pandas()
+    assert lin["skipped"].all()
+    assert state_digest(final_state(split)) == state_digest(final_state(single))
