@@ -224,6 +224,24 @@ def run_scaling() -> dict:
                 continue
         raise RuntimeError(f"no JSON result line in child output:\n{out[-2000:]}")
 
+    def wait_quiet(max_wait_s: float, probe_s: float = 5.0,
+                   max_steal_core_s: float = 0.3) -> float:
+        """Block until a probe window shows co-tenant steal below the
+        threshold (or the wait budget runs out). The hypervisor on this box
+        steals 1-3 cores in bursts, swinging identical runs 2×; measuring
+        inside a quiet window is the only way a wall-clock RATIO means
+        anything. Returns the last probe's steal (core-s)."""
+        t0 = time.perf_counter()
+        while True:
+            s0 = _cpu_jiffies()[1]
+            time.sleep(probe_s)
+            steal = (_cpu_jiffies()[1] - s0) / 100.0
+            if steal <= max_steal_core_s or (
+                time.perf_counter() - t0 > max_wait_s
+            ):
+                return steal
+
+    quiet_budget = float(os.environ.get("GRAFT_QUIET_WAIT_S", "480"))
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     # Sustained-throughput protocol: INTERLEAVED repeats (8,32,8,32,...),
     # keep the best per level. The host throttles sustained load after the
@@ -232,6 +250,7 @@ def run_scaling() -> dict:
     # later; interleaving exposes both levels to early and late windows.
     runs = {lo_cpu: [], hi_cpu: []}
     for _ in range(repeats):
+        wait_quiet(quiet_budget)
         for ncpu in (lo_cpu, hi_cpu):
             runs[ncpu].append(run(ncpu))
     # Efficiency is a RATIO, so both runs must see the same host conditions:
