@@ -109,6 +109,8 @@ def murmur2_positive_many(values) -> np.ndarray:
             # misroute it; callers must filter/raise first (the Outbox
             # raises the reference's "Unable to find partition_key").
             raise ValueError("murmur2_positive_many: null key in input")
+        if pa.types.is_string(values.type) or pa.types.is_binary(values.type):
+            return _murmur2_positive_arrow(values)
         buf = [v.as_py() for v in values]
         data = [v.encode() if isinstance(v, str) else v for v in buf]
     else:
@@ -143,6 +145,33 @@ def murmur2_positive_many(values) -> np.ndarray:
             ).reshape(len(idx), length)
             out[idx] = _murmur2_same_length(flat, len(idx), int(length))
         i = j
+    return out & np.uint32(0x7FFFFFFF)
+
+
+def _murmur2_positive_arrow(arr: pa.Array) -> np.ndarray:
+    """Zero-copy fast path: hash straight off the Arrow offsets/data
+    buffers — no per-row Python at all. Length groups gather their bytes
+    with one fancy-index into the shared uint8 view."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lengths = np.diff(offsets)
+    out = np.empty(n, dtype=np.uint32)
+    for length in np.unique(lengths):
+        rows = np.nonzero(lengths == length)[0]
+        if length == 0:
+            h = (_SEED ^ 0) & _MASK
+            h ^= h >> 13
+            h = (h * _M) & _MASK
+            h ^= h >> 15
+            out[rows] = np.uint32(h)
+            continue
+        flat = data[offsets[rows][:, None] + np.arange(length)]
+        out[rows] = _murmur2_same_length(flat, len(rows), int(length))
     return out & np.uint32(0x7FFFFFFF)
 
 

@@ -317,3 +317,32 @@ def test_ivf_training_sample_unbiased(ray_session):
     picked = s1[:, 0].astype(int)
     assert len(picked) == 200
     assert picked.max() > 1500 and picked.min() < 500  # spread, not head
+
+
+def test_vectorized_key_and_murmur_equivalence():
+    """The Arrow-kernel composite-key builder and the zero-copy murmur2
+    buffer path must agree byte-for-byte with the scalar references
+    (nulls, unicode, embedded separator bytes, empty strings)."""
+    from connect_smts_ray.core.hashing import (
+        murmur2_positive,
+        murmur2_positive_many,
+    )
+    from connect_smts_ray.sinks.upsert import (
+        composite_key_array,
+        composite_key_bytes,
+    )
+
+    t = pa.table({
+        "repo": ["r1", None, "a\x1fb", "émoji™", "", "r1"],
+        "path": ["p", "p2", "x", "p\x1f", None, ""],
+    })
+    old = composite_key_bytes(t, ("repo", "path"))
+    new = [s.encode() for s in composite_key_array(t, ("repo", "path")).to_pylist()]
+    assert old == new
+
+    arr = pa.array(["", "a", "some-partition-key", "émoji™-key",
+                    "1234-5678", "x" * 37])
+    fast = murmur2_positive_many(arr)
+    slow = np.array([murmur2_positive(s.encode()) for s in arr.to_pylist()],
+                    dtype=np.uint32)
+    assert (fast == slow).all()
