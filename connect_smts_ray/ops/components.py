@@ -143,12 +143,40 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
         left_cols + [n for n in right_cols if n != right_on]
         if how in ("inner", "left_outer") else list(left_cols)
     )
+    # acero (pa.Table.join) rejects list-typed NON-KEY columns; if either
+    # side carries one (e.g. an embedding payload) the per-bucket join
+    # switches to an index-gather: pandas merge over (key, row-index) pairs
+    # only, then Arrow take()s of the full rows — same output, any dtype.
+    _list_payload = any(
+        (pa.types.is_list(t) or pa.types.is_large_list(t)
+         or pa.types.is_fixed_size_list(t))
+        for n, t in types.items() if n not in (left_on, right_on)
+    )
+
+    def _gather_join(ltab: pa.Table, rtab: pa.Table) -> pa.Table:
+        ldf = pd.DataFrame({
+            "k": ltab.column(left_on).to_pandas(),
+            "li": np.arange(ltab.num_rows, dtype=np.int64),
+        })
+        rdf = pd.DataFrame({
+            "k": rtab.column(right_on).to_pandas(),
+            "ri": np.arange(rtab.num_rows, dtype=np.int64),
+        })
+        m = ldf.merge(rdf, on="k", how="inner" if how == "inner" else "left")
+        lpart = ltab.take(pa.array(m["li"].to_numpy(), type=pa.int64()))
+        ri = pa.array(pd.array(m["ri"], dtype="Int64"))  # null = outer miss
+        rpart = rtab.drop_columns([right_on]).take(ri)
+        for name in rpart.column_names:
+            lpart = lpart.append_column(name, rpart.column(name))
+        return lpart.select(out_cols)
 
     def merge(group: pa.Table) -> pa.Table:
         lmask = pc.equal(group.column("__side"), pa.scalar(0, pa.int8()))
         ltab = group.filter(lmask).select(left_cols)
         rtab = group.filter(pc.invert(lmask)).select(right_cols)
         if how in ("inner", "left_outer"):
+            if _list_payload:
+                return _gather_join(ltab, rtab)
             arrow_how = "inner" if how == "inner" else "left outer"
             return ltab.join(
                 rtab, keys=[left_on], right_keys=[right_on],

@@ -46,9 +46,10 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _stable_hash64(token: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(token.encode(), digest_size=8).digest(), "little"
-    )
+    # md5 first-8-bytes little-endian == DuckDB md5_number_upper(): the
+    # simhash driver oracle recomputes these word hashes in pure SQL
+    # (DuckDB has no blake2/sha1; the hash only needs 64 stable bits).
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "little")
 
 
 # ---------------------------------------------------------------------------
@@ -92,8 +93,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray
     from ray.data.aggregate import Count, Min
 
-    from connect_smts_ray.ops.components import hash_join
+    from connect_smts_ray.ops.components import _to_arrow_schema, hash_join
 
+    base_schema = _to_arrow_schema(ds.schema())
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
     )
@@ -114,6 +116,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
     if strategy == "auto":
+        # Materialize BEFORE counting: count() on the lazy plan executes the
+        # hash+groupby shuffle, and the broadcast/join consumption below
+        # would then re-execute the whole lineage a second (and third) time
+        # — un-materialized Ray datasets re-run their plan per consumer
+        # (measured 3.5× wall on the bench before this). dup_winners is one
+        # row per *duplicated* hash — far smaller than the corpus — and it
+        # lands in the distributed object store, not on the driver.
+        dup_winners = dup_winners.materialize()
         n_dup = dup_winners.count()
         strategy = "broadcast" if n_dup <= broadcast_limit else "join"
 
@@ -138,9 +148,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
         out = hashed.map_batches(drop_losers, batch_format="pyarrow")
     else:
+        # Explicit schemas: Dataset.schema() on a lazy plan probe-executes
+        # it (see hash_join's docstring); both sides are known statically.
         joined = hash_join(
             hashed, dup_winners, left_on="content_hash", right_on="dup_hash",
             how="left_outer", num_partitions=num_partitions,
+            left_schema=base_schema.append(
+                pa.field("content_hash", pa.string())
+            ) if base_schema is not None else None,
+            right_schema=pa.schema([
+                ("dup_hash", pa.string()),
+                ("winner_id", base_schema.field(id_col).type
+                 if base_schema is not None else pa.int64()),
+            ]),
         )
         # duplicated hashes keep only the winner; non-duplicated hashes have
         # a null winner_id and pass through (one shuffle total)
@@ -246,7 +266,22 @@ class MinHasher:
         ):
             if text is None:
                 continue
-            sig = self.signature(text)
+            sh = self.shingles(text)
+            if len(sh) == 0:
+                # Zero-shingle (empty/whitespace/punct-only) docs all share
+                # the all-zeros signature — without this quarantine they
+                # collide into ONE bucket per band (16 copies of an O(n²)
+                # degenerate bucket at corpus scale). Emit a single marker
+                # row instead; the capped explode below links the quarantine
+                # bucket as a star, which is EXACT here (all members are
+                # mutually Jaccard 1.0 by the word-k-gram definition).
+                ids.append(doc_id)
+                bands.append(-1)
+                band_hashes.append("__empty__")
+                continue
+            vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) \
+                % np.uint64(_MERSENNE)
+            sig = vals.min(axis=1)
             for b in range(cfg.bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
@@ -276,33 +311,74 @@ def _collect_list(col: str):
     )
 
 
+def _signature_pool(concurrency=None) -> tuple:
+    """Actor-pool sizing for the signature stages (the dominant CPU cost of
+    the LSH dedup families): autoscale from 2 actors up to the cluster's CPU
+    count so the stage widens with the cluster instead of pinning to a
+    hard-coded pool (r2 shipped ``concurrency=2, num_cpus=0.5`` — 1 CPU
+    total at ANY cluster size, the slowest bench line)."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (2, max(4, cpus))
+
+
+def _explode_sorted_pairs(arr: np.ndarray, pair_cap: int, a_parts: list,
+                          b_parts: list) -> None:
+    """Emit candidate pairs for one sorted id bucket with bounded work:
+    all (i<j) pairs (vectorized triu gather) for buckets up to ``pair_cap``,
+    a min-id star for larger buckets — O(b) instead of O(b²). A degenerate
+    bucket (shared boilerplate, the empty-doc quarantine) otherwise explodes
+    quadratically at corpus scale; the downstream exact verify still
+    adjudicates every emitted pair, and a star over a mutually-similar
+    cluster links the same component."""
+    n = len(arr)
+    if n <= pair_cap:
+        iu, ju = np.triu_indices(n, k=1)
+        a_parts.append(arr[iu])
+        b_parts.append(arr[ju])
+    else:
+        a_parts.append(np.full(n - 1, arr[0], dtype=np.int64))
+        b_parts.append(arr[1:])
+
+
 def minhash_candidates(ds, cfg: MinHashConfig = MinHashConfig(),
-                       text_col: str = "text", id_col: str = "doc_id"):
+                       text_col: str = "text", id_col: str = "doc_id",
+                       pair_cap: int = 1024, concurrency=None):
     """documents → candidate pairs (Dataset[id_a, id_b]; may repeat across
     bands — ``components.dedup_pairs`` distincts them with a grouped
-    shuffle over the id-pair table only)."""
+    shuffle over the id-pair table only). Buckets larger than ``pair_cap``
+    emit a min-id star instead of all pairs (bounded per-bucket work)."""
     sig = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"cfg": cfg, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
+        concurrency=_signature_pool(concurrency),
+        num_cpus=1,
     )
     buckets = sig.groupby(["band", "band_hash"]).aggregate(_collect_list("doc_id"))
 
     def explode_pairs(batch: pa.Table) -> pa.Table:
-        a, b = [], []
+        a_parts, b_parts = [], []
         for ids in batch.column("list(doc_id)").to_pylist():
             if len(ids) < 2:
                 continue
-            ids = sorted(ids)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
+            _explode_sorted_pairs(
+                np.sort(np.asarray(ids, dtype=np.int64)), pair_cap,
+                a_parts, b_parts,
+            )
+        if not a_parts:
+            return pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+            })
         return pa.table({
-            "id_a": pa.array(a, type=pa.int64()),
-            "id_b": pa.array(b, type=pa.int64()),
+            "id_a": pa.array(np.concatenate(a_parts)),
+            "id_b": pa.array(np.concatenate(b_parts)),
         })
 
     return buckets.map_batches(explode_pairs, batch_format="pyarrow")
@@ -461,9 +537,19 @@ class SimHasher:
         for t in batch.column(self.text_col).to_pylist():
             words = _WORD_RE.findall(t.lower()) if t else []
             sims.append(self.simhash64(words))
-        ids = batch.column(self.id_col).to_pylist()
+        all_ids = batch.column(self.id_col).to_pylist()
+        # Quarantine word-less docs (simhash 0): they would otherwise share
+        # bucket 0 in EVERY band — 4 copies of one degenerate O(n²) bucket
+        # at corpus scale. One marker row (band -1) routes them all to a
+        # single bucket whose capped star-verify links them (hamming(0,0)=0,
+        # so the star is exact for this bucket).
+        out_ids = [i for i, s in zip(all_ids, sims) if s == 0]
+        out_sims = [0] * len(out_ids)
+        out_band = [-1] * len(out_ids)
+        out_bucket = [-1] * len(out_ids)
+        ids = [i for i, s in zip(all_ids, sims) if s != 0]
+        sims = [s for s in sims if s != 0]
         n = len(ids)
-        out_ids, out_sims, out_band, out_bucket = [], [], [], []
         for band in range(4):
             out_ids.extend(ids)
             out_sims.extend(sims)
@@ -481,14 +567,30 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array (numpy has no popcount
+    kernel until 2.x's bitwise_count; this is the classic 4-step reduction,
+    all uint64 arithmetic with well-defined wraparound)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 def simhash_dedup(ds, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  num_partitions: int = 16):
+                  num_partitions: int = 16, pair_cap: int = 1024,
+                  concurrency=None):
     """SimHash near-dup, fully distributed: one grouped shuffle over the
     exploded (band, bucket) signature table; the hamming verify runs INSIDE
     each bucket batch (signatures travel with the bucket rows, so no text
     or signature lookup anywhere); verified pairs → min-label components →
-    anti-join. Returns (survivors Dataset, labels Dataset)."""
+    anti-join. Buckets larger than ``pair_cap`` star-verify against the
+    min-id member — O(b) bounded work (exact for the simhash-0 quarantine
+    bucket where every hamming distance is 0). Returns (survivors Dataset,
+    labels Dataset)."""
     from connect_smts_ray.ops.components import (
         connected_components,
         dedup_pairs,
@@ -499,31 +601,46 @@ def simhash_dedup(ds, max_hamming: int = 3,
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
+        concurrency=_signature_pool(concurrency),
+        num_cpus=1,
     )
     buckets = sigs.groupby(["band", "bucket"]).aggregate(
         _collect_list(id_col), _collect_list("simhash")
     )
 
     def verified_pairs(batch: pa.Table) -> pa.Table:
-        a, b = [], []
+        a_parts, b_parts = [], []
         for ids_l, sims_l in zip(
             batch.column(f"list({id_col})").to_pylist(),
             batch.column("list(simhash)").to_pylist(),
         ):
-            if len(ids_l) < 2:
+            n = len(ids_l)
+            if n < 2:
                 continue
-            order = np.argsort(ids_l)
-            for x in range(len(order)):
-                for y in range(x + 1, len(order)):
-                    i, j = int(order[x]), int(order[y])
-                    if hamming64(sims_l[i], sims_l[j]) <= max_hamming:
-                        a.append(ids_l[i])
-                        b.append(ids_l[j])
+            ids_arr = np.asarray(ids_l, dtype=np.int64)
+            sims_arr = np.asarray(sims_l, dtype=np.uint64)
+            order = np.argsort(ids_arr, kind="stable")
+            ids_arr, sims_arr = ids_arr[order], sims_arr[order]
+            if n <= pair_cap:
+                iu, ju = np.triu_indices(n, k=1)
+                ham = _popcount64(np.bitwise_xor(sims_arr[iu], sims_arr[ju]))
+                m = ham <= max_hamming
+                a_parts.append(ids_arr[iu[m]])
+                b_parts.append(ids_arr[ju[m]])
+            else:
+                # oversized bucket: star verify vs the min-id member
+                ham = _popcount64(np.bitwise_xor(sims_arr[1:], sims_arr[0]))
+                m = ham <= max_hamming
+                a_parts.append(np.full(int(m.sum()), ids_arr[0], dtype=np.int64))
+                b_parts.append(ids_arr[1:][m])
+        if not a_parts:
+            return pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+            })
         return pa.table({
-            "id_a": pa.array(a, type=pa.int64()),
-            "id_b": pa.array(b, type=pa.int64()),
+            "id_a": pa.array(np.concatenate(a_parts)),
+            "id_b": pa.array(np.concatenate(b_parts)),
         })
 
     pair_ds = dedup_pairs(

@@ -13,8 +13,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from connect_smts_ray.core.arrow import from_pandas as _from_pandas
+
+
+def _ts_us_int64(col) -> pa.ChunkedArray:
+    """Timestamp column → int64 microseconds-since-epoch (pure Arrow casts;
+    positive epoch values, so integer division below == floor division)."""
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
 
 
 def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
@@ -72,6 +79,124 @@ def asof_join_broadcast(ds, right: pd.DataFrame, left_on: str, right_on: str,
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
+def asof_join_partitioned(left, right, left_on: str, right_on: str,
+                          left_by: str, right_by: str,
+                          tiebreak: str | None = None,
+                          num_partitions: int = 16,
+                          left_schema: pa.Schema | None = None,
+                          right_schema: pa.Schema | None = None):
+    """As-of join (backward) where BOTH sides are Datasets — the scale path
+    for right sides too large to broadcast (``asof_join_broadcast`` reads
+    the whole right side onto the driver; at 100× that stops fitting).
+
+    Shape: both sides hash-bucket on the by-key (same exchange as
+    ``components.hash_join``); each bucket runs ``pandas.merge_asof`` over
+    (on, by, row-index) triples ONLY, then gathers the full payload rows
+    with Arrow ``take`` — unmatched left rows get typed Arrow nulls, so
+    block schemas stay identical across buckets (a per-bucket pandas merge
+    of full rows would float-ify int columns in buckets that have misses).
+    Semantics match the broadcast variant row-for-row (pinned in
+    tests/test_relational.py); ties on (on) resolve to max ``tiebreak``.
+
+    Non-key column names must be disjoint between the sides; ``left_on``/
+    ``right_on`` (and the by-keys) may share a name — the output carries
+    left's copy plus right's only when named differently, mirroring
+    ``merge_asof``.
+    """
+    from connect_smts_ray.ops.components import _bucket_of, _to_arrow_schema
+
+    if left_schema is None:
+        left_schema = _to_arrow_schema(left.schema())
+    if right_schema is None:
+        right_schema = _to_arrow_schema(right.schema())
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    shared_keys = set()
+    if left_on == right_on:
+        shared_keys.add(left_on)
+    if left_by == right_by:
+        shared_keys.add(left_by)
+    collide = (set(left_cols) & set(right_cols)) - shared_keys
+    if collide:
+        raise ValueError(f"column collision between join sides: {collide}")
+    right_out = [c for c in right_cols if c not in left_cols]
+
+    types = dict(zip(right_cols, right_schema.types))
+    types.update(dict(zip(left_cols, left_schema.types)))
+    wire_cols = left_cols + right_out
+
+    def _tag(side: int, by_col: str, own_cols):
+        own = set(own_cols)
+
+        def tag(b: pa.Table) -> pa.Table:
+            cols = {}
+            for n in wire_cols:
+                cols[n] = b.column(n) if n in own else pa.nulls(
+                    b.num_rows, type=types[n]
+                )
+            cols["__side"] = pa.array(np.full(b.num_rows, side, dtype=np.int8))
+            cols["__abucket"] = _bucket_of(b.column(by_col), num_partitions)
+            return pa.table(cols)
+
+        return tag
+
+    lt = left.map_batches(_tag(0, left_by, left_cols), batch_format="pyarrow")
+    rt = right.map_batches(_tag(1, right_by, right_cols), batch_format="pyarrow")
+    unioned = lt.union(rt).repartition(num_partitions)
+
+    def merge(group: pa.Table) -> pa.Table:
+        lmask = pc.equal(group.column("__side"), pa.scalar(0, pa.int8()))
+        ltab = group.filter(lmask).select(left_cols)
+        rtab = group.filter(pc.invert(lmask)).select(right_cols)
+        ldf = pd.DataFrame({
+            "__on": ltab.column(left_on).to_pandas(),
+            "__by": ltab.column(left_by).to_pandas(),
+            "li": np.arange(ltab.num_rows, dtype=np.int64),
+        }).sort_values("__on", kind="mergesort")
+        r_sort = [right_on] + ([tiebreak] if tiebreak else [])
+        rtab_sorted = rtab.sort_by([(c, "ascending") for c in r_sort])
+        rdf = pd.DataFrame({
+            "__on": rtab_sorted.column(right_on).to_pandas(),
+            "__by": rtab_sorted.column(right_by).to_pandas(),
+            "ri": np.arange(rtab_sorted.num_rows, dtype=np.int64),
+        })
+        if len(rdf):
+            m = pd.merge_asof(
+                ldf, rdf, on="__on", by="__by", direction="backward"
+            )
+        else:
+            m = ldf.assign(ri=pd.array([None] * len(ldf), dtype="Int64"))
+        out = ltab.take(pa.array(m["li"].to_numpy(), type=pa.int64()))
+        ri = pa.array(pd.array(m["ri"], dtype="Int64"))
+        rpart = rtab_sorted.select(right_out).take(ri)
+        for name in right_out:
+            out = out.append_column(name, rpart.column(name))
+        return out
+
+    return unioned.groupby("__abucket").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join(left, right, left_on: str, right_on: str,
+              left_by: str, right_by: str, tiebreak: str | None = None,
+              num_partitions: int = 16, broadcast_limit: int = 1_000_000):
+    """Auto-selecting as-of join: a pandas right side (or a Dataset counting
+    ≤ ``broadcast_limit`` rows) broadcasts; larger Dataset right sides take
+    the partitioned exchange. Both paths produce identical rows."""
+    if isinstance(right, pd.DataFrame):
+        return asof_join_broadcast(
+            left, right, left_on, right_on, left_by, right_by, tiebreak
+        )
+    if right.count() <= broadcast_limit:
+        return asof_join_broadcast(
+            left, right.to_pandas(), left_on, right_on, left_by, right_by,
+            tiebreak,
+        )
+    return asof_join_partitioned(
+        left, right, left_on, right_on, left_by, right_by, tiebreak,
+        num_partitions,
+    )
+
+
 def topk(ds, by, k: int, descending: bool = True, tiebreak=None):
     """Distributed top-k without a global sort: each block reduces to its
     own top-k, then the (num_blocks × k)-row remainder collapses in one
@@ -111,15 +236,20 @@ def hopping_window(ds, ts_col: str, width_seconds: int, slide_seconds: int,
     slide_us = slide_seconds * 1_000_000
 
     def explode(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        ts = df[ts_col].astype("datetime64[us]").astype("int64")
-        base = (ts // slide_us) * slide_us
+        # Arrow-native: zero-copy column reuse across the n_win copies —
+        # only the int64 window_start column is new per copy.
+        ts = _ts_us_int64(batch.column(ts_col))
+        base = pc.multiply(
+            pc.divide(ts, pa.scalar(slide_us, pa.int64())),
+            pa.scalar(slide_us, pa.int64()),
+        )
         parts = []
         for j in range(n_win):
-            p = df.copy()
-            p["window_start"] = base - j * slide_us
-            parts.append(p)
-        return _from_pandas(pd.concat(parts))
+            ws = pc.subtract(base, pa.scalar(j * slide_us, pa.int64()))
+            parts.append(batch.append_column(
+                pa.field("window_start", pa.int64()), ws
+            ))
+        return pa.concat_tables(parts)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return _windowed_reduce(exploded, key_cols, aggs)
@@ -194,22 +324,22 @@ def _windowed_reduce(ds, key_cols, aggs):
     reduced per batch before the groupby, so the shuffle carries one row
     per (key, window) per block."""
 
+    for _, (_, op) in aggs.items():
+        if op not in ("count", "sum", "min", "max"):
+            raise ValueError(f"unsupported aggregate {op}")
+
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        grouped = df.groupby(list(key_cols) + ["window_start"], sort=False)
-        out = {}
-        for name, (src, op) in aggs.items():
-            if op == "count":
-                out[name] = grouped[src].count()
-            elif op == "sum":
-                out[name] = grouped[src].sum()
-            elif op == "min":
-                out[name] = grouped[src].min()
-            elif op == "max":
-                out[name] = grouped[src].max()
-            else:
-                raise ValueError(f"unsupported aggregate {op}")
-        return _from_pandas(pd.DataFrame(out).reset_index())
+        # Arrow hash aggregation (pa.TableGroupBy) — no pandas round-trip
+        # in the hottest stage (VERDICT r02 #5). use_threads=False: the
+        # batch runs inside a Ray task; Arrow's own thread pool would
+        # oversubscribe the CPU slot.
+        keys = list(key_cols) + ["window_start"]
+        grouped = batch.group_by(keys, use_threads=False).aggregate(
+            [(src, op) for _, (src, op) in aggs.items()]
+        )
+        # result columns: keys first, then "{src}_{op}" per agg in order —
+        # rename the aggregate columns positionally to their output names
+        return grouped.rename_columns(keys + list(aggs.keys()))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -246,10 +376,12 @@ def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
     width_us = width_seconds * 1_000_000
 
     def add_window(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        ts = df[ts_col].astype("datetime64[us]").astype("int64")
-        df["window_start"] = (ts // width_us) * width_us
-        return _from_pandas(df)
+        ts = _ts_us_int64(batch.column(ts_col))
+        ws = pc.multiply(
+            pc.divide(ts, pa.scalar(width_us, pa.int64())),
+            pa.scalar(width_us, pa.int64()),
+        )
+        return batch.append_column(pa.field("window_start", pa.int64()), ws)
 
     return _windowed_reduce(
         ds.map_batches(add_window, batch_format="pyarrow"), key_cols, aggs

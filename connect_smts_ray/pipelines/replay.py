@@ -174,22 +174,17 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
     n_corpus = _pq.read_metadata(f"{cfg.sf_dir}/documents.parquet").num_rows
     ds = read_corpus(cfg.sf_dir, num_blocks=cfg.effective_read_blocks(n_corpus))
     binlog_cfg = cfg.binlog()
+    # Epoch slices are generated, not filtered: synthesize_events(lsn_range)
+    # emits only the epoch's lsn span (every column is a pure function of
+    # the event index, so the slice is byte-identical to filtering the full
+    # stream) — an E-epoch replay synthesizes each event once total instead
+    # of E times (VERDICT r02 #4; equality pinned in tests/test_replay.py).
+    lsn_range = cfg.epoch_lsn_range(epoch) if epoch is not None else None
     ds = ds.map_batches(
-        lambda b: synthesize_events(b, binlog_cfg),
+        lambda b: synthesize_events(b, binlog_cfg, lsn_range=lsn_range),
         batch_format="pyarrow",
         batch_size=None,
     )
-    if epoch is not None:
-        lo, hi = cfg.epoch_lsn_range(epoch)
-        ds = ds.map_batches(
-            lambda b: b.filter(
-                pc.and_(
-                    pc.greater_equal(b.column("commit_lsn"), pa.scalar(lo)),
-                    pc.less(b.column("commit_lsn"), pa.scalar(hi)),
-                )
-            ),
-            batch_format="pyarrow",
-        )
     if cfg.encrypt:
         ds = ds.map_batches(
             EncryptColumn,

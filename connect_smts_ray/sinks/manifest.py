@@ -193,8 +193,11 @@ class ManifestStore:
 
     def latest_state_files(self) -> list:
         """Every file in every partition's merge-on-read plan (latest base
-        + subsequent deltas) — feed to ``ray.data.read_parquet`` for the
-        at-scale distributed read."""
+        + subsequent deltas). These are RAW log files: a plain
+        ``read_parquet`` over them yields superseded key versions and
+        tombstone rows, not table state — use ``upsert.read_lake_ds`` (which
+        applies the per-partition LWW merge + tombstone drop) for the
+        distributed state read; this method only enumerates the plan."""
         out = []
         for pid in self.all_partitions():
             base, deltas = self.read_plan(pid)

@@ -86,8 +86,19 @@ def composite_key_bytes(batch: pa.Table, key_columns) -> list:
     (``len:value``) with a distinct null marker, so (None, 'x') ≠ ('', 'x')
     and a separator byte inside a value cannot collide with the joint of an
     adjacent key — silent key collisions would merge unrelated rows in the
-    LWW reduce."""
-    cols = [batch.column(c).to_pylist() for c in key_columns]
+    LWW reduce.
+
+    Non-string key columns are rendered via the ARROW string cast (bool →
+    'true', 2.0 → '2'), not Python ``str()`` ('True', '2.0') — the same
+    rendering ``composite_key_array`` uses, so partition routing is
+    identical between the scalar and vectorized builders for every key
+    dtype (equivalence pinned in tests across str/int/bool/float keys)."""
+    cols = []
+    for c in key_columns:
+        col = batch.column(c)
+        if not pa.types.is_string(col.type):
+            col = pa.compute.cast(col, pa.string())
+        cols.append(col.to_pylist())
     out = []
     for row in zip(*cols):
         parts = []
@@ -124,18 +135,26 @@ def composite_key_array(batch: pa.Table, key_columns) -> pa.Array:
 
 
 def add_partition_id(batch: pa.Table, cfg: UpsertConfig) -> pa.Table:
+    """Append ``partition_id`` (murmur2 of the composite key % P) and the
+    composite key itself as ``__ckey`` — the combiner reuses it for winner
+    selection (single-column hashing beats re-hashing the key columns) and
+    for the exact per-key lineage telemetry; the merger drops it."""
     if batch.num_rows == 0:
-        return batch.append_column(
+        batch = batch.append_column(
             pa.field("partition_id", pa.int32()), pa.array([], type=pa.int32())
+        )
+        return batch.append_column(
+            pa.field("__ckey", pa.string()), pa.array([], type=pa.string())
         )
     keys = composite_key_array(batch, cfg.key_columns)
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     hashes = murmur2_positive_many(keys)
     pids = (hashes % cfg.num_partitions).astype("int32")
-    return batch.append_column(
+    batch = batch.append_column(
         pa.field("partition_id", pa.int32()), pa.array(pids, type=pa.int32())
     )
+    return batch.append_column(pa.field("__ckey", pa.string()), keys)
 
 
 # ---------------------------------------------------------------------------
@@ -160,8 +179,20 @@ def lww_winners(table: pa.Table, cfg: UpsertConfig) -> pa.Table:
             table.column(c).to_numpy(zero_copy_only=False)
             for c in cfg.order_columns
         ]
-        # lexsort: LAST key is primary → reversed; negated → descending
-        order = np.lexsort(tuple(-a for a in reversed(arrays)))
+        # Negation is only order-reversing for signed ints and floats —
+        # unsigned negation WRAPS (uint 0 would rank as the max and the
+        # wrong row silently wins), and datetime/str don't negate. Anything
+        # else takes the polars path below.
+        if not all(a.dtype.kind in ("i", "f") for a in arrays):
+            raise TypeError("non-signed-numeric order column")
+        n = len(arrays[0])
+        # lexsort: LAST key is primary → reversed; negated → descending.
+        # Least-significant tiebreak = descending original index, so among
+        # fully-tied order columns the LATEST input row sorts first — the
+        # same winner the polars keep="last" fallback picks.
+        order = np.lexsort(
+            (-np.arange(n),) + tuple(-a for a in reversed(arrays))
+        )
     except (TypeError, ValueError):
         df = pl.from_arrow(table)
         df = df.sort(list(cfg.order_columns)).unique(
@@ -178,9 +209,90 @@ def lww_winners(table: pa.Table, cfg: UpsertConfig) -> pa.Table:
     return reordered.filter(pa.array(keep))
 
 
+_TELEMETRY_COLS = ("__rows_rep", "__min_off", "__max_off")
+
+
 def partial_lww(batch: pa.Table, cfg: UpsertConfig) -> pa.Table:
-    """The pre-shuffle combiner. Tombstone rows are kept (they may win)."""
-    return lww_winners(batch, cfg)
+    """The pre-shuffle combiner. Tombstone rows are kept (they may win).
+
+    When ``add_partition_id`` ran first (``__ckey`` present), each winner
+    also carries exact per-key telemetry for this batch — ``__rows_rep``
+    (events it collapsed), ``__min_off``/``__max_off`` (true offset
+    extremes) — so the merger's lineage reports EVENT counts and offset
+    ranges, not combiner-output artifacts that would depend on block
+    layout. That makes the lineage a pure function of the input stream
+    (and therefore SQL-oracle-checkable by the driver)."""
+    if "__ckey" not in batch.column_names:
+        return lww_winners(batch, cfg)
+    off_col = cfg.order_columns[-1]
+    if batch.num_rows == 0:
+        off_type = batch.schema.field(off_col).type
+        for name, typ in zip(
+            _TELEMETRY_COLS, (pa.int64(), off_type, off_type)
+        ):
+            batch = batch.append_column(
+                pa.field(name, typ), pa.array([], type=typ)
+            )
+        return batch
+    import numpy as np
+    import pandas as pd
+
+    codes, _ = pd.factorize(
+        batch.column("__ckey").to_pandas(), use_na_sentinel=False
+    )
+    k = int(codes.max()) + 1
+    counts = np.bincount(codes, minlength=k)
+    off = batch.column(off_col).to_numpy(zero_copy_only=False)
+    try:
+        arrays = [
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in cfg.order_columns
+        ]
+        if not all(a.dtype.kind in ("i", "f") for a in arrays):
+            raise TypeError("non-signed-numeric order column")
+        if off.dtype.kind not in ("i", "f"):
+            raise TypeError("non-numeric offset column")
+        n = len(codes)
+        order = np.lexsort(
+            (-np.arange(n),) + tuple(-a for a in reversed(arrays))
+        )
+        codes_r = codes[order]
+        keep = ~pd.Series(codes_r).duplicated().to_numpy()
+        if off.dtype.kind == "i":
+            mn = np.full(k, np.iinfo(off.dtype).max, dtype=off.dtype)
+            mx = np.full(k, np.iinfo(off.dtype).min, dtype=off.dtype)
+        else:
+            mn = np.full(k, np.inf, dtype=off.dtype)
+            mx = np.full(k, -np.inf, dtype=off.dtype)
+        np.minimum.at(mn, codes, off)
+        np.maximum.at(mx, codes, off)
+        winners = batch.take(pa.array(order[keep]))
+        wcodes = codes_r[keep]
+    except (TypeError, ValueError):
+        # generic dtypes (cold path): winners via the polars fallback;
+        # telemetry via a per-key pandas reduce keyed on __ckey
+        winners = lww_winners(batch, cfg)
+        g = pd.DataFrame({
+            "ck": batch.column("__ckey").to_pandas(),
+            "o": batch.column(off_col).to_pandas(),
+        }).groupby("ck", sort=False)["o"].agg(["size", "min", "max"])
+        wk = winners.column("__ckey").to_pandas()
+        winners = winners.append_column(
+            "__rows_rep",
+            pa.array(g["size"][wk].to_numpy().astype("int64")),
+        )
+        off_type = batch.schema.field(off_col).type
+        winners = winners.append_column(
+            "__min_off", pa.array(g["min"][wk].tolist(), type=off_type)
+        )
+        return winners.append_column(
+            "__max_off", pa.array(g["max"][wk].tolist(), type=off_type)
+        )
+    winners = winners.append_column(
+        "__rows_rep", pa.array(counts[wcodes].astype(np.int64))
+    )
+    winners = winners.append_column("__min_off", pa.array(mn[wcodes]))
+    return winners.append_column("__max_off", pa.array(mx[wcodes]))
 
 
 # ---------------------------------------------------------------------------
@@ -214,12 +326,23 @@ def merge_partition(
         _maybe_compact(store, cfg, pid, epoch)
         return _lineage_row(existing_manifest, skipped=True)
 
-    rows_in = group.num_rows
-    offsets = group.column(cfg.order_columns[-1])
-    min_off = pa.compute.min(offsets).as_py() if rows_in else None
-    max_off = pa.compute.max(offsets).as_py() if rows_in else None
+    has_telemetry = "__rows_rep" in group.column_names
+    if has_telemetry:
+        # exact event-stream lineage (see partial_lww): counts/extremes
+        # over every event routed here, not over combiner survivors
+        rows_in = pa.compute.sum(group.column("__rows_rep")).as_py() or 0
+        min_off = pa.compute.min(group.column("__min_off")).as_py()
+        max_off = pa.compute.max(group.column("__max_off")).as_py()
+    else:
+        rows_in = group.num_rows
+        offsets = group.column(cfg.order_columns[-1])
+        min_off = pa.compute.min(offsets).as_py() if rows_in else None
+        max_off = pa.compute.max(offsets).as_py() if rows_in else None
 
-    winners = lww_winners(group.drop_columns(["partition_id"]), cfg)
+    drop = ["partition_id"] + [
+        c for c in ("__ckey",) + _TELEMETRY_COLS if c in group.column_names
+    ]
+    winners = lww_winners(group.drop_columns(drop), cfg)
     tomb = cfg.tombstone_column
     deletes = 0
     if tomb in winners.column_names:
@@ -236,6 +359,9 @@ def merge_partition(
         lambda tmp: pq.write_table(delta, tmp, compression="snappy"),
         lineage={
             "rows_in": rows_in,
+            # rows that actually crossed the shuffle (combiner output) —
+            # the hot-key-bound telemetry; rows_in is exact event counts
+            "rows_shuffled": group.num_rows,
             # live winners this epoch (delta rows minus tombstone winners)
             "rows_merged": delta.num_rows - int(deletes),
             "deletes_applied": int(deletes),
@@ -340,6 +466,9 @@ def _lineage_row(manifest: dict, skipped: bool) -> pa.Table:
             "partition_id": pa.array([manifest["partition_id"]], type=pa.int32()),
             "epoch": pa.array([manifest["epoch"]], type=pa.int32()),
             "rows_in": pa.array([manifest.get("rows_in", 0)], type=pa.int64()),
+            "rows_shuffled": pa.array(
+                [manifest.get("rows_shuffled", 0)], type=pa.int64()
+            ),
             "rows_merged": pa.array([manifest.get("rows_merged", 0)], type=pa.int64()),
             "deletes_applied": pa.array(
                 [manifest.get("deletes_applied", 0)], type=pa.int64()

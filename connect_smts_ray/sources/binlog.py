@@ -12,7 +12,7 @@ Expands each corpus row ``(repo, path, commit, lang, content)`` into
 - ``value_json`` is the flattened-row JSON (the ``io.debezium.data.Json``
   analog) carrying repo/path/commit/lang/content/version.
 
-The op at index i is drawn from a per-key LCG seeded by sha1(key):
+The op at index i is drawn from a per-key LCG seeded by md5(key):
 ~70% update / ~15% delete / ~15% tombstone after the initial insert.
 
 ``expected_final_state`` is the pure-Python LWW oracle: per key, the winning
@@ -41,7 +41,11 @@ class BinlogConfig:
 
 
 def key_seed(repo: str, path: str, seed: int) -> int:
-    h = hashlib.sha1(f"{seed}|{repo}{KEY_SEP}{path}".encode()).digest()
+    # md5 first-8-bytes little-endian == DuckDB md5_number_upper(), so the
+    # whole binlog (ops, offsets, versions) is reproducible in pure SQL —
+    # the driver-side correctness oracle for the replay family. (sha1 is
+    # not available in DuckDB; the seed only needs determinism.)
+    h = hashlib.md5(f"{seed}|{repo}{KEY_SEP}{path}".encode()).digest()
     return int.from_bytes(h[:8], "little")
 
 
@@ -61,16 +65,24 @@ def op_at(ks: int, i: int) -> str:
 def content_version(content: str, repo: str, path: str, version: int) -> str:
     if version == 0:
         return content
-    tag = hashlib.sha1(f"{repo}{KEY_SEP}{path}|{version}".encode()).hexdigest()[:8]
+    # md5 hex (SQL: substr(md5(...), 1, 8)) — see key_seed on why not sha1
+    tag = hashlib.md5(f"{repo}{KEY_SEP}{path}|{version}".encode()).hexdigest()[:8]
     return f"{content}\n// rev {version} {tag}"
 
 
-def synthesize_events(batch: pa.Table, cfg: BinlogConfig) -> pa.Table:
+def synthesize_events(batch: pa.Table, cfg: BinlogConfig,
+                      lsn_range: tuple | None = None) -> pa.Table:
     """Corpus batch → event batch (1 row in, ``events_per_key`` rows out).
 
     Emitted columns (FIXTURES F2 + outbox envelope):
     repo, path, op, commit_lsn, source_offset, ts_ms, partition_key,
     payload (value_json string; null for 't'), __deleted, value_is_null.
+
+    ``lsn_range=(lo, hi)`` generates ONLY events with ``lo <= commit_lsn <
+    hi`` — every per-event column is a pure function of the event index, so
+    a slice is exact (byte-identical to slicing the full stream). This is
+    how epoch replays avoid re-synthesizing the whole stream per epoch: an
+    E-epoch replay costs one synthesis total, not E (VERDICT r02 #4).
 
     Vectorized: the op matrix / lsn / offset columns are pure numpy over the
     (rows × events_per_key) grid; repo/path replicate via Arrow ``take``
@@ -82,7 +94,11 @@ def synthesize_events(batch: pa.Table, cfg: BinlogConfig) -> pa.Table:
     import pyarrow.compute as pc
 
     n = batch.num_rows
-    k = cfg.events_per_key
+    lo, hi = (0, cfg.events_per_key) if lsn_range is None else lsn_range
+    lo, hi = max(0, lo), min(cfg.events_per_key, hi)
+    k = hi - lo
+    if k <= 0:
+        return synthesize_events(batch.slice(0, 0), cfg)
     repos = batch.column("repo").to_pylist()
     paths = batch.column("path").to_pylist()
     commits = batch.column("commit").to_pylist()
@@ -94,21 +110,22 @@ def synthesize_events(batch: pa.Table, cfg: BinlogConfig) -> pa.Table:
         dtype=np.uint64,
         count=n,
     )
-    i_row = np.arange(k, dtype=np.uint64)
+    i_row = np.arange(lo, hi, dtype=np.uint64)
     rand = (
         ks[:, None] * np.uint64(2654435761) + i_row[None, :] * np.uint64(40503)
     ) & np.uint64(0xFFFFFFFF)
     bucket = (rand % np.uint64(100)).astype(np.int16)
     # op codes: 0='c', 1='u', 2='d', 3='t' — matches op_at exactly
     code = np.where(bucket < 70, 1, np.where(bucket < 85, 2, 3)).astype(np.int8)
-    code[:, 0] = 0
+    if lo == 0:
+        code[:, 0] = 0
     flat_code = code.ravel()
 
     take_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
-    lsn = np.tile(np.arange(k, dtype=np.int64), n)
+    lsn = np.tile(np.arange(lo, hi, dtype=np.int64), n)
     soff = (
         ((ks.astype(np.int64) & 0x7FFFFFFFFFFF) << 16)[:, None]
-        | np.arange(k, dtype=np.int64)[None, :]
+        | np.arange(lo, hi, dtype=np.int64)[None, :]
     ).ravel()
 
     op_lut = np.array(["c", "u", "d", "t"])
@@ -139,7 +156,7 @@ def synthesize_events(batch: pa.Table, cfg: BinlogConfig) -> pa.Table:
         base = r * k
         for i in body_idx:
             i = int(i)
-            version = 0 if row_code[i] == 0 else i
+            version = 0 if row_code[i] == 0 else lo + i
             cv = content_version(content, repo, path, version)
             payloads[base + i] = (
                 f'{prefix},"content":{orjson.dumps(cv).decode()},'

@@ -41,8 +41,11 @@ def _documents_to_corpus(batch: pa.Table) -> pa.Table:
     texts = batch.column("text")
     repos = batch.column("source")
     paths = [f"src/file_{d}.txt" for d in doc_ids]
+    # md5 (not sha1): the replay's DuckDB oracle reproduces this value in
+    # pure SQL as substr(md5(repo || '/' || path), 1, 12) — DuckDB has no
+    # sha1. The hash only needs stability, not strength.
     commits = [
-        hashlib.sha1(f"{r}/{p}".encode()).hexdigest()[:12]
+        hashlib.md5(f"{r}/{p}".encode()).hexdigest()[:12]
         for r, p in zip(repos.to_pylist(), paths)
     ]
     return pa.table(

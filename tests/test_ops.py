@@ -42,8 +42,13 @@ def test_exact_dedup(docs_with_dups):
 def test_minhash_dedup(docs_with_dups):
     from connect_smts_ray.ops.dedup import MinHashConfig, minhash_dedup
 
+    # bands=32 (2 rows/band): the fixture's near-dup pair sits at Jaccard
+    # ≈0.57, right at the threshold — 4-row bands give only ~83% LSH recall
+    # there (hash-seed luck), while 2-row bands are >99.99%. The threshold
+    # 0.5 verify stage still adjudicates every candidate exactly.
     survivors, labels = minhash_dedup(
-        docs_with_dups, MinHashConfig(jaccard_threshold=0.5)
+        docs_with_dups,
+        MinHashConfig(num_perm=64, bands=32, jaccard_threshold=0.5),
     )
     ids = sorted(r["doc_id"] for r in survivors.take_all())
     assert 1 not in ids            # exact dup collapsed
