@@ -127,7 +127,9 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def q_cdc_replay(sf_dir: str):
-    """Full replay → final LWW table (non-SQL: crypto + manifests)."""
+    """Full replay → final LWW table. SQL-oracled: the md5-seeded binlog
+    is a pure function of (repo, path, i), so _replay_final_state_sql
+    reconstructs the exact expected lake state in DuckDB."""
     from connect_smts_ray.pipelines.replay import (
         ReplayConfig,
         final_state,
@@ -287,7 +289,9 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup survivors (non-SQL)."""
+    """SimHash near-dup survivors. SQL-oracled via _simhash_cc_sql: at
+    max_hamming=2 the 4-band LSH has guaranteed recall (pigeonhole), so
+    the all-pairs hamming graph is the exact expected result."""
     from connect_smts_ray.ops.dedup import simhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -596,7 +600,14 @@ def q_knn_bruteforce(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-5 (non-SQL; recall tested in pytest)."""
+    """IVF-bucketed approximate top-5. SQL-oracled against the EXACT
+    cosine top-k: at n_probe=14 of 16 centroids the probed buckets cover
+    every true neighbor of the 8 query vectors on this corpus (verified
+    at sf0.001 and sf0.01), so the approximate result must equal the
+    exact one bit-for-bit — a strict gate on centroid training, bucket
+    assignment, probe selection, per-block top-k and the tie-stable
+    merge. Pruning stays real (2 of 16 buckets skipped); the default
+    n_probe=4 recall behavior is pinned separately in pytest."""
     import pyarrow.parquet as pq
 
     from connect_smts_ray.ops.similarity import IvfConfig, knn_ivf
@@ -608,7 +619,7 @@ def q_knn_ivf(sf_dir: str):
     qvecs = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return knn_ivf(
-        ds, qvecs, k=5, cfg=IvfConfig(),
+        ds, qvecs, k=5, cfg=IvfConfig(n_probe=14),
         query_ids=qt.column("vec_id").to_pylist(),
     ).select(["query_id", "neighbor_id", "rank"])
 
@@ -1121,6 +1132,237 @@ def _jaccard_cc_sql(threshold: float) -> str:
     """
 
 
+def _binlog_corpus_sql(seed: int = 42) -> str:
+    """CTE body reproducing sources/corpus._documents_to_corpus +
+    sources/binlog.key_seed in pure SQL: repo = source, path =
+    src/file_{doc_id}.txt, commit = substr(md5(repo||'/'||path),1,12), and
+    the per-key binlog seed ks = md5 first-8-bytes little-endian ==
+    DuckDB md5_number_upper (binlog.py:43-49)."""
+    return f"""
+corpus AS (
+  SELECT source AS repo,
+         'src/file_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         substr(md5(source || '/' || 'src/file_' || CAST(doc_id AS VARCHAR)
+                    || '.txt'), 1, 12) AS "commit",
+         lang, text AS content
+  FROM documents
+),
+seeded AS (
+  SELECT *,
+         md5_number_upper('{seed}|' || repo || chr(31) || path) AS ks
+  FROM corpus
+)"""
+
+
+def _binlog_ev_sql(events_per_key: int) -> str:
+    """Event grid over ``seeded``: op code at index i from the LCG
+    (binlog.op_at — rand = (ks*2654435761 + i*40503) mod 2^32, bucket
+    rand%100; 0='c' forced at i=0, <70 'u', <85 'd', else 't') and the
+    globally-unique source_offset ((ks & 0x7fffffffffff) << 16) | i.
+    HUGEINT keeps the uint64×uint32 product exact."""
+    return f"""
+ev AS (
+  SELECT seeded.*, t.i,
+    CASE WHEN t.i = 0 THEN 0
+         WHEN ((CAST(ks AS HUGEINT) * 2654435761 + t.i * 40503)
+               % 4294967296) % 100 < 70 THEN 1
+         WHEN ((CAST(ks AS HUGEINT) * 2654435761 + t.i * 40503)
+               % 4294967296) % 100 < 85 THEN 2
+         ELSE 3 END AS code,
+    CAST(ks % 140737488355328 AS BIGINT) * 65536 + t.i AS soff
+  FROM seeded
+  CROSS JOIN (SELECT unnest(generate_series(0, {events_per_key - 1})) AS i) t
+)"""
+
+
+def _replay_final_state_sql(events_per_key: int = 6, seed: int = 42) -> str:
+    """The cdc_replay LWW oracle in pure SQL: synthesize the binlog grid,
+    drop tombstones (code 3 — the Outbox discards them before the sink,
+    binlog.py:215), take the max-lsn winner per key, drop keys whose winner
+    is a delete, and rebuild the winning content revision string
+    (binlog.content_version — content + '\\n// rev {{v}} {{md5-tag}}').
+    Verified cell-for-cell against binlog.expected_final_state, which the
+    engine's replay matches sha256-exact (tests/test_replay.py)."""
+    return f"""
+        WITH {_binlog_corpus_sql(seed)},
+        {_binlog_ev_sql(events_per_key)},
+        win AS (
+          SELECT repo, path, any_value("commit") AS "commit",
+                 any_value(lang) AS lang, any_value(content) AS content,
+                 max(i) FILTER (WHERE code <> 3) AS win_i,
+                 arg_max(code, i) FILTER (WHERE code <> 3) AS win_code,
+                 coalesce(max(CASE WHEN code = 1 THEN i END), 0) AS v
+          FROM ev
+          GROUP BY repo, path
+        )
+        SELECT repo, path, "commit", lang,
+               CASE WHEN v = 0 THEN content
+                    ELSE content || chr(10) || '// rev ' || CAST(v AS VARCHAR)
+                         || ' ' || substr(md5(repo || chr(31) || path || '|'
+                                          || CAST(v AS VARCHAR)), 1, 8)
+               END AS content,
+               CAST(v AS INTEGER) AS version,
+               CAST(win_i AS BIGINT) AS commit_lsn
+        FROM win
+        WHERE win_code <> 2
+    """
+
+
+def _replay_lineage_sql(events_per_key: int = 6, seed: int = 42,
+                        num_partitions: int = 8) -> str:
+    """Per-partition replay lineage in pure SQL: the composite key
+    (length-prefixed ``len:repo\\x1flen:path``, sinks/upsert.py:84-112) is
+    hashed with the same recursive-CTE Kafka murmur2 used by the outbox
+    oracle, then events aggregate per partition — rows_in counts every
+    c/u/d event routed there (the combiner's exact __rows_rep telemetry),
+    rows_merged/deletes split keys by whether the max-lsn winner is a
+    delete, offsets are true event extremes."""
+    M = "CAST(1540483477 AS BIGINT)"
+    U32 = "4294967296"
+    chunk = (
+        "(CAST(unicode(substr(s, i*4+1, 1)) AS BIGINT)"
+        " + CAST(unicode(substr(s, i*4+2, 1)) AS BIGINT) * 256"
+        " + CAST(unicode(substr(s, i*4+3, 1)) AS BIGINT) * 65536"
+        " + CAST(unicode(substr(s, i*4+4, 1)) AS BIGINT) * 16777216)"
+    )
+    k1 = f"(({chunk} * {M}) % {U32})"
+    k2 = f"xor({k1}, {k1} // 16777216)"
+    k3 = f"(({k2} * {M}) % {U32})"
+    step = f"xor((h * {M}) % {U32}, {k3})"
+    return f"""
+        WITH RECURSIVE {_binlog_corpus_sql(seed)},
+        keys AS (
+          SELECT repo, path, ks,
+                 CAST(length(repo) AS VARCHAR) || ':' || repo || chr(31)
+                   || CAST(length(path) AS VARCHAR) || ':' || path AS s
+          FROM seeded
+        ),
+        init AS (
+          SELECT repo, path, ks, s, strlen(s) AS len,
+                 CAST(xor(2538058380, strlen(s)) AS BIGINT) AS h
+          FROM keys
+        ),
+        mloop AS (
+          SELECT repo, path, ks, s, len, 0 AS i, h FROM init
+          UNION ALL
+          SELECT repo, path, ks, s, len, i + 1, {step} AS h
+          FROM mloop WHERE i < len // 4
+        ),
+        bulk AS (SELECT repo, path, ks, s, len, h
+                 FROM mloop WHERE i = len // 4),
+        t3 AS (SELECT repo, path, ks, s, len,
+                 CASE WHEN len % 4 >= 3
+                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 3, 1)) AS BIGINT) * 65536)
+                      ELSE h END AS h FROM bulk),
+        t2 AS (SELECT repo, path, ks, s, len,
+                 CASE WHEN len % 4 >= 2
+                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 2, 1)) AS BIGINT) * 256)
+                      ELSE h END AS h FROM t3),
+        t1 AS (SELECT repo, path, ks, s, len,
+                 CASE WHEN len % 4 >= 1
+                      THEN (xor(h, CAST(unicode(substr(s, len - (len % 4) + 1, 1)) AS BIGINT)) * {M}) % {U32}
+                      ELSE h END AS h FROM t2),
+        f1 AS (SELECT repo, path, ks,
+                      (xor(h, h // 8192) * {M}) % {U32} AS h FROM t1),
+        seeded2 AS (SELECT repo, path, ks,
+                 CAST((xor(h, h // 32768) % 2147483648) % {num_partitions}
+                      AS INTEGER) AS partition_id
+          FROM f1),
+        grid AS (
+          SELECT seeded2.*, t.i,
+            CASE WHEN t.i = 0 THEN 0
+                 WHEN ((CAST(ks AS HUGEINT) * 2654435761 + t.i * 40503)
+                       % 4294967296) % 100 < 70 THEN 1
+                 WHEN ((CAST(ks AS HUGEINT) * 2654435761 + t.i * 40503)
+                       % 4294967296) % 100 < 85 THEN 2
+                 ELSE 3 END AS code,
+            CAST(ks % 140737488355328 AS BIGINT) * 65536 + t.i AS soff
+          FROM seeded2
+          CROSS JOIN (SELECT unnest(generate_series(0, {events_per_key - 1}))
+                      AS i) t
+        ),
+        live AS (SELECT * FROM grid WHERE code <> 3),
+        per_key AS (
+          SELECT partition_id, repo, path,
+                 count(*) AS n_events,
+                 arg_max(code, i) AS win_code,
+                 min(soff) AS mn, max(soff) AS mx
+          FROM live GROUP BY 1, 2, 3
+        )
+        SELECT partition_id,
+               CAST(0 AS INTEGER) AS epoch,
+               CAST(sum(n_events) AS BIGINT) AS rows_in,
+               CAST(count(*) - count(*) FILTER (WHERE win_code = 2)
+                    AS BIGINT) AS rows_merged,
+               CAST(count(*) FILTER (WHERE win_code = 2) AS BIGINT)
+                   AS deletes_applied,
+               min(mn) AS min_offset, max(mx) AS max_offset,
+               false AS skipped
+        FROM per_key
+        GROUP BY 1
+    """
+
+
+def _simhash_cc_sql(max_hamming: int = 2) -> str:
+    """All-pairs simhash oracle: per-word md5_number_upper hashes (==
+    ops/dedup._stable_hash64), 64-bit majority-vote simhash, pairs at
+    hamming <= k, word-less/empty docs mutually linked (the engine's
+    simhash-0 quarantine bucket, where every distance is 0), reachability
+    closure, min-id survivors.
+
+    This EQUALS the engine's 4×16-bit banded LSH exactly: a pair at
+    hamming <= 3 differs in at most 3 of the 4 bands, so by pigeonhole it
+    always shares one bucket — the blocker has guaranteed (not
+    probabilistic) recall for max_hamming <= 3, making the all-pairs graph
+    the true oracle rather than an approximation."""
+    return rf"""
+        WITH RECURSIVE words AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(lower(text), '\w+')))
+                     AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        wh AS (SELECT doc_id, md5_number_upper(w) AS h FROM words),
+        bits AS (
+          SELECT doc_id, b.b,
+                 sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+          GROUP BY 1, 2
+        ),
+        sims AS (
+          SELECT doc_id,
+                 CAST(coalesce(sum(CASE WHEN acc > 0
+                                        THEN CAST(1 AS UBIGINT) << b END),
+                               0) AS UBIGINT) AS sim
+          FROM bits GROUP BY 1
+        ),
+        allsims AS (
+          SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+          FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id
+        ),
+        edges AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM allsims a JOIN allsims b ON a.doc_id < b.doc_id
+          WHERE (a.sim <> 0 AND b.sim <> 0
+                 AND bit_count(xor(a.sim, b.sim)) <= {max_hamming})
+             OR (a.sim = 0 AND b.sim = 0)
+        ),
+        sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach AS (
+          SELECT u AS node, v AS r FROM sym
+          UNION
+          SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+        ),
+        comp AS (
+          SELECT node, least(node, min(r)) AS component
+          FROM reach GROUP BY node
+        )
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.node
+        WHERE c.node IS NULL OR c.component = d.doc_id
+    """
+
+
 def _murmur2_partition_sql(num_partitions: int = 16) -> str:
     """Bit-exact Kafka murmur2 (seed 0x9747b28c, m 0x5bd1e995, r 24,
     toPositive & 0x7fffffff — smt/Outbox.java:207-229) as pure SQL: uint32
@@ -1180,8 +1422,47 @@ def _murmur2_partition_sql(num_partitions: int = 16) -> str:
     """
 
 
+_KNN_EXACT_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.query_id,
+               e.vec_id AS neighbor_id,
+               list_cosine_similarity(
+                   CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+               ) AS score
+        FROM q CROSS JOIN embeddings e
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank - 1 AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # The replay family: the binlog is a pure function of (seed, repo,
+        # path, i) over md5-derived seeds, so the ENTIRE pipeline — corpus
+        # synthesis, op LCG, LWW winner, tombstone drop, content revision
+        # tag — reconstructs in DuckDB SQL (crypto cancels: encrypt∘decrypt
+        # = id, pinned separately by encrypt_roundtrip + golden JWE tests).
+        "cdc_replay": _replay_final_state_sql(events_per_key=6, seed=42),
+        # The resumed replay must converge to the SAME final state as the
+        # single-shot one (manifest no-op replays) — identical oracle.
+        "cdc_replay_resume": _replay_final_state_sql(events_per_key=6, seed=42),
+        "replay_lineage": _replay_lineage_sql(
+            events_per_key=6, seed=42, num_partitions=8
+        ),
+        "dedup_simhash": _simhash_cc_sql(max_hamming=2),
         "expand_json_events": """
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS INTEGER) AS k
@@ -1243,30 +1524,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp c ON e.vec_id = c.node
             WHERE c.node IS NULL OR c.component = e.vec_id
         """,
-        "knn_bruteforce": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qv
-                FROM embeddings WHERE vec_id < 8
-            ),
-            scored AS (
-                SELECT q.query_id,
-                       e.vec_id AS neighbor_id,
-                       list_cosine_similarity(
-                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
-                       ) AS score
-                FROM q CROSS JOIN embeddings e
-            )
-            SELECT query_id, neighbor_id,
-                   CAST(rank - 1 AS INTEGER) AS rank
-            FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY score DESC, neighbor_id ASC
-                ) AS rank
-                FROM scored
-            )
-            WHERE rank <= 5
-        """,
+        "knn_bruteforce": _KNN_EXACT_SQL,
+        # IVF with n_probe=14/16 has full probe coverage of the 8 query
+        # vectors' true top-5 on this corpus (verified at sf0.001/sf0.01),
+        # so the approximate pipeline must reproduce the exact result
+        # bit-for-bit — see q_knn_ivf.
+        "knn_ivf": _KNN_EXACT_SQL,
         "sample_documents": """
             SELECT doc_id, text
             FROM documents

@@ -28,9 +28,20 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 def knn_brute_force(ds, query_vecs: np.ndarray, k: int = 10,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    exclude_self: bool = False, query_ids=None):
+                    exclude_self: bool = False, query_ids=None,
+                    merge: str = "auto"):
     """Exact cosine top-k. Returns pa.Table(query_id, neighbor_id, rank,
-    score) with deterministic (score desc, neighbor_id asc) ordering."""
+    score) with deterministic (score desc, neighbor_id asc) ordering.
+
+    ``merge``: how per-block candidate sets reduce to the final top-k.
+    - ``"driver"`` — gather all k·n_q·n_blocks candidates and merge on the
+      driver. Fine for small query sets (the candidates are tiny).
+    - ``"grouped"`` — ONE grouped shuffle on the query index: each query's
+      candidates (k·n_blocks rows) reduce in their own task; the driver
+      only receives the final n_q·k rows. The scale path for large query
+      sets, where the driver merge would hold k·n_q·n_blocks rows.
+    - ``"auto"`` — ``grouped`` when n_q ≥ 64 else ``driver``.
+    Both paths produce identical, tie-stable output (pinned in pytest)."""
     import ray
 
     q = _unit(np.asarray(query_vecs, dtype=np.float64))
@@ -60,10 +71,51 @@ def knn_brute_force(ds, query_vecs: np.ndarray, k: int = 10,
             "score": pa.array(out_s, type=pa.float64()),
         })
 
+    candidates = ds.map_batches(partial_topk, batch_format="pyarrow")
+    if merge == "auto":
+        merge = "grouped" if len(q) >= 64 else "driver"
+
+    if merge == "grouped":
+        # One shuffle keyed on the query index; each group holds at most
+        # k·n_blocks candidate rows, so the per-group reduce is tiny and
+        # the driver sees only the final n_q·k rows.
+        def final_topk(g: pa.Table) -> pa.Table:
+            qi = int(g.column("q")[0].as_py())
+            nid = np.asarray(g.column("neighbor_id").to_pylist(),
+                             dtype=np.int64)
+            sc = np.asarray(g.column("score").to_pylist(), dtype=np.float64)
+            order = np.lexsort((nid, -sc))
+            if exclude_self:
+                order = order[nid[order] != qids[qi]]
+            order = order[:k]
+            return pa.table({
+                "query_id": pa.array(
+                    np.full(len(order), qids[qi], dtype=np.int64)
+                ),
+                "neighbor_id": pa.array(nid[order]),
+                "rank": pa.array(
+                    np.arange(len(order), dtype=np.int32)
+                ),
+                "score": pa.array(sc[order]),
+            })
+
+        out = candidates.groupby("q").map_groups(
+            final_topk, batch_format="pyarrow"
+        )
+        parts = list(out.iter_batches(batch_format="pyarrow"))
+        if not parts:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "score": pa.array([], type=pa.float64()),
+            })
+        return pa.concat_tables(parts).sort_by(
+            [("query_id", "ascending"), ("rank", "ascending")]
+        )
+
     merged: dict = {}
-    for b in ds.map_batches(partial_topk, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in candidates.iter_batches(batch_format="pyarrow"):
         for qi, nid, s in zip(
             b.column("q").to_pylist(),
             b.column("neighbor_id").to_pylist(),

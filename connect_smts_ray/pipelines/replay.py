@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from connect_smts_ray.core.schema import SType, stype_to_dict
+from connect_smts_ray.core.worker_state import stateful_task
 from connect_smts_ray.sources.binlog import BinlogConfig, synthesize_events
 from connect_smts_ray.sources.corpus import read_corpus
 from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
@@ -92,6 +93,13 @@ class ReplayConfig:
     # Fractional so the stage pools co-schedule with the stateless tasks on
     # small CPU budgets; size concurrency × num_cpus ≤ cluster CPUs.
     actor_num_cpus: float = 0.5
+    # "task" (default): the stateful stages run as plain tasks with the
+    # instance cached per worker process (core/worker_state.py) — no pool
+    # cap, stages scale with cluster CPUs, fused per-block chains. "actor":
+    # classic fixed actor pools sized by the *_concurrency knobs above
+    # (kept for genuinely expensive state and as the comparison baseline;
+    # task-vs-actor output equality is pinned in tests/test_replay.py).
+    stateful_mode: str = "task"
     batch_size: int = 8192
     seed: int = 42
     # Blocks to split the corpus read into. A single small Parquet file
@@ -185,25 +193,38 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
         batch_format="pyarrow",
         batch_size=None,
     )
+    task_mode = cfg.stateful_mode == "task"
     if cfg.encrypt:
-        ds = ds.map_batches(
-            EncryptColumn,
-            fn_constructor_kwargs={"config": cfg.jose(), "deterministic": True},
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=cfg.crypto_concurrency,
-            num_cpus=cfg.actor_num_cpus,
-            max_restarts=0,
-        )
-        ds = ds.map_batches(
-            DecryptColumn,
-            fn_constructor_kwargs={"config": cfg.jose()},
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=cfg.crypto_concurrency,
-            num_cpus=cfg.actor_num_cpus,
-            max_restarts=0,
-        )
+        if task_mode:
+            ds = ds.map_batches(
+                stateful_task(EncryptColumn, config=cfg.jose(),
+                              deterministic=True),
+                batch_format="pyarrow", batch_size=None,
+            )
+            ds = ds.map_batches(
+                stateful_task(DecryptColumn, config=cfg.jose()),
+                batch_format="pyarrow", batch_size=None,
+            )
+        else:
+            ds = ds.map_batches(
+                EncryptColumn,
+                fn_constructor_kwargs={"config": cfg.jose(),
+                                       "deterministic": True},
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=cfg.crypto_concurrency,
+                num_cpus=cfg.actor_num_cpus,
+                max_restarts=0,
+            )
+            ds = ds.map_batches(
+                DecryptColumn,
+                fn_constructor_kwargs={"config": cfg.jose()},
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=cfg.crypto_concurrency,
+                num_cpus=cfg.actor_num_cpus,
+                max_restarts=0,
+            )
         ds = ds.map_batches(_payload_to_string, batch_format="pyarrow")
 
     outbox_cfg = cfg.outbox()
@@ -212,18 +233,24 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
         batch_format="pyarrow",
         batch_size=None,
     )
-    ds = ds.map_batches(
-        ExpandJson,
-        fn_constructor_kwargs={"config": cfg.expand()},
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=cfg.expand_concurrency,
-        num_cpus=cfg.actor_num_cpus,
-        # max_restarts=0: actor replacement is owned by Ray Data's pool
-        # (state rebuilds in __init__); core-worker restart would depend on
-        # ctor args living in the object store (ray#53727 warning).
-        max_restarts=0,
-    )
+    if task_mode:
+        ds = ds.map_batches(
+            stateful_task(ExpandJson, config=cfg.expand()),
+            batch_format="pyarrow", batch_size=None,
+        )
+    else:
+        ds = ds.map_batches(
+            ExpandJson,
+            fn_constructor_kwargs={"config": cfg.expand()},
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=cfg.expand_concurrency,
+            num_cpus=cfg.actor_num_cpus,
+            # max_restarts=0: actor replacement is owned by Ray Data's pool
+            # (state rebuilds in __init__); core-worker restart would depend
+            # on ctor args living in the object store (ray#53727 warning).
+            max_restarts=0,
+        )
     ds = ds.map_batches(
         lambda b: apply_field_mapping(b, LAKE_MAPPING), batch_format="pyarrow"
     )

@@ -58,6 +58,25 @@ class ManifestStore:
         # 'base-' infix makes committed_epochs()'s int() parse skip these
         return os.path.join(self.manifest_dir, f"{pid}-base-{epoch}.json")
 
+    def table_meta_path(self) -> str:
+        return os.path.join(self.lake_dir, "_table.json")
+
+    def read_table_meta(self) -> Optional[dict]:
+        """Table-level metadata (authoritative ``num_partitions`` after a
+        partition split; absent for never-split tables)."""
+        try:
+            with open(self.table_meta_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def write_table_meta(self, meta: dict) -> None:
+        os.makedirs(self.lake_dir, exist_ok=True)
+        tmp = f"{self.table_meta_path()}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.table_meta_path())
+
     # -- commit protocol ----------------------------------------------------
 
     def is_committed(self, pid: int, epoch: int) -> bool:
@@ -155,14 +174,24 @@ class ManifestStore:
                     continue
         return sorted(out)
 
+    def base_covers_through(self, pid: int, base_epoch: int) -> int:
+        """Highest delta epoch a base file already contains. Compaction
+        bases cover their own epoch (the base is built AFTER delta E
+        commits); partition-SPLIT bases are numbered E_max+1 but only
+        contain epochs ≤ E_max, recorded as ``covers_through`` in their
+        manifest — deltas at exactly the base epoch must then still merge."""
+        m = self.read_base_manifest(pid, base_epoch) or {}
+        return int(m.get("covers_through", base_epoch))
+
     def read_plan(self, pid: int) -> tuple:
         """(base_epoch | None, [delta epochs after the base]) — the file set
         whose merge-on-read IS the partition's current state."""
         bases = self.committed_base_epochs(pid)
         base = bases[-1] if bases else None
+        cutoff = self.base_covers_through(pid, base) if base is not None else None
         deltas = [
             e for e in self.committed_epochs(pid)
-            if base is None or e > base
+            if cutoff is None or e > cutoff
         ]
         return base, deltas
 

@@ -64,6 +64,15 @@ KEY_SEP = "\x1f"
 @dataclass(frozen=True)
 class UpsertConfig:
     lake_dir: str
+    # Partition-count guidance (100-TB design note): P fixes the unit of
+    # merge/compaction parallelism AND the state a single merge task must
+    # hold — size it so one partition's live state fits a worker's heap:
+    # P ≈ ceil(expected_live_bytes / target_partition_bytes), see
+    # ``partitions_for``. Prefer the next power of two (splits then keep
+    # halving cleanly). P is recorded in ``_table.json`` on first split;
+    # ``run_upsert``/readers resolve the authoritative value from there,
+    # so a stale config cannot mis-route keys. Undersized tables start
+    # small (32) and ``split_partitions`` widens them without a shuffle.
     num_partitions: int = 32
     key_columns: tuple = ("repo", "path")
     order_columns: tuple = ("commit_lsn", "source_offset")
@@ -75,6 +84,34 @@ class UpsertConfig:
 
     def store(self) -> ManifestStore:
         return ManifestStore(self.lake_dir)
+
+    @staticmethod
+    def partitions_for(est_live_bytes: int,
+                       target_partition_bytes: int = 4 << 30) -> int:
+        """Derive ``num_partitions`` from the expected LIVE table size
+        (post-LWW state, not raw event volume): smallest power of two with
+        ≤ ``target_partition_bytes`` per partition. 4 GiB default keeps a
+        partition's merge/compaction comfortably inside one worker's heap
+        (merge-on-read materializes base + deltas for ONE partition only).
+        A 100 TB live table → 32768 partitions; a 10 GB table → 4."""
+        p = 1
+        while p * target_partition_bytes < est_live_bytes:
+            p *= 2
+        return max(p, 1)
+
+    def resolve(self) -> "UpsertConfig":
+        """Return the config with the AUTHORITATIVE partition count: after
+        a ``split_partitions`` the table's ``_table.json`` supersedes
+        whatever the caller constructed — routing with a stale P would
+        commit deltas to partitions whose readers never see them."""
+        meta = self.store().read_table_meta()
+        if meta and meta.get("num_partitions", self.num_partitions) != self.num_partitions:
+            import dataclasses
+
+            return dataclasses.replace(
+                self, num_partitions=int(meta["num_partitions"])
+            )
+        return self
 
 
 # ---------------------------------------------------------------------------
@@ -402,14 +439,18 @@ def _maybe_compact(store: ManifestStore, cfg: UpsertConfig, pid: int,
         return
     if store.read_base_manifest(pid, epoch) is not None:
         return
-    bases = [b for b in store.committed_base_epochs(pid) if b < epoch]
+    bases = [b for b in store.committed_base_epochs(pid) if b <= epoch]
     prev_base = bases[-1] if bases else None
     tables = []
     if prev_base is not None:
         tables.append(pq.read_table(store.base_path(pid, prev_base)))
+    prev_cover = (
+        store.base_covers_through(pid, prev_base)
+        if prev_base is not None else None
+    )
     delta_epochs = [
         e for e in store.committed_epochs(pid)
-        if e <= epoch and (prev_base is None or e > prev_base)
+        if e <= epoch and (prev_cover is None or e > prev_cover)
     ]
     tables.extend(
         pq.read_table(store.state_path(pid, e)) for e in delta_epochs
@@ -488,11 +529,101 @@ def _lineage_row(manifest: dict, skipped: bool) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Partition split (compaction-time escape hatch for oversized partitions)
+# ---------------------------------------------------------------------------
+
+def split_partitions(cfg: UpsertConfig, factor: int = 2) -> UpsertConfig:
+    """Widen the table from P to ``factor``·P partitions WITHOUT a shuffle.
+
+    Because partition routing is ``murmur2(key) % P``, a key in parent
+    ``pid`` can only land in child ids ``{pid + j·P : 0 ≤ j < factor}``
+    under the new modulus — every parent splits locally into its own
+    children, so the rewrite is one independent task per parent (run them
+    distributed at scale; driver-side loop here).
+
+    Protocol (safe under crashes and replays):
+    - per parent: merge-on-read the current state, re-route rows with the
+      NEW modulus, commit each child's rows as a compacted BASE at a fresh
+      epoch ``E_split`` = max committed epoch + 1. Child j=0 shares the
+      parent's pid; its new base supersedes the parent's older files in
+      ``read_plan`` (latest base wins), so no collision and full audit
+      history.
+    - finally record the new P in ``_table.json``; ``UpsertConfig.resolve``
+      makes every later writer/reader adopt it.
+    - replaying an epoch ≤ E_split afterwards: old pids skip via their
+      manifests; new child pids commit deltas BELOW their base epoch,
+      which ``read_plan`` ignores — correct, since the split base already
+      contains those events (they were in the parent's state).
+
+    Returns the post-split config. Byte-exact state preservation is pinned
+    in tests/test_split.py."""
+    import dataclasses
+
+    if factor < 2:
+        return cfg
+    cfg = cfg.resolve()
+    store = cfg.store()
+    old_p = cfg.num_partitions
+    new_p = old_p * factor
+    new_cfg = dataclasses.replace(cfg, num_partitions=new_p)
+    parents = store.all_partitions()
+    e_split = max(
+        (max(store.committed_epochs(pid), default=-1) for pid in parents),
+        default=-1,
+    ) + 1
+    for pid in parents:
+        base, deltas = store.read_plan(pid)
+        tables = []
+        if base is not None:
+            tables.append(pq.read_table(store.base_path(pid, base)))
+        tables.extend(pq.read_table(store.state_path(pid, e)) for e in deltas)
+        if not tables:
+            continue
+        state = merge_tables(tables, cfg, drop_tombstones=True)
+        if state.num_rows == 0:
+            continue
+        keys = composite_key_array(state, cfg.key_columns)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        child = murmur2_positive_many(keys) % new_p
+        for j in range(factor):
+            child_pid = pid + j * old_p
+            part = state.filter(pa.array(child == child_pid))
+            if part.num_rows == 0:
+                continue
+            part = _canonicalize(part, cfg)
+            store.commit_base(
+                child_pid, e_split,
+                lambda tmp, t=part: pq.write_table(
+                    t, tmp, compression="snappy"
+                ),
+                lineage={
+                    "split_from": pid,
+                    "split_factor": factor,
+                    # the base is NUMBERED e_split (to supersede the
+                    # parent's files) but only CONTAINS epochs ≤ e_split-1
+                    # — deltas later committed at exactly e_split must
+                    # still merge on read (manifest.base_covers_through)
+                    "covers_through": e_split - 1,
+                    "rows_merged": part.num_rows,
+                    "schema": part.schema.to_string(),
+                },
+            )
+    store.write_table_meta({
+        "num_partitions": new_p,
+        "split_epoch": e_split,
+        "key_columns": list(cfg.key_columns),
+    })
+    return new_cfg
+
+
+# ---------------------------------------------------------------------------
 # Dataset-level entry points
 # ---------------------------------------------------------------------------
 
 def run_upsert(ds, cfg: UpsertConfig, epoch: int = 0):
     """events Dataset → lineage Dataset (consuming it executes the sink)."""
+    cfg = cfg.resolve()
     ds = ds.map_batches(
         lambda b: add_partition_id(b, cfg), batch_format="pyarrow"
     )
@@ -510,6 +641,7 @@ def read_lake_ds(cfg: UpsertConfig):
     ``read_lake`` below is the small-scale driver-side convenience."""
     import ray.data
 
+    cfg = cfg.resolve()
     store = cfg.store()
     items = []
     for pid in store.all_partitions():
@@ -541,6 +673,7 @@ def read_lake(cfg: UpsertConfig) -> pa.Table:
     Small-scale driver read; at scale run the same per-partition
     ``merge_tables`` distributed — one task per partition over
     ``store.read_plan(pid)``'s files (partitions are independent)."""
+    cfg = cfg.resolve()
     store = cfg.store()
     parts = []
     for pid in store.all_partitions():

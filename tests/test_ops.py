@@ -136,6 +136,35 @@ def test_knn_brute_force(ray_session):
         assert got == want
 
 
+def test_knn_grouped_merge_matches_driver_merge(ray_session):
+    """The scale path (grouped shuffle per query) must equal the driver
+    merge bit-for-bit, including score ties and exclude_self."""
+    import ray.data
+    from connect_smts_ray.ops.similarity import knn_brute_force
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(120, 8))
+    vecs[40] = vecs[3]  # force an exact score tie
+    t = pa.table({
+        "vec_id": pa.array(range(120), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    q = np.asarray(t.column("embedding").to_pylist()[:6], dtype=np.float64)
+    for excl in (False, True):
+        a = knn_brute_force(
+            ray.data.from_arrow(t), q, k=5, query_ids=list(range(6)),
+            exclude_self=excl, merge="driver",
+        ).to_pandas()
+        b = knn_brute_force(
+            ray.data.from_arrow(t), q, k=5, query_ids=list(range(6)),
+            exclude_self=excl, merge="grouped",
+        ).to_pandas()
+        a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b), (excl, a.compare(b))
+
+
 def test_knn_ivf_recall(ray_session):
     import ray.data
     from connect_smts_ray.ops.similarity import IvfConfig, knn_brute_force, knn_ivf

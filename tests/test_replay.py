@@ -85,6 +85,27 @@ def test_full_replay_matches_oracle(ray_session, cfg, sf_dir):
     assert got.num_rows == len(want)
 
 
+def test_task_mode_equals_actor_mode(ray_session, tmp_path, sf_dir):
+    """The per-worker stateful-task pipeline (default) must produce the
+    byte-identical lake state of the classic actor-pool pipeline."""
+    import dataclasses
+
+    base = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_task"),
+        events_per_key=5, num_partitions=8,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    assert base.stateful_mode == "task"
+    replay(base, fresh=True)
+    d_task = state_digest(final_state(base))
+
+    actor = dataclasses.replace(
+        base, lake_dir=str(tmp_path / "lake_actor"), stateful_mode="actor"
+    )
+    replay(actor, fresh=True)
+    assert state_digest(final_state(actor)) == d_task
+
+
 def test_replay_is_idempotent(ray_session, cfg):
     lineage1 = replay(cfg, fresh=True)
     d1 = state_digest(final_state(cfg))
