@@ -94,10 +94,16 @@ def run_bench() -> dict:
     # north rule's 10^10-event replay never sees cold-start effects).
     if not os.environ.get("GRAFT_BENCH_NO_WARMUP"):
         warm_lake = tempfile.mkdtemp(prefix="csr_bench_warm_")
+        # read_blocks=4×cpus: the warmup must fan WIDE, not just run — a
+        # narrow warmup (the old 8-block floor) spawns only ~8 Ray worker
+        # processes, and the measured run then pays the other ~24 cold
+        # worker spawns (fork + imports, ~0.5-1 s each) inside the window
+        # (profiled: 10.6 of 32 cores average → wall 3× the core-seconds).
         warm_cfg = ReplayConfig(
             sf_dir=d, lake_dir=warm_lake, events_per_key=2,
             num_partitions=32, expand_concurrency=pool,
             crypto_concurrency=pool, actor_num_cpus=1.0,
+            read_blocks=4 * cpus,
         )
         replay(warm_cfg, fresh=True)
         shutil.rmtree(warm_lake, ignore_errors=True)
@@ -336,8 +342,9 @@ def _update_baseline_md(result: dict) -> None:
     text += f"""
 {marker}
 
-Same input ({result['sf']}), identical replay pipeline (actor pools scale
-exactly {chi // clo}:1 between the levels), fresh processes, interleaved
+Same input ({result['sf']}), identical replay pipeline (stateful stages
+run as per-worker tasks, so stage resources scale exactly with num_cpus),
+fresh processes, interleaved
 ({clo},{chi}) rounds with the efficiency taken from the best ROUND — both
 numbers of a round run minutes apart under the same host conditions,
 because co-tenant noise on this box swings identical runs up to 2× and a
@@ -368,10 +375,10 @@ whose better metric is highest):
   ≥ 0.8 — the engine converts granted cycles into events at the same rate at
   both widths, i.e. no coordination loss as the cluster widens)
 
-The raw wall-clock number is bounded above by cycle delivery / {chi // clo} on this
-shared VM — no software can exceed it; both widths run compute-saturated
-against what the host grants. The per-delivered-cycle ratio is the engine's
-own scaling behavior. Events per run: {result['events']}.
+On this shared VM the per-delivered-cycle ratio reflects the SMT tax when
+the hi width engages hyperthreads (two threads per core at ~60% speed);
+the raw wall-clock ratio is the rule's headline number. Events per run:
+{result['events']}.
 """
     with open(path, "w") as f:
         f.write(text)

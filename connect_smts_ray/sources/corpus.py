@@ -71,6 +71,22 @@ def read_corpus(sf_dir: str, num_blocks: int | None = None) -> "ray.data.Dataset
     kwargs = {}
     if num_blocks is not None:
         kwargs["override_num_blocks"] = num_blocks
+        # A single-file read with override_num_blocks=N runs as ONE task
+        # (ReadParquet->SplitBlocks(N)) whose streaming generator yields the
+        # N blocks sequentially — and pauses after
+        # _max_num_blocks_in_streaming_gen_buffer (default 2) unconsumed
+        # outputs. The executor drains that buffer at ~20 blocks/s, so the
+        # whole downstream pipeline is throttled to ~20 tasks/s regardless
+        # of cluster width (measured: the synth stage ran at 2.7 of 32
+        # cores; raising the buffer to 32 cut its wall 6.6 s → 2.6 s).
+        # Only RAISE the buffer, bounded at 64 — split blocks here are tiny
+        # (≤ a few hundred KB), so the buffered bytes stay negligible. At
+        # real scale the corpus is many files, each read task yields few
+        # blocks, and this knob is inert.
+        ctx = ray.data.DataContext.get_current()
+        want = min(int(num_blocks), 64)
+        if ctx._max_num_blocks_in_streaming_gen_buffer < want:
+            ctx._max_num_blocks_in_streaming_gen_buffer = want
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
