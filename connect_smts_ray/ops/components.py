@@ -247,12 +247,23 @@ def attach_pair_texts(pair_ds, ds, id_col: str, text_col: str,
 
 
 def connected_components(pair_ds, num_partitions: int = 16,
-                         max_iters: int = 25):
+                         max_iters: int = 25,
+                         driver_edge_limit: int = 1_000_000):
     """Edge Dataset[id_a, id_b] → Dataset[doc_id, component] (component =
     min node id reachable) for every node that appears in an edge.
 
     Aggregate-based min-label propagation; see module docstring. The driver
-    only ever receives one scalar per iteration (sum of labels)."""
+    only ever receives one scalar per iteration (sum of labels).
+
+    Size-gated fast path: the edge table is materialized (and counted)
+    before iterating anyway, so when it is small (≤ ``driver_edge_limit``
+    rows — 16 B/edge, ≈16 MB at the default) a driver-side union-find
+    replaces the loop. Each distributed iteration costs ~5 grouped
+    shuffles whose FIXED latency (~0.5-1 s each) dwarfs the work on small
+    graphs (measured: 15.8 s of iterations for an 81 k-edge graph that
+    union-find solves in milliseconds). Large edge sets — the 100-TB
+    regime this module exists for — take the iterative path unchanged;
+    set ``driver_edge_limit=0`` to force it (the equivalence test does)."""
     from ray.data.aggregate import Min, Sum
 
     def symmetrize(b: pa.Table) -> pa.Table:
@@ -272,8 +283,24 @@ def connected_components(pair_ds, num_partitions: int = 16,
         .repartition(num_partitions)
         .materialize()
     )
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return _empty_labels()
+    if n_edges <= driver_edge_limit:
+        import ray.data
+
+        from connect_smts_ray.ops.dedup import union_find_components
+
+        pairs = []
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            pairs.extend(zip(b.column("node").to_pylist(),
+                             b.column("nbr").to_pylist()))
+        comp = union_find_components(pairs)
+        items = sorted(comp.items())
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([k for k, _ in items], type=pa.int64()),
+            "component": pa.array([v for _, v in items], type=pa.int64()),
+        }))
     id_t = _to_arrow_schema(edges.schema()).field("node").type
     edges_schema = pa.schema([("node", id_t), ("nbr", id_t)])
     labels_schema = pa.schema([("lnode", id_t), ("label", id_t)])

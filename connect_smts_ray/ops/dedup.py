@@ -311,20 +311,28 @@ def _collect_list(col: str):
     )
 
 
-def _signature_pool(concurrency=None) -> tuple:
-    """Actor-pool sizing for the signature stages (the dominant CPU cost of
-    the LSH dedup families): autoscale from 2 actors up to the cluster's CPU
-    count so the stage widens with the cluster instead of pinning to a
-    hard-coded pool (r2 shipped ``concurrency=2, num_cpus=0.5`` — 1 CPU
-    total at ANY cluster size, the slowest bench line)."""
-    if concurrency is not None:
-        return concurrency
-    import ray
+def _signature_stage(ds, cls, ctor_kwargs, concurrency=None):
+    """Run a signature class (MinHasher / SimHasher) as a map stage.
 
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (2, max(4, cpus))
+    Default: a plain TASK stage with the instance cached per worker
+    process (core/worker_state.stateful_task) — the permutation arrays /
+    word-hash caches rebuild in microseconds, so an actor pool buys
+    nothing and costs a spawn storm plus a width cap (r2 shipped
+    ``concurrency=2, num_cpus=0.5`` — 1 CPU total at ANY cluster size —
+    and the r3 autoscaling pool still paid ~2 core-s per actor spawn
+    inside the measured window). Tasks scale to every cluster CPU with
+    zero warm-up. An explicit ``concurrency`` keeps the classic actor
+    pool (for callers that want bounded parallelism)."""
+    from connect_smts_ray.core.worker_state import stateful_task
+
+    if concurrency is not None:
+        return ds.map_batches(
+            cls, fn_constructor_kwargs=ctor_kwargs,
+            batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        )
+    return ds.map_batches(
+        stateful_task(cls, **ctor_kwargs), batch_format="pyarrow"
+    )
 
 
 def _explode_sorted_pairs(arr: np.ndarray, pair_cap: int, a_parts: list,
@@ -353,12 +361,10 @@ def minhash_candidates(ds, cfg: MinHashConfig = MinHashConfig(),
     bands — ``components.dedup_pairs`` distincts them with a grouped
     shuffle over the id-pair table only). Buckets larger than ``pair_cap``
     emit a min-id star instead of all pairs (bounded per-bucket work)."""
-    sig = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"cfg": cfg, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=_signature_pool(concurrency),
-        num_cpus=1,
+    sig = _signature_stage(
+        ds, MinHasher,
+        {"cfg": cfg, "text_col": text_col, "id_col": id_col},
+        concurrency=concurrency,
     )
     buckets = sig.groupby(["band", "band_hash"]).aggregate(_collect_list("doc_id"))
 
@@ -597,12 +603,10 @@ def simhash_dedup(ds, max_hamming: int = 3,
         drop_duplicates,
     )
 
-    sigs = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=_signature_pool(concurrency),
-        num_cpus=1,
+    sigs = _signature_stage(
+        ds, SimHasher,
+        {"text_col": text_col, "id_col": id_col},
+        concurrency=concurrency,
     )
     buckets = sigs.groupby(["band", "bucket"]).aggregate(
         _collect_list(id_col), _collect_list("simhash")
@@ -778,13 +782,17 @@ def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
 # Distributed component resolution (the 10⁹-doc path)
 # ---------------------------------------------------------------------------
 
-def label_propagation(pair_ds, max_iters: int = 10, num_partitions: int = 16):
+def label_propagation(pair_ds, max_iters: int = 10, num_partitions: int = 16,
+                      driver_edge_limit: int = 1_000_000):
     """Min-label propagation over an edge Dataset[id_a, id_b] →
     Dataset[doc_id, component]. Thin alias for
     ``components.connected_components`` — aggregate-based iterations,
     convergence detected from a scalar label sum; no driver label map,
     no per-node map_groups (both were present in the round-1 version and
-    defeated the purpose of the distributed path, VERDICT r01)."""
+    defeated the purpose of the distributed path, VERDICT r01). Small edge
+    sets short-circuit to a driver union-find (see connected_components);
+    ``driver_edge_limit=0`` forces the distributed path."""
     from connect_smts_ray.ops.components import connected_components
 
-    return connected_components(pair_ds, num_partitions, max_iters)
+    return connected_components(pair_ds, num_partitions, max_iters,
+                                driver_edge_limit=driver_edge_limit)

@@ -336,7 +336,14 @@ def test_label_propagation_matches_union_find(ray_session):
         "id_a": pa.array([a for a, _ in pairs], type=pa.int64()),
         "id_b": pa.array([b for _, b in pairs], type=pa.int64()),
     })
-    out = label_propagation(ray.data.from_arrow(t), max_iters=6)
-    got = {r["doc_id"]: r["component"] for r in out.take_all()}
     want = union_find_components(pairs)
+    # distributed iterative path (forced: driver_edge_limit=0)
+    out = label_propagation(
+        ray.data.from_arrow(t), max_iters=6, driver_edge_limit=0
+    )
+    got = {r["doc_id"]: r["component"] for r in out.take_all()}
     assert got == want
+    # size-gated driver fast path must agree
+    fast = label_propagation(ray.data.from_arrow(t), max_iters=6)
+    got_fast = {r["doc_id"]: r["component"] for r in fast.take_all()}
+    assert got_fast == want
