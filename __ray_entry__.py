@@ -581,6 +581,65 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_media_wav_stats(sf_dir: str):
+    """REAL audio decode: synthesize a spec-conformant RIFF/WAVE container
+    per document (PCM samples are a pure int function of doc_id, so DuckDB
+    can regenerate them), then parse it with the real chunk-walking WAV
+    decoder (``ops/multimodal.py: decode_wav``) and emit bit-exact integer
+    stats. The decoder is format-general (chunk list, stereo, data offset);
+    only the fixture is synthetic."""
+    from connect_smts_ray.ops.multimodal import DecodeWav, encode_wav
+
+    def to_wav(b: pa.Table) -> pa.Table:
+        payloads = []
+        for d in b.column("doc_id").to_pylist():
+            n = 200 + d % 100
+            i = np.arange(n, dtype=np.int64)
+            s = ((d * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+            payloads.append(encode_wav(s, sample_rate=8000))
+        return pa.table({
+            "media_id": b.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(to_wav, batch_format="pyarrow")
+    return ds.map_batches(
+        DecodeWav, batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1, batch_size=512,
+    )
+
+
+def q_media_bmp_stats(sf_dir: str):
+    """REAL image decode: synthesize a 24-bit uncompressed BMP per document
+    (pixel values a pure int function of doc_id/x/y/channel), parse it with
+    the real BMP decoder (header, 4-byte row padding, bottom-up rows,
+    BGR→RGB), and emit bit-exact per-channel pixel sums."""
+    from connect_smts_ray.ops.multimodal import DecodeBmp, encode_bmp
+
+    def to_bmp(b: pa.Table) -> pa.Table:
+        payloads = []
+        for d in b.column("doc_id").to_pylist():
+            w, h = 4 + d % 5, 3 + d % 4
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            # file-order (BGR) channel index c: v = (d + 7x + 13y + 31c) % 256
+            c_rgb = np.array([2, 1, 0], dtype=np.int64)[None, None, :]
+            rgb = ((d + 7 * x + 13 * y + 31 * c_rgb) % 256).astype(np.uint8)
+            payloads.append(encode_bmp(rgb))
+        return pa.table({
+            "media_id": b.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(to_bmp, batch_format="pyarrow")
+    return ds.map_batches(
+        DecodeBmp, batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1, batch_size=512,
+    )
+
+
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 neighbors for the first 8 vectors."""
     import pyarrow.parquet as pq
@@ -1059,6 +1118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_orders": q_asof_join_orders,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "media_wav_stats": q_media_wav_stats,
+        "media_bmp_stats": q_media_bmp_stats,
         "sanitize_names": q_sanitize_names,
         "schema_serde": q_schema_serde,
     }
@@ -1652,6 +1713,57 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NULL THEN NULL
                         ELSE CAST(strlen(text) AS BIGINT) END AS payload_bytes
             FROM documents
+        """,
+        # Real-WAV-decoder oracle: the fixture's PCM sample i for doc d is
+        # ((d*7919 + i*104729) % 65536) - 32768 over n = 200 + d%100 samples;
+        # the Ray side round-trips those ints through an actual RIFF/WAVE
+        # container and the chunk-walking decoder, so equality here proves
+        # the decode (header offsets, data chunk bounds, int16 LE) is exact.
+        "media_wav_stats": """
+            WITH s AS (
+              SELECT d.doc_id, g.i,
+                     ((d.doc_id * 7919 + g.i * 104729) % 65536) - 32768 AS v
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 199 + d.doc_id % 100)) AS i) g
+            ),
+            zc AS (
+              SELECT doc_id,
+                     CASE WHEN (v < 0) != (lag(v) OVER (
+                         PARTITION BY doc_id ORDER BY i) < 0)
+                          THEN 1 ELSE 0 END AS z
+              FROM s
+            )
+            SELECT s.doc_id AS media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(sum(s.v) AS BIGINT) AS sum_samples,
+                   CAST(sum(s.v * s.v) AS BIGINT) AS sum_squares,
+                   CAST((SELECT sum(z) FROM zc WHERE zc.doc_id = s.doc_id)
+                        AS BIGINT) AS zero_crossings
+            FROM s GROUP BY s.doc_id
+        """,
+        # Real-BMP-decoder oracle: pixel channel value (file BGR order c) is
+        # (d + 7x + 13y + 31c) % 256 over a (4+d%5) × (3+d%4) image; the Ray
+        # side packs that into a padded bottom-up 24-bit BMP and re-reads it
+        # with the real parser, so the per-channel sums prove padding/flip/
+        # BGR handling are exact. R is file channel 2, G 1, B 0.
+        "media_bmp_stats": """
+            WITH px AS (
+              SELECT d.doc_id, gx.x, gy.y
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 3 + d.doc_id % 5)) AS x) gx,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 2 + d.doc_id % 4)) AS y) gy
+            )
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 5 AS BIGINT) AS width,
+                   CAST(3 + doc_id % 4 AS BIGINT) AS height,
+                   CAST(sum((doc_id + 7*x + 13*y + 62) % 256) AS BIGINT) AS sum_r,
+                   CAST(sum((doc_id + 7*x + 13*y + 31) % 256) AS BIGINT) AS sum_g,
+                   CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
         """,
         "window_events": """
             SELECT user_id,
