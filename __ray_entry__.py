@@ -1083,6 +1083,180 @@ def q_encrypt_roundtrip(sf_dir: str):
     )
 
 
+def q_vocab_topk(sf_dir: str):
+    """Top-50 corpus vocabulary by frequency — per-block Arrow word-count
+    partials, one small groupby(word) shuffle, distributed top-k."""
+    from connect_smts_ray.ops.corpus import vocab_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocab_topk(ds, k=50)
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by tf·(1/df) rarity weighting — term-doc table
+    ⋈ df table on term (reduce-side hash join), per-doc grouped top-k."""
+    from connect_smts_ray.ops.corpus import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k_per_doc=3)
+
+
+def q_inverted_index(sf_dir: str):
+    """Posting lists for terms with df ≥ 5 (first 10 doc ids, ascending,
+    comma-joined) — groupby(term) over the distinct (term, doc) pairs."""
+    from connect_smts_ray.ops.corpus import inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=5, max_postings=10)
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Top-3 docs per language by whitespace token count — per-block
+    per-group partial top-k combiner, then a grouped final reduce."""
+    from connect_smts_ray.ops.corpus import grouped_topk
+    from connect_smts_ray.ops.text import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["lang", "doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return grouped_topk(ds, group_cols=["lang"], by="n_tokens", k=3,
+                        descending=True, tiebreak=("doc_id", True))
+
+
+def q_token_quantiles(sf_dir: str):
+    """EXACT p25/p50/p90 of token count per language — (lang, value)
+    value-count combiner; the shuffle moves distinct-value counts, the
+    per-group scan walks the CDF."""
+    from connect_smts_ray.ops.corpus import group_quantiles
+    from connect_smts_ray.ops.text import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
+    return group_quantiles(ds, "lang", "n_tokens", [0.25, 0.5, 0.9])
+
+
+_STRATA = {"en": 20, "es": 10, "fr": 5, "de": 50, "zh": 35}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic Bernoulli sample (md5-addressed, stable
+    across runs / block layouts / cluster sizes)."""
+    from connect_smts_ray.ops.corpus import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", _STRATA, id_col="doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id", "lang"]),
+                           batch_format="pyarrow")
+
+
+def q_pack_sequences(sf_dir: str):
+    """LLM sequence packing: concatenate docs in doc_id order, chunk into
+    2048-token sequences — distributed prefix sum (driver sees one row per
+    RANGE, never per doc)."""
+    from connect_smts_ray.ops.corpus import pack_sequences
+    from connect_smts_ray.ops.text import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    return pack_sequences(ds, seq_len=2048, range_size=256)
+
+
+def q_range_join_lineitem(sf_dir: str):
+    """Interval join: lineitems shipped within 90 days of their order's
+    date — banded equi-join on (orderkey, time band) + exact filter; both
+    sides stream, nothing is broadcast."""
+    from connect_smts_ray.ops.relational import range_join
+
+    width_us = 90 * 86_400 * 1_000_000
+    left = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    right = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    ls = pa.schema([("l_orderkey", pa.int64()), ("l_linenumber", pa.int32()),
+                    ("l_shipdate", pa.timestamp("us"))])
+    rs = pa.schema([("o_orderkey", pa.int64()),
+                    ("o_orderdate", pa.timestamp("us"))])
+    out = range_join(
+        left, right, left_key="l_orderkey", right_key="o_orderkey",
+        left_ts="l_shipdate", right_ts="o_orderdate", width_us=width_us,
+        out_cols=["l_orderkey", "l_linenumber", "o_orderkey"],
+        left_schema=ls, right_schema=rs,
+    )
+    return out
+
+
+def q_embedding_clusters(sf_dir: str):
+    """Nearest-centroid assignment (k-means E-step / IVF coarse quantizer):
+    centroids = embeddings of vec_id 0..3, broadcast once; one float64
+    matmul per batch, no shuffle."""
+    import pyarrow.parquet as pq
+
+    from connect_smts_ray.ops.similarity import assign_to_centroids
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mask = pc.less(t.column("vec_id"), pa.scalar(4))
+    seed_rows = t.filter(mask).sort_by("vec_id")
+    centroids = np.asarray(seed_rows.column("embedding").to_pylist(),
+                           dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return assign_to_centroids(ds, centroids)
+
+
+def q_token_count_bpe(sf_dir: str):
+    """BPE-ish pretoken counts (GPT-2-style regex, RE2-compatible) — one
+    vectorized count kernel per batch."""
+    from connect_smts_ray.ops.text import add_token_count_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_token_count_bpe, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "n_bpe_tokens"]), batch_format="pyarrow"
+    )
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source parity: events → integer-cent projection →
+    ``write_json`` (line-delimited, partitioned files) → ``read_json`` →
+    grouped stats. Exercises a second storage format end-to-end; ints
+    survive the JSON text roundtrip bit-exactly (floats would not)."""
+    import ray.data
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["event_id", "event_type", "value_cents"]),
+        batch_format="pyarrow",
+    )
+    out_dir = tempfile.mkdtemp(prefix="csr_jsonl_")
+    ds.write_json(out_dir)
+    back = ray.data.read_json(out_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type", use_threads=False).aggregate([
+            ("value_cents", "sum"), ("event_id", "count"),
+        ])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "cents": pc.cast(g.column("value_cents_sum"), pa.int64()),
+            "n_events": pc.cast(g.column("event_id_count"), pa.int64()),
+        })
+
+    partials = back.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("event_type").sum(["cents", "n_events"])
+    result = agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "sum_cents": pc.cast(b.column("sum(cents)"), pa.int64()),
+            "n_events": pc.cast(b.column("sum(n_events)"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1122,6 +1296,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_bmp_stats": q_media_bmp_stats,
         "sanitize_names": q_sanitize_names,
         "schema_serde": q_schema_serde,
+        "vocab_topk": q_vocab_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_index": q_inverted_index,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "token_quantiles": q_token_quantiles,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "range_join_lineitem": q_range_join_lineitem,
+        "embedding_clusters": q_embedding_clusters,
+        "token_count_bpe": q_token_count_bpe,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
     }
 
 
@@ -1902,5 +2087,160 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY 1, 2
+        """,
+        "vocab_topk": """
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS word
+              FROM documents
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS count
+            FROM w GROUP BY word
+            ORDER BY count DESC, word LIMIT 50
+        """,
+        "tfidf_top_terms": """
+            WITH td AS (
+              SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS w
+                    FROM documents)
+              GROUP BY doc_id, w
+            ),
+            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM td GROUP BY term),
+            ranked AS (
+              SELECT td.doc_id, td.term, td.tf, dft.df,
+                     row_number() OVER (
+                       PARTITION BY td.doc_id
+                       ORDER BY td.tf * 1.0 / dft.df DESC, td.term
+                     ) AS rn
+              FROM td JOIN dft USING (term)
+            )
+            SELECT doc_id, term, tf, df FROM ranked WHERE rn <= 3
+        """,
+        "inverted_index": """
+            WITH td AS (
+              SELECT DISTINCT doc_id, w AS term
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS w
+                    FROM documents)
+            ),
+            agg AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM td GROUP BY term),
+            ranked AS (
+              SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                     AS rn
+              FROM td
+            )
+            SELECT a.term, a.df,
+                   string_agg(CAST(r.doc_id AS VARCHAR), ','
+                              ORDER BY r.doc_id) AS postings
+            FROM agg a JOIN ranked r ON a.term = r.term AND r.rn <= 10
+            WHERE a.df >= 5
+            GROUP BY a.term, a.df
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_tokens FROM (
+              SELECT lang, doc_id,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                         AS n_tokens,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY length(regexp_extract_all(text, '\\S+'))
+                                DESC, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+        """,
+        "token_quantiles": """
+            WITH t AS (
+              SELECT lang,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents
+            )
+            SELECT lang, CAST(25 AS BIGINT) AS q_pct,
+                   quantile_disc(n_tokens, 0.25) AS n_tokens
+            FROM t GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(50 AS BIGINT), quantile_disc(n_tokens, 0.50)
+            FROM t GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(90 AS BIGINT), quantile_disc(n_tokens, 0.90)
+            FROM t GROUP BY lang
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE md5_number_lower(lang || '|' || CAST(doc_id AS VARCHAR))
+                  % 100 <
+                  CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 10
+                            WHEN 'fr' THEN 5 WHEN 'de' THEN 50
+                            WHEN 'zh' THEN 35 ELSE 0 END
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS token_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, token_offset,
+                   token_offset // 2048 AS first_seq,
+                   CASE WHEN n_tokens > 0
+                        THEN (token_offset + n_tokens - 1) // 2048
+                        ELSE token_offset // 2048 END AS last_seq
+            FROM o
+        """,
+        "range_join_lineitem": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND o.o_orderdate <= l.l_shipdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+        """,
+        "embedding_clusters": """
+            WITH c AS (
+              SELECT vec_id AS cluster, embedding AS cvec
+              FROM embeddings WHERE vec_id < 4
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cluster,
+                     list_cosine_similarity(e.embedding, c.cvec) AS sim
+              FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, cluster FROM (
+              SELECT vec_id, cluster,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cluster
+                     ) AS rn
+              FROM sims
+            ) WHERE rn = 1
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                       AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "jsonl_roundtrip": """
+            SELECT event_type,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
     }

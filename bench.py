@@ -126,7 +126,9 @@ def run_bench() -> dict:
 
         for name in ("dedup_exact", "token_count", "lww_upsert_events",
                      "knn_bruteforce", "dedup_minhash", "window_events",
-                     "asof_join_orders"):
+                     "asof_join_orders", "vocab_topk", "tfidf_top_terms",
+                     "pack_sequences", "range_join_lineitem",
+                     "embedding_clusters"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

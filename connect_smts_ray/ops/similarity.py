@@ -281,3 +281,67 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10,
         "rank": pa.array(out_r, type=pa.int32()),
         "score": pa.array(out_s, type=pa.float64()),
     })
+
+
+def assign_to_centroids(ds, centroids: np.ndarray, centroid_ids=None,
+                        vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Nearest-centroid assignment by cosine similarity (the k-means
+    E-step / IVF coarse quantizer as a standalone op). The centroid matrix
+    is broadcast ONCE (``ray.put``); every batch runs one float64 matmul —
+    no shuffle, linear scan, scales with corpus size.
+
+    Ties (equal similarity) resolve to the lowest centroid index
+    (np.argmax keeps the first maximal element). Returns (id_col, cluster).
+    """
+    import ray
+
+    c = _unit(np.asarray(centroids, dtype=np.float64))
+    ids = (np.arange(len(c)) if centroid_ids is None
+           else np.asarray(centroid_ids))
+    ref = ray.put((c, ids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm, cid = ray.get(ref)
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table({
+                id_col: batch.column(id_col),
+                "cluster": pa.array([], pa.int64()),
+            })
+        sims = _unit(vecs) @ cm.T
+        best = cid[np.argmax(sims, axis=1)]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(best.astype("int64"), pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cluster_stats(assigned):
+    """(cluster, n, min_id, max_id) — grouped reduce over the assignment
+    table (tiny after the per-cluster aggregate)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("cluster", use_threads=False).aggregate([
+            ("vec_id", "count"), ("vec_id", "min"), ("vec_id", "max"),
+        ])
+        return pa.table({
+            "cluster": g.column("cluster"),
+            "n": pc.cast(g.column("vec_id_count"), pa.int64()),
+            "min_id": g.column("vec_id_min"),
+            "max_id": g.column("vec_id_max"),
+        })
+
+    partials = assigned.map_batches(partial, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster": pa.array([group.column("cluster")[0].as_py()], pa.int64()),
+            "n": pa.array([pc.sum(group.column("n")).as_py()], pa.int64()),
+            "min_id": pa.array([pc.min(group.column("min_id")).as_py()], pa.int64()),
+            "max_id": pa.array([pc.max(group.column("max_id")).as_py()], pa.int64()),
+        })
+
+    return partials.groupby("cluster").map_groups(final, batch_format="pyarrow")

@@ -142,3 +142,21 @@ class QualityScore:
                 pa.field(name, pa.float64()), pa.array(arr, type=pa.float64())
             )
         return out
+
+
+# GPT-2-style pretokenizer shape, restricted to constructs RE2 (pyarrow's
+# regex engine) and DuckDB share: letter runs, single digits, single
+# non-alnum-non-space marks. Counting these approximates BPE pretoken
+# counts without a vocab file.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def add_token_count_bpe(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token counting: one vectorized RE2 count kernel per batch,
+    mirrored exactly by DuckDB ``len(regexp_extract_all(text, pattern))``."""
+    counts = pc.count_substring_regex(
+        batch.column(text_col), BPE_ISH_PATTERN
+    )
+    return batch.append_column(
+        pa.field("n_bpe_tokens", pa.int64()), pc.cast(counts, pa.int64())
+    )

@@ -1,0 +1,185 @@
+"""Unit tests for ops/corpus.py (vocab/tfidf/packing/quantiles/topk) and
+the range join / centroid assignment — edge cases the driver parity sweep
+does not construct (empty docs, tie boundaries, band straddling, ranges
+with gaps)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(ray, rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_word_counts_and_vocab(ray_session):
+    from connect_smts_ray.ops.corpus import vocab_topk, word_counts
+
+    ds = _docs_ds(ray_session, [
+        (0, "a b a"), (1, "b c"), (2, ""), (3, None), (4, "A a"),
+    ])
+    wc = {r["word"]: r["count"] for r in word_counts(ds).take_all()}
+    assert wc == {"a": 4, "b": 2, "c": 1}
+    top = vocab_topk(ds, k=2).take_all()
+    assert [(r["word"], r["count"]) for r in top] == [("a", 4), ("b", 2)]
+
+
+def test_tfidf_rarity_ranking(ray_session):
+    from connect_smts_ray.ops.corpus import tfidf_top_terms
+
+    # 'rare' appears once in doc0 only (df=1, score 1); 'common' is in all
+    # docs (df=3, score tf/3) — rare must outrank common at equal tf.
+    ds = _docs_ds(ray_session, [
+        (0, "common rare"), (1, "common x"), (2, "common y"),
+    ])
+    rows = tfidf_top_terms(ds, k_per_doc=1).take_all()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[0]["term"] == "rare" and by_doc[0]["df"] == 1
+
+
+def test_grouped_topk_ties_and_k_boundary(ray_session):
+    from connect_smts_ray.ops.corpus import grouped_topk
+
+    t = pa.table({
+        "g": pa.array(["x"] * 4 + ["y"], pa.string()),
+        "v": pa.array([5, 5, 5, 1, 9], pa.int64()),
+        "id": pa.array([3, 1, 2, 0, 7], pa.int64()),
+    })
+    ds = ray_session.data.from_arrow(t)
+    rows = grouped_topk(ds, ["g"], by="v", k=2, descending=True,
+                        tiebreak=("id", True)).take_all()
+    got = sorted((r["g"], r["v"], r["id"]) for r in rows)
+    # x: among the three v=5 rows the two smallest ids win; y: its only row
+    assert got == [("x", 5, 1), ("x", 5, 2), ("y", 9, 7)]
+
+
+def test_group_quantiles_matches_numpy_disc(ray_session):
+    from connect_smts_ray.ops.corpus import group_quantiles
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    t = pa.table({
+        "g": pa.array(["a"] * len(vals), pa.string()),
+        "v": pa.array(vals, pa.int64()),
+    })
+    out = group_quantiles(
+        ray_session.data.from_arrow(t), "g", "v", [0.5, 0.25]
+    ).take_all()
+    got = {r["q_pct"]: r["v"] for r in out}
+    s = sorted(vals)
+    # disc quantile = value at 1-indexed rank ceil(q*n)
+    assert got == {50: s[int(np.ceil(0.5 * 8)) - 1],
+                   25: s[int(np.ceil(0.25 * 8)) - 1]}
+
+
+def test_pack_sequences_offsets_and_straddle(ray_session):
+    from connect_smts_ray.ops.corpus import pack_sequences
+
+    # range_size=2 forces multiple ranges; doc 2 straddles a boundary.
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 5], pa.int64()),  # gap at 4
+        "n_tokens": pa.array([3, 4, 6, 0, 2], pa.int64()),
+    })
+    ds = ray_session.data.from_arrow(t).repartition(3)
+    rows = sorted(pack_sequences(ds, seq_len=8, range_size=2).take_all(),
+                  key=lambda r: r["doc_id"])
+    off = [r["token_offset"] for r in rows]
+    assert off == [0, 3, 7, 13, 13]
+    spans = [(r["first_seq"], r["last_seq"]) for r in rows]
+    # doc2: tokens 7..12 → seqs 0..1 (straddle); doc3 empty at offset 13
+    assert spans == [(0, 0), (0, 0), (0, 1), (1, 1), (1, 1)]
+
+
+def test_stratified_sample_matches_reference_hash(ray_session):
+    import hashlib
+
+    from connect_smts_ray.ops.corpus import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(200)), pa.int64()),
+        "lang": pa.array((["en", "fr"] * 100), pa.string()),
+    })
+    rates = {"en": 30, "fr": 0}
+    out = stratified_sample(
+        ray_session.data.from_arrow(t), "lang", rates, id_col="doc_id"
+    ).take_all()
+    assert all(r["lang"] == "en" for r in out)
+    expect = {
+        i for i in range(0, 200, 2)
+        if int.from_bytes(hashlib.md5(f"en|{i}".encode()).digest()[8:],
+                          "little") % 100 < 30
+    }
+    assert {r["doc_id"] for r in out} == expect
+
+
+def test_range_join_band_straddle(ray_session):
+    from connect_smts_ray.ops.relational import range_join
+
+    W = 100  # interval width == band width
+    left = ray_session.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "lts": pa.array([50, 149, 150, 149], pa.int64()),
+        "lid": pa.array([0, 1, 2, 3], pa.int64()),
+    }))
+    right = ray_session.data.from_arrow(pa.table({
+        "rk": pa.array([1, 2], pa.int64()),
+        "rts": pa.array([50, 150], pa.int64()),  # r0 straddles bands 0,1
+        "rid": pa.array([10, 11], pa.int64()),
+    }))
+    ls = pa.schema([("k", pa.int64()), ("lts", pa.int64()),
+                    ("lid", pa.int64())])
+    rs = pa.schema([("rk", pa.int64()), ("rts", pa.int64()),
+                    ("rid", pa.int64())])
+    out = range_join(left, right, "k", "rk", "lts", "rts", W,
+                     out_cols=["lid", "rid"], left_schema=ls,
+                     right_schema=rs).take_all()
+    pairs = sorted((r["lid"], r["rid"]) for r in out)
+    # lid0 (t=50) and lid1 (t=149, other band) match r10=[50,150);
+    # lid2 (t=150) is outside; lid3 (k=2, t=149) is before r11=[150,250)
+    assert pairs == [(0, 10), (1, 10)]
+
+
+def test_assign_to_centroids_ties_and_stats(ray_session):
+    from connect_smts_ray.ops.similarity import (
+        assign_to_centroids,
+        cluster_stats,
+    )
+
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7], [-1.0, 0.0]]
+    ds = ray_session.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }))
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    assigned = assign_to_centroids(ds, cents).materialize()
+    got = {r["vec_id"]: r["cluster"] for r in assigned.take_all()}
+    # vec2 is equidistant → lowest centroid index wins
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+    stats = {r["cluster"]: (r["n"], r["min_id"], r["max_id"])
+             for r in cluster_stats(assigned).take_all()}
+    assert stats == {0: (2, 0, 2), 1: (2, 1, 3)}
+
+
+def test_inverted_index_min_df_and_truncation(ray_session):
+    from connect_smts_ray.ops.corpus import inverted_index
+
+    docs = [(i, "common " + ("odd" if i % 2 else "even")) for i in range(12)]
+    ds = _docs_ds(ray_session, docs)
+    rows = inverted_index(ds, min_df=6, max_postings=3).take_all()
+    got = {r["term"]: (r["df"], r["postings"]) for r in rows}
+    assert got["common"] == (12, "0,1,2")
+    assert got["even"] == (6, "0,2,4")
+    assert got["odd"] == (6, "1,3,5")
+
+
+def test_inverted_index_small_group_boundary(ray_session):
+    """Regression: a per-block term group SMALLER than max_postings must
+    not pull neighboring terms' doc ids into its partial posting list."""
+    from connect_smts_ray.ops.corpus import inverted_index
+
+    ds = _docs_ds(ray_session, [(0, "aaa zzz"), (1, "zzz"), (2, "aaa")])
+    rows = inverted_index(ds, min_df=1, max_postings=5).take_all()
+    got = {r["term"]: (r["df"], r["postings"]) for r in rows}
+    assert got == {"aaa": (2, "0,2"), "zzz": (2, "0,1")}
