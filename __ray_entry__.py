@@ -1257,6 +1257,60 @@ def q_jsonl_roundtrip(sf_dir: str):
     return result
 
 
+def q_normalize_text(sf_dir: str):
+    """Boilerplate cleaning over deterministically-dirtied text (HTML tags
+    injected as a pure function of the text so the oracle can reproduce
+    the input): strip tags, collapse whitespace, trim — three vectorized
+    RE2 kernels."""
+    from connect_smts_ray.ops.text import normalize_text
+
+    def dirty(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            pa.array(["<p>"] * b.num_rows), b.column("text"),
+            pa.array(["</p>  <br/> tail"] * b.num_rows), "",
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(dirty, batch_format="pyarrow")
+    ds = ds.map_batches(normalize_text, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "text_clean"]),
+                          batch_format="pyarrow")
+
+
+def q_redact_pii(sf_dir: str):
+    """PII redaction over deterministically-injected emails/IPs/phones —
+    masking order (email → ip → phone) pinned in ops/text.py and mirrored
+    by the oracle's chained regexp_replace."""
+    from connect_smts_ray.ops.text import redact_pii
+
+    def dirty(b: pa.Table) -> pa.Table:
+        sid = pc.cast(b.column("doc_id"), pa.string())
+        t = pc.binary_join_element_wise(
+            b.column("text"), pa.array([" contact user"] * b.num_rows), sid,
+            pa.array(["@ex-ample.org ip 10.0.0."] * b.num_rows),
+            pa.array((b.column("doc_id").to_numpy(zero_copy_only=False)
+                      % 255).astype(str)),
+            pa.array([" tel +1 (555) 010-9934"] * b.num_rows), "",
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(dirty, batch_format="pyarrow")
+    ds = ds.map_batches(redact_pii, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "text_redacted"]),
+                          batch_format="pyarrow")
+
+
+def q_chunk_documents(sf_dir: str):
+    """RAG chunking: 400-char chunks, 50-char overlap — stateless
+    flat-map explode, embarrassingly parallel."""
+    from connect_smts_ray.ops.corpus import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_chars=400, overlap=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1307,6 +1361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "token_count_bpe": q_token_count_bpe,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "normalize_text": q_normalize_text,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2242,5 +2299,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace('<p>' || text || '</p>  <br/> tail',
+                                    '<[^>]+>', ' ', 'g'),
+                     '\s+', ' ', 'g')) AS text_clean
+            FROM documents
+        """,
+        "redact_pii": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@ex-ample.org ip 10.0.0.'
+                          || CAST(doc_id % 255 AS VARCHAR)
+                          || ' tel +1 (555) 010-9934' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '[IP]', 'g'),
+                     '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g')
+                   AS text_redacted
+            FROM dirty
+        """,
+        "chunk_documents": r"""
+            WITH sized AS (
+              SELECT doc_id, text, length(text) AS n FROM documents
+              WHERE text IS NOT NULL
+            ),
+            ks AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0,
+                       CASE WHEN n > 400
+                            THEN CAST(ceil((n - 400) / 350.0) AS BIGINT)
+                            ELSE 0 END)) AS k
+              FROM sized
+            )
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                   substr(text, CAST(350 * k + 1 AS BIGINT), 400)
+                       AS chunk_text,
+                   CAST(350 * k AS BIGINT) AS chunk_start
+            FROM ks
         """,
     }

@@ -407,3 +407,44 @@ def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
         })
 
     return base.groupby("__range").map_groups(per_range, batch_format="pyarrow")
+
+
+def chunk_documents(ds, chunk_chars: int, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """RAG-style fixed-size chunking with overlap: doc text → chunks of
+    ``chunk_chars`` characters, consecutive chunks sharing ``overlap``
+    chars; the last chunk keeps the tail (may be short). Emits
+    (id_col, chunk_id, chunk_text, chunk_start). Stateless flat-map shape —
+    each batch explodes independently, chunk ids are per-document (not
+    global), so the op is embarrassingly parallel at any corpus size.
+
+    SQL mirror: ``generate_series`` over chunk starts + ``substr``.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_cid, out_txt, out_start = [], [], [], []
+        for i, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            n = len(txt)
+            starts = range(0, max(n, 1), step)
+            for cid, s in enumerate(starts):
+                out_id.append(i)
+                out_cid.append(cid)
+                out_txt.append(txt[s:s + chunk_chars])
+                out_start.append(s)
+                if s + chunk_chars >= n:
+                    break
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_cid, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string()),
+            "chunk_start": pa.array(out_start, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

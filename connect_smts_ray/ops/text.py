@@ -160,3 +160,41 @@ def add_token_count_bpe(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         pa.field("n_bpe_tokens", pa.int64()), pc.cast(counts, pa.int64())
     )
+
+
+# --- Cleaning / redaction (RE2 patterns shared verbatim with the DuckDB
+# oracles; pc.replace_substring_regex and regexp_replace(..., 'g') both
+# replace every match) ---
+
+HTML_TAG_PATTERN = r"<[^>]+>"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "text_clean") -> pa.Table:
+    """Boilerplate cleaning: strip HTML-ish tags, collapse all whitespace
+    runs to single spaces, trim. Three vectorized RE2 kernels per batch —
+    no Python per row."""
+    t = batch.column(text_col)
+    t = pc.replace_substring_regex(t, pattern=HTML_TAG_PATTERN, replacement=" ")
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(pa.field(out_col, pa.string()), t)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               out_col: str = "text_redacted") -> pa.Table:
+    """PII masking for training corpora: emails → [EMAIL], phone-shaped
+    digit runs → [PHONE], IPv4 literals → [IP]. Order matters (emails
+    before phones so an address's digits aren't half-eaten); patterns are
+    module constants so tests and SQL oracles share them."""
+    t = batch.column(text_col)
+    t = pc.replace_substring_regex(t, pattern=EMAIL_PATTERN,
+                                   replacement="[EMAIL]")
+    t = pc.replace_substring_regex(t, pattern=IPV4_PATTERN,
+                                   replacement="[IP]")
+    t = pc.replace_substring_regex(t, pattern=PHONE_PATTERN,
+                                   replacement="[PHONE]")
+    return batch.append_column(pa.field(out_col, pa.string()), t)

@@ -183,3 +183,49 @@ def test_inverted_index_small_group_boundary(ray_session):
     rows = inverted_index(ds, min_df=1, max_postings=5).take_all()
     got = {r["term"]: (r["df"], r["postings"]) for r in rows}
     assert got == {"aaa": (2, "0,2"), "zzz": (2, "0,1")}
+
+
+def test_normalize_and_redact(ray_session):
+    from connect_smts_ray.ops.text import normalize_text, redact_pii
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            '<div class="x"> Hello <b>world</b> </div>\n\n  done ',
+            "mail bob.smith+x@corp.example.co, ip 192.168.1.1, "
+            "call +44 (20) 7946-0958 now",
+        ]),
+    })
+    ds = ray_session.data.from_arrow(t)
+    clean = {r["doc_id"]: r["text_clean"] for r in ds.map_batches(
+        normalize_text, batch_format="pyarrow").take_all()}
+    assert clean[0] == "Hello world done"
+    red = {r["doc_id"]: r["text_redacted"] for r in ds.map_batches(
+        redact_pii, batch_format="pyarrow").take_all()}
+    assert "[EMAIL]" in red[1] and "[IP]" in red[1] and "[PHONE]" in red[1]
+    assert "bob" not in red[1] and "192.168" not in red[1]
+    assert "7946" not in red[1]
+
+
+def test_chunk_documents_edges(ray_session):
+    from connect_smts_ray.ops.corpus import chunk_documents
+
+    ds = _docs_ds(ray_session, [
+        (0, "a" * 10),   # single short chunk
+        (1, ""),          # empty → one empty chunk
+        (2, None),        # null → dropped
+        (3, "b" * 25),    # 10-char chunks, 4 overlap → step 6
+    ])
+    rows = chunk_documents(ds, chunk_chars=10, overlap=4).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["chunk_text"]))
+    assert by_doc[0] == [(0, 0, "a" * 10)]
+    assert by_doc[1] == [(0, 0, "")]
+    assert 2 not in by_doc
+    # doc3: starts 0,6,12,18 — 18+10 >= 25 stops; last chunk is the tail
+    assert [c[1] for c in sorted(by_doc[3])] == [0, 6, 12, 18]
+    assert sorted(by_doc[3])[-1][2] == "b" * 7
+    # overlap invariant: consecutive chunks share `overlap` chars
+    assert sorted(by_doc[3])[0][2][-4:] == sorted(by_doc[3])[1][2][:4]
