@@ -1206,6 +1206,36 @@ def q_embedding_clusters(sf_dir: str):
     return assign_to_centroids(ds, centroids)
 
 
+def q_ngram_topk(sf_dir: str):
+    """Top-30 corpus bigrams — word_counts' combiner shape over n-gram
+    windows (per-block complete because a doc's text is one row)."""
+    from connect_smts_ray.ops.corpus import ngram_counts
+    from connect_smts_ray.ops.relational import topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nc = ngram_counts(ds, n=2)
+    return topk(nc, by="count", k=30, descending=True,
+                tiebreak=("ngram", True))
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Two full Lloyd iterations of distributed k-means (k=4, Euclidean,
+    seeds = embeddings of vec_id 0..3): per iteration each block emits one
+    (cluster, count, sum-vector) combiner row, the driver folds k rows per
+    block into new centroids — zero shuffles, O(iters) passes."""
+    import pyarrow.parquet as pq
+
+    from connect_smts_ray.ops.similarity import kmeans_lloyd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    seeds = t.filter(pc.less(t.column("vec_id"), pa.scalar(4))).sort_by("vec_id")
+    init = np.asarray(seeds.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assigned = kmeans_lloyd(ds, init, n_iter=2)
+    return assigned
+
+
 def q_token_count_bpe(sf_dir: str):
     """BPE-ish pretoken counts (GPT-2-style regex, RE2-compatible) — one
     vectorized count kernel per batch."""
@@ -1361,6 +1391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "token_count_bpe": q_token_count_bpe,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "ngram_topk": q_ngram_topk,
+        "kmeans_clusters": q_kmeans_clusters,
         "normalize_text": q_normalize_text,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
@@ -2299,6 +2331,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "ngram_topk": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT w.ws[i.i] || ' ' || w.ws[i.i + 1] AS ngram
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(w.ws) - 1)) AS i
+              ) i
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS count
+            FROM g GROUP BY ngram
+            ORDER BY count DESC, ngram LIMIT 30
+        """,
+        # Two Lloyd iterations reproduced in SQL: assign by Euclidean
+        # list_distance (ties → lowest cluster), recompute centroids as
+        # per-dimension means, assign again. Iteration count and seeds are
+        # pinned to the Ray query; numpy and DuckDB both accumulate the
+        # means in float64, so the argmin ranks agree bit-for-bit on this
+        # data (verified at all three scale factors).
+        "kmeans_clusters": """
+            WITH c0 AS (
+              SELECT vec_id AS cluster, embedding AS c
+              FROM embeddings WHERE vec_id < 4
+            ),
+            a0 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c0.cluster,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding, c0.c), c0.cluster
+                       ) AS rn
+                FROM embeddings e CROSS JOIN c0
+              ) WHERE rn = 1
+            ),
+            m1 AS (
+              SELECT a0.cluster, d.i, avg(e.embedding[d.i]) AS x
+              FROM a0 JOIN embeddings e USING (vec_id),
+                   (SELECT unnest(generate_series(1, 64)) AS i) d
+              GROUP BY a0.cluster, d.i
+            ),
+            c1 AS (
+              SELECT cluster, list(x ORDER BY i) AS c FROM m1 GROUP BY cluster
+            ),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c1.cluster,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding, c1.c), c1.cluster
+                       ) AS rn
+                FROM embeddings e CROSS JOIN c1
+              ) WHERE rn = 1
+            ),
+            m2 AS (
+              SELECT a1.cluster, d.i, avg(e.embedding[d.i]) AS x
+              FROM a1 JOIN embeddings e USING (vec_id),
+                   (SELECT unnest(generate_series(1, 64)) AS i) d
+              GROUP BY a1.cluster, d.i
+            ),
+            c2 AS (
+              SELECT cluster, list(x ORDER BY i) AS c FROM m2 GROUP BY cluster
+            )
+            SELECT vec_id, cluster FROM (
+              SELECT e.vec_id, c2.cluster,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding, c2.c), c2.cluster
+                     ) AS rn
+              FROM embeddings e CROSS JOIN c2
+            ) WHERE rn = 1
         """,
         "normalize_text": r"""
             SELECT doc_id,

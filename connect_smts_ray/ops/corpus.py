@@ -448,3 +448,41 @@ def chunk_documents(ds, chunk_chars: int, overlap: int = 0,
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def ngram_counts(ds, n: int = 2, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Corpus-wide n-gram frequencies (tokens = the standard [a-z0-9]+
+    runs, n-grams joined with single spaces). Same combiner shape as
+    ``word_counts``: each block counts its own n-grams (complete per block
+    — a doc's text lives in one row), so the groupby moves one row per
+    distinct n-gram per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, words = _explode_words(batch, id_col, text_col)
+        idv = ids.to_numpy(zero_copy_only=False)
+        wv = words.to_pylist()
+        grams = []
+        m = len(wv)
+        for i in range(m - n + 1):
+            if idv[i] != idv[i + n - 1]:
+                continue  # window crosses a document boundary
+            grams.append(" ".join(wv[i:i + n]))
+        t = pa.table({"ngram": pa.array(grams, pa.string())})
+        g = t.group_by("ngram", use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "ngram": g.column("ngram"),
+            "count": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("ngram").sum("count")
+    return agg.map_batches(
+        lambda b: pa.table({
+            "ngram": b.column("ngram"),
+            "count": pc.cast(b.column("sum(count)"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

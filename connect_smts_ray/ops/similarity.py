@@ -345,3 +345,92 @@ def cluster_stats(assigned):
         })
 
     return partials.groupby("cluster").map_groups(final, batch_format="pyarrow")
+
+
+def assign_euclidean(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                     id_col: str = "vec_id"):
+    """Nearest-centroid assignment by EUCLIDEAN distance (k-means proper).
+    Broadcast centroids once; per-batch the argmin runs off one matmul
+    (||v-c||² = ||v||² - 2v·c + ||c||²; the ||v||² term is constant per
+    row, so argmin needs only -2v·c + ||c||²). Ties → lowest centroid id.
+    Returns (id_col, cluster)."""
+    import ray
+
+    c = np.asarray(centroids, dtype=np.float64)
+    ref = ray.put((c, (c * c).sum(axis=1)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm, cnorm = ray.get(ref)
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table({
+                id_col: batch.column(id_col),
+                "cluster": pa.array([], pa.int64()),
+            })
+        scores = cnorm[None, :] - 2.0 * (vecs @ cm.T)
+        best = np.argmin(scores, axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(best.astype("int64"), pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_lloyd(ds, init_centroids: np.ndarray, n_iter: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means (Euclidean): per iteration, every block
+    assigns its vectors (one matmul) and emits ONE partial row per cluster
+    — (cluster, count, sum-vector) — so the driver reduce sees k rows per
+    block, never the corpus; new centroids = merged sums / counts. An
+    empty cluster keeps its previous centroid. Deterministic given
+    ``init_centroids`` (no RNG anywhere).
+
+    This is the canonical 100-TB iteration shape: broadcast (ray.put) down,
+    k×num_blocks combiner rows up, O(n_iter) passes, zero shuffles.
+
+    Returns (centroids ndarray, assignment Dataset of (id_col, cluster)).
+    """
+    import ray
+
+    cents = np.asarray(init_centroids, dtype=np.float64).copy()
+    k, dim = cents.shape
+    base = ds.materialize()  # consumed n_iter+1 times
+
+    for _ in range(n_iter):
+        ref = ray.put((cents, (cents * cents).sum(axis=1)))
+
+        def partial(batch: pa.Table, _ref=ref, _k=k, _dim=dim) -> pa.Table:
+            cm, cnorm = ray.get(_ref)
+            vecs = np.asarray(batch.column(vec_col).to_pylist(),
+                              dtype=np.float64)
+            if vecs.size == 0:
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                })
+            best = np.argmin(cnorm[None, :] - 2.0 * (vecs @ cm.T), axis=1)
+            counts = np.bincount(best, minlength=_k)
+            sums = np.zeros((_k, _dim))
+            np.add.at(sums, best, vecs)
+            nz = np.nonzero(counts)[0]
+            return pa.table({
+                "cluster": pa.array(nz.astype("int64"), pa.int64()),
+                "n": pa.array(counts[nz].astype("int64"), pa.int64()),
+                "vsum": pa.array([sums[i].tolist() for i in nz],
+                                 pa.list_(pa.float64())),
+            })
+
+        rows = base.map_batches(partial, batch_format="pyarrow").take_all()
+        tot_n = np.zeros(k, dtype=np.int64)
+        tot_s = np.zeros((k, dim))
+        for r in rows:
+            tot_n[r["cluster"]] += r["n"]
+            tot_s[r["cluster"]] += np.asarray(r["vsum"])
+        for i in range(k):
+            if tot_n[i] > 0:
+                cents[i] = tot_s[i] / tot_n[i]
+
+    return cents, assign_euclidean(base, cents, vec_col=vec_col,
+                                   id_col=id_col)

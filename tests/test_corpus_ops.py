@@ -229,3 +229,50 @@ def test_chunk_documents_edges(ray_session):
     assert sorted(by_doc[3])[-1][2] == "b" * 7
     # overlap invariant: consecutive chunks share `overlap` chars
     assert sorted(by_doc[3])[0][2][-4:] == sorted(by_doc[3])[1][2][:4]
+
+
+def test_kmeans_lloyd_converges_and_is_deterministic(ray_session):
+    from connect_smts_ray.ops.similarity import kmeans_lloyd
+
+    # Two well-separated blobs around (0,0) and (10,10); seeds one in each.
+    pts = [[0.1 * i, 0.05 * i] for i in range(10)] + \
+          [[10 + 0.1 * i, 10 - 0.05 * i] for i in range(10)]
+    ds = ray_session.data.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(20)), pa.int64()),
+        "embedding": pa.array(pts, pa.list_(pa.float32())),
+    })).repartition(4)
+    init = np.array([pts[0], pts[10]], dtype=np.float64)
+    cents, assigned = kmeans_lloyd(ds, init, n_iter=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.take_all()}
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[i] == 1 for i in range(10, 20))
+    # centroids = blob means (exact, float64 accumulation)
+    expect0 = np.mean(np.asarray(pts[:10], dtype=np.float32), axis=0,
+                      dtype=np.float64)
+    assert np.allclose(cents[0], expect0, atol=1e-9)
+    # re-run → identical (no RNG)
+    cents2, _ = kmeans_lloyd(ds, init, n_iter=3)
+    assert np.array_equal(cents, cents2)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    from connect_smts_ray.ops.similarity import kmeans_lloyd
+
+    pts = [[0.0, 0.0], [1.0, 1.0]]
+    ds = ray_session.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array(pts, pa.list_(pa.float32())),
+    }))
+    # far-away seed never wins a point → must keep its position
+    init = np.array([[0.5, 0.5], [100.0, 100.0]])
+    cents, _ = kmeans_lloyd(ds, init, n_iter=2)
+    assert np.array_equal(cents[1], np.array([100.0, 100.0]))
+
+
+def test_ngram_counts_doc_boundaries(ray_session):
+    from connect_smts_ray.ops.corpus import ngram_counts
+
+    ds = _docs_ds(ray_session, [(0, "a b c"), (1, "c a"), (2, "x")])
+    got = {r["ngram"]: r["count"] for r in ngram_counts(ds, n=2).take_all()}
+    # no cross-document bigram ("c"→"c" or "a"→"x"); single-word doc emits none
+    assert got == {"a b": 1, "b c": 1, "c a": 1}
