@@ -1206,6 +1206,65 @@ def q_embedding_clusters(sf_dir: str):
     return assign_to_centroids(ds, centroids)
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end corpus curation — the composition a training-data user
+    actually runs: quality scoring → threshold filter → language filter
+    (predicted English) → exact dedup → token counting. Every stage is one
+    of the engine's own operators chained on the same streaming Dataset;
+    the oracle composes the same CTEs."""
+    from connect_smts_ray.ops.dedup import exact_dedup
+    from connect_smts_ray.ops.text import LangId, QualityScore, add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(QualityScore, batch_format="pyarrow",
+                        concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(LangId, batch_format="pyarrow",
+                        concurrency=(1, 4), num_cpus=1)
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b.column("quality"), pa.scalar(0.7)),
+            pc.equal(b.column("lang_pred"), pa.scalar("en")),
+        )
+        return b.filter(pc.fill_null(mask, False)).select(["doc_id", "text"])
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    survivors = exact_dedup(ds)
+    out = survivors.map_batches(add_token_count, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "n_tokens"]),
+                           batch_format="pyarrow")
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Streaming-ingest dedup: epoch 1 (even doc_ids) commits its content
+    hashes to a Parquet seen-state; epoch 2 (odd doc_ids) dedups against
+    that state WITHOUT re-reading epoch 1's text (anti-join on hashes
+    only). Returns epoch-2 survivors; also asserts idempotence — replaying
+    epoch 1 against the committed state yields zero survivors."""
+    from connect_smts_ray.ops.dedup import incremental_exact_dedup
+
+    state = tempfile.mkdtemp(prefix="csr_dedup_state_")
+
+    def epoch(parity: int):
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                pc.equal(pc.bit_wise_and(b.column("doc_id"), pa.scalar(1)),
+                         pa.scalar(p))
+            ),
+            batch_format="pyarrow",
+        )
+
+    incremental_exact_dedup(epoch(0), state).materialize()
+    out = incremental_exact_dedup(epoch(1), state).materialize()
+    replayed = incremental_exact_dedup(epoch(0), state).materialize()
+    assert replayed.count() == 0, "replayed epoch must be fully suppressed"
+    result = out.map_batches(lambda b: b.select(["doc_id"]),
+                             batch_format="pyarrow").materialize()
+    shutil.rmtree(state, ignore_errors=True)
+    return result
+
+
 def q_ngram_topk(sf_dir: str):
     """Top-30 corpus bigrams — word_counts' combiner shape over n-gram
     windows (per-block complete because a doc's text is one row)."""
@@ -1393,6 +1452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "ngram_topk": q_ngram_topk,
         "kmeans_clusters": q_kmeans_clusters,
+        "incremental_dedup": q_incremental_dedup,
+        "curation_pipeline": q_curation_pipeline,
         "normalize_text": q_normalize_text,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
@@ -1938,6 +1999,64 @@ def oracle_sql() -> dict[str, str]:
                 ) / 4.0 END AS quality
             FROM c
         """,
+        # Composition of the quality_score + lang_id + dedup_exact +
+        # token_count oracles — same CTE arithmetic, chained like the Ray
+        # pipeline chains the operators.
+        "curation_pipeline": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '\\w+') AS qws,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     regexp_extract_all(lower(text), '[a-zA-Zà-ÿÀ-ß]+') AS lws
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, text, n_punct,
+                     len(qws) AS nw,
+                     len(list_filter(qws, x -> list_contains({_sql_list(sorted(set(w for ws in _STOP_SQL.values() for w in ws)))}, x))) AS n_stop,
+                     len(list_distinct(qws)) AS n_dist,
+                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['de'])}, x))) AS c_de,
+                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['en'])}, x))) AS c_en,
+                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['es'])}, x))) AS c_es,
+                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['fr'])}, x))) AS c_fr
+              FROM w
+            ),
+            scored AS (
+              SELECT doc_id, text,
+                CASE WHEN text IS NULL OR text = '' THEN 0.5 ELSE
+                  ( least(greatest(CAST(length(text) AS DOUBLE) / 500.0, 0), 1)
+                  + (1.0 - least(greatest(
+                        (CAST(n_punct AS DOUBLE) / length(text)) * 5, 0), 1))
+                  + least(greatest((CASE WHEN nw = 0 THEN 0.0
+                                         ELSE CAST(n_stop AS DOUBLE) / nw END)
+                                   * 4, 0), 1)
+                  + (1.0 - least(greatest(
+                        ((CASE WHEN nw = 0 THEN 0.0
+                               ELSE 1.0 - CAST(n_dist AS DOUBLE) / nw END)
+                         - 0.5) * 2, 0), 1))
+                  ) / 4.0 END AS quality,
+                CASE WHEN text IS NULL OR text = '' THEN NULL
+                     WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
+                          THEN 'de'
+                     WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                     WHEN c_es >= c_fr THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+              FROM c
+            ),
+            kept AS (
+              SELECT doc_id, text FROM scored
+              WHERE quality >= 0.7 AND lang_pred = 'en'
+            ),
+            dedup AS (
+              SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+              FROM kept
+              GROUP BY regexp_replace(text, '\\s+', ' ', 'g')
+            )
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM dedup
+        """,
         "schema_serde": """
             SELECT doc_id,
                    '{"type":"STRUCT","name":"out_payload","isOptional":false,"fields":[{"index":0,"name":"commit","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":1,"name":"content","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":2,"name":"lang","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":3,"name":"path","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":4,"name":"repo","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":5,"name":"version","schema":{"type":"INT32","name":null,"isOptional":true}}]}'
@@ -2331,6 +2450,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "incremental_dedup": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(regexp_replace(text, '\\s+', ' ', 'g')) AS ch
+              FROM documents
+            )
+            SELECT doc_id FROM h
+            WHERE doc_id % 2 = 1
+              AND ch NOT IN (SELECT ch FROM h WHERE doc_id % 2 = 0)
+              AND doc_id = (SELECT min(h2.doc_id) FROM h h2
+                            WHERE h2.ch = h.ch AND h2.doc_id % 2 = 1)
         """,
         "ngram_topk": """
             WITH w AS (

@@ -796,3 +796,117 @@ def label_propagation(pair_ds, max_iters: int = 10, num_partitions: int = 16,
 
     return connected_components(pair_ds, num_partitions, max_iters,
                                 driver_edge_limit=driver_edge_limit)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-run) exact dedup
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(ds, state_dir: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_partitions: int = 16):
+    """Exact dedup of a NEW batch of documents against all PREVIOUSLY seen
+    content, with the seen-hash state persisted as Parquet under
+    ``state_dir`` — the streaming-ingest shape: each epoch dedups only its
+    arrivals, never re-reading (let alone re-hashing) the historical
+    corpus.
+
+    Semantics: a new row survives iff its normalized-content hash (a) has
+    never been committed by a previous call and (b) is the min ``id_col``
+    among this batch's rows with that hash. Survivor hashes are appended
+    to the state as one new Parquet file per call (hash-partitioned dirs,
+    same layout discipline as the lake sink: resumable, no rewrites).
+
+    Scale shape: the state joins via the reduce-side ``hash_join`` on the
+    hash column — only (hash, id) pairs shuffle, the historical TEXT is
+    never touched. State size = distinct contents seen, not rows seen.
+
+    Returns the surviving rows of ``ds`` (all original columns).
+    """
+    import os
+    import uuid
+
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    ).materialize()
+
+    # winner per hash WITHIN the new batch (same combiner as exact_dedup)
+    def block_min(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "content_hash": batch.column("content_hash"),
+            id_col: batch.column(id_col),
+        })
+        g = t.group_by("content_hash", use_threads=False).aggregate(
+            [(id_col, "min")]
+        )
+        return pa.table({
+            "content_hash": g.column("content_hash"),
+            id_col: g.column(f"{id_col}_min"),
+        })
+
+    partials = hashed.map_batches(block_min, batch_format="pyarrow")
+    winners = partials.groupby("content_hash").min(id_col)
+    winners = winners.map_batches(
+        lambda b: pa.table({
+            "content_hash": b.column("content_hash"),
+            id_col: b.column(f"min({id_col})"),
+        }),
+        batch_format="pyarrow",
+    )
+
+    win_schema = pa.schema([("content_hash", pa.string()),
+                            (id_col, pa.int64())])
+    seen_files = []
+    if os.path.isdir(state_dir):
+        for sub in sorted(os.listdir(state_dir)):
+            subdir = os.path.join(state_dir, sub)
+            if os.path.isdir(subdir):
+                seen_files.extend(
+                    os.path.join(subdir, f) for f in sorted(os.listdir(subdir))
+                    if f.endswith(".parquet")
+                )
+    if seen_files:
+        seen = ray.data.read_parquet(seen_files, columns=["content_hash"])
+        winners = hash_join(
+            winners, seen, left_on="content_hash", right_on="content_hash",
+            how="left_anti", num_partitions=num_partitions,
+            left_schema=win_schema,
+            right_schema=pa.schema([("content_hash", pa.string())]),
+        )
+    winners = winners.materialize()  # consumed twice: commit + survivor join
+
+    # Commit the new hashes BEFORE returning — a distributed write into a
+    # fresh per-call subdirectory (append-only, never a rewrite; a crashed
+    # call leaves a partial dir that the next call's anti-join tolerates,
+    # since re-suppressing an already-seen hash is idempotent).
+    commit_dir = os.path.join(state_dir, f"commit-{uuid.uuid4().hex}")
+    winners.map_batches(
+        lambda b: b.select(["content_hash"]), batch_format="pyarrow"
+    ).write_parquet(commit_dir)
+
+    base = hashed.schema()  # materialized — no plan re-execution
+    hashed_schema = pa.schema(list(zip(base.names, base.types)))
+    survivors = hash_join(
+        hashed,
+        winners.map_batches(
+            lambda b: pa.table({
+                "content_hash": b.column("content_hash"),
+                "__win_id": b.column(id_col),
+            }),
+            batch_format="pyarrow",
+        ),
+        left_on="content_hash", right_on="content_hash", how="inner",
+        num_partitions=num_partitions,
+        left_schema=hashed_schema,
+        right_schema=pa.schema([("content_hash", pa.string()),
+                                ("__win_id", pa.int64())]),
+    )
+    def keep_winner(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b.column(id_col), b.column("__win_id"))
+        return b.filter(mask).drop_columns(["content_hash", "__win_id"])
+
+    return survivors.map_batches(keep_winner, batch_format="pyarrow")

@@ -276,3 +276,28 @@ def test_ngram_counts_doc_boundaries(ray_session):
     got = {r["ngram"]: r["count"] for r in ngram_counts(ds, n=2).take_all()}
     # no cross-document bigram ("c"→"c" or "a"→"x"); single-word doc emits none
     assert got == {"a b": 1, "b c": 1, "c a": 1}
+
+
+def test_incremental_exact_dedup_state(ray_session, tmp_path):
+    from connect_smts_ray.ops.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "seen")
+
+    def ds_of(rows):
+        return _docs_ds(ray_session, rows)
+
+    # epoch 1: two distinct contents (8 survives as min-id dup winner)
+    e1 = incremental_exact_dedup(
+        ds_of([(8, "hello  world"), (9, "hello world"), (3, "other")]), state
+    ).take_all()
+    assert sorted(r["doc_id"] for r in e1) == [3, 8]
+    # epoch 2: one already-seen (whitespace-normalized match), one new pair
+    e2 = incremental_exact_dedup(
+        ds_of([(20, "hello\nworld"), (21, "fresh"), (22, "fresh")]), state
+    ).take_all()
+    assert sorted(r["doc_id"] for r in e2) == [21]
+    # epoch 3: everything seen → empty
+    e3 = incremental_exact_dedup(
+        ds_of([(30, "other"), (31, "fresh")]), state
+    ).take_all()
+    assert e3 == []
