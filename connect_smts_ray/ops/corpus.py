@@ -461,14 +461,22 @@ def ngram_counts(ds, n: int = 2, text_col: str = "text",
     def partial(batch: pa.Table) -> pa.Table:
         ids, words = _explode_words(batch, id_col, text_col)
         idv = ids.to_numpy(zero_copy_only=False)
-        wv = words.to_pylist()
-        grams = []
-        m = len(wv)
-        for i in range(m - n + 1):
-            if idv[i] != idv[i + n - 1]:
-                continue  # window crosses a document boundary
-            grams.append(" ".join(wv[i:i + n]))
-        t = pa.table({"ngram": pa.array(grams, pa.string())})
+        m = len(idv)
+        if m < n:
+            return pa.table({
+                "ngram": pa.array([], pa.string()),
+                "count": pa.array([], pa.int64()),
+            })
+        # vectorized window join: numpy unicode array + char.add; a window
+        # is kept only when its first and last token share a doc (ids are
+        # contiguous per doc, so endpoints imply the middle)
+        wv = np.asarray(words.to_pylist(), dtype=object)
+        grams = wv[: m - n + 1]
+        for j in range(1, n):
+            grams = grams + " "
+            grams = grams + wv[j: m - n + 1 + j]
+        keep = idv[: m - n + 1] == idv[n - 1:]
+        t = pa.table({"ngram": pa.array(grams[keep].tolist(), pa.string())})
         g = t.group_by("ngram", use_threads=False).aggregate(
             [([], "count_all")]
         )
