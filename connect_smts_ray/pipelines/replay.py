@@ -117,11 +117,27 @@ class ReplayConfig:
         if self.read_blocks is not None:
             return self.read_blocks
         floor = 2 * max(2, self.expand_concurrency, self.crypto_concurrency)
+        # The fused per-block task chain can use at most num_blocks cores:
+        # on small corpora the events-per-block target alone can yield fewer
+        # blocks than the cluster has CPUs (sf0.1 × 100 events/key → 21
+        # blocks → 18 of 32 cores busy, measured). Fan out to ≥ 2× cluster
+        # CPUs; the event-size cap only matters in the OTHER direction
+        # (oversized blocks), and at real scale by_events ≫ CPUs anyway.
+        try:
+            import ray
+
+            if ray.is_initialized():
+                floor = max(
+                    floor, 2 * int(ray.cluster_resources().get("CPU", 0))
+                )
+        except Exception:
+            pass
         if not n_corpus_rows:
             return floor
         by_events = -(-n_corpus_rows * self.events_per_key
                       // self.target_events_per_block)
-        return max(floor, min(by_events, 4096))
+        return min(max(floor, min(by_events, 4096)),
+                   max(1, n_corpus_rows))
 
     def binlog(self) -> BinlogConfig:
         return BinlogConfig(events_per_key=self.events_per_key, seed=self.seed)
