@@ -324,7 +324,8 @@ def group_quantiles(ds, group_col: str, value_col: str, qs,
             out_v.append(uniq[np.searchsorted(cum, rank)])
         key = group.column(group_col)[0].as_py()
         return pa.table({
-            group_col: pa.array([key] * len(qs)),
+            group_col: pa.array([key] * len(qs),
+                                type=group.schema.field(group_col).type),
             "q_pct": pa.array(out_q, pa.int64()),
             value_col: pa.array(out_v, type=group.schema.field(value_col).type),
         })

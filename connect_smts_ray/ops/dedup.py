@@ -858,8 +858,11 @@ def incremental_exact_dedup(ds, state_dir: str, text_col: str = "text",
         batch_format="pyarrow",
     )
 
+    base = hashed.schema()  # materialized — no plan re-execution
+    hashed_schema = pa.schema(list(zip(base.names, base.types)))
+    id_type = hashed_schema.field(id_col).type  # don't assume int64
     win_schema = pa.schema([("content_hash", pa.string()),
-                            (id_col, pa.int64())])
+                            (id_col, id_type)])
     seen_files = []
     if os.path.isdir(state_dir):
         for sub in sorted(os.listdir(state_dir)):
@@ -879,17 +882,6 @@ def incremental_exact_dedup(ds, state_dir: str, text_col: str = "text",
         )
     winners = winners.materialize()  # consumed twice: commit + survivor join
 
-    # Commit the new hashes BEFORE returning — a distributed write into a
-    # fresh per-call subdirectory (append-only, never a rewrite; a crashed
-    # call leaves a partial dir that the next call's anti-join tolerates,
-    # since re-suppressing an already-seen hash is idempotent).
-    commit_dir = os.path.join(state_dir, f"commit-{uuid.uuid4().hex}")
-    winners.map_batches(
-        lambda b: b.select(["content_hash"]), batch_format="pyarrow"
-    ).write_parquet(commit_dir)
-
-    base = hashed.schema()  # materialized — no plan re-execution
-    hashed_schema = pa.schema(list(zip(base.names, base.types)))
     survivors = hash_join(
         hashed,
         winners.map_batches(
@@ -903,10 +895,30 @@ def incremental_exact_dedup(ds, state_dir: str, text_col: str = "text",
         num_partitions=num_partitions,
         left_schema=hashed_schema,
         right_schema=pa.schema([("content_hash", pa.string()),
-                                ("__win_id", pa.int64())]),
+                                ("__win_id", id_type)]),
     )
+
     def keep_winner(b: pa.Table) -> pa.Table:
         mask = pc.equal(b.column(id_col), b.column("__win_id"))
         return b.filter(mask).drop_columns(["content_hash", "__win_id"])
 
-    return survivors.map_batches(keep_winner, batch_format="pyarrow")
+    # Materialize the survivors BEFORE committing the seen-state: the
+    # returned Dataset must be concrete data, not a lazy plan, when the
+    # hashes become visible — otherwise a caller whose downstream sink
+    # crashes mid-consumption has lost the epoch's documents (the retry
+    # anti-joins them all away). The remaining non-atomicity (commit
+    # succeeds, caller discards the materialized result) is the caller's
+    # checkpointing concern, documented above.
+    survivors = survivors.map_batches(
+        keep_winner, batch_format="pyarrow"
+    ).materialize()
+
+    # Commit the new hashes AFTER the survivors exist — a distributed
+    # write into a fresh per-call subdirectory (append-only, never a
+    # rewrite; a crashed call leaves either no commit — safe retry — or a
+    # partial dir whose hashes re-suppress idempotently).
+    commit_dir = os.path.join(state_dir, f"commit-{uuid.uuid4().hex}")
+    winners.map_batches(
+        lambda b: b.select(["content_hash"]), batch_format="pyarrow"
+    ).write_parquet(commit_dir)
+    return survivors

@@ -567,10 +567,21 @@ def split_partitions(cfg: UpsertConfig, factor: int = 2) -> UpsertConfig:
     new_p = old_p * factor
     new_cfg = dataclasses.replace(cfg, num_partitions=new_p)
     parents = store.all_partitions()
-    e_split = max(
-        (max(store.committed_epochs(pid), default=-1) for pid in parents),
-        default=-1,
-    ) + 1
+    # E_split must exceed EVERY committed epoch number in the table —
+    # delta epochs AND base epochs. A previous split commits bases at its
+    # own E_split with no accompanying deltas, so a max over delta epochs
+    # alone could reuse that number: commit_base's idempotent skip would
+    # then keep the stale j=0 bases (verified: duplicated keys), and a
+    # below-base replayed delta could even push the max BELOW the current
+    # base, numbering the new bases where read_plan never looks.
+    def _max_epoch(pid: int) -> int:
+        bases = store.committed_base_epochs(pid)
+        return max(
+            max(store.committed_epochs(pid), default=-1),
+            max(bases, default=-1),
+        )
+
+    e_split = max((_max_epoch(pid) for pid in parents), default=-1) + 1
     for pid in parents:
         base, deltas = store.read_plan(pid)
         tables = []
@@ -589,7 +600,12 @@ def split_partitions(cfg: UpsertConfig, factor: int = 2) -> UpsertConfig:
         for j in range(factor):
             child_pid = pid + j * old_p
             part = state.filter(pa.array(child == child_pid))
-            if part.num_rows == 0:
+            # j=0 shares the parent's pid: its new base is what SUPERSEDES
+            # the parent's old files, so it must be committed even when
+            # empty — skipping it leaves the old base visible and the rows
+            # that moved to j>0 children appear twice (r3 review finding,
+            # reproduced with a split whose parent keeps zero keys).
+            if part.num_rows == 0 and j > 0:
                 continue
             part = _canonicalize(part, cfg)
             store.commit_base(

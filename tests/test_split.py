@@ -123,3 +123,22 @@ def test_partitions_for_guidance():
     assert UpsertConfig.partitions_for(1) == 1
     assert UpsertConfig.partitions_for(10 << 30) == 4
     assert UpsertConfig.partitions_for(100 << 40) == 32768
+
+
+def test_double_split_no_duplicates(lake, ray_session):
+    """Regression (r3 review): a second split with no intervening epochs
+    must pick a FRESH base epoch — reusing the first split's E_split made
+    commit_base's idempotent skip keep stale j=0 bases (duplicated keys)."""
+    from connect_smts_ray.sinks.upsert import read_lake, split_partitions
+
+    before = _digest(read_lake(lake))
+    cfg2 = split_partitions(lake, factor=2)
+    cfg3 = split_partitions(cfg2, factor=2)
+    after = read_lake(cfg3)
+    keys = list(zip(after.column("repo").to_pylist(),
+                    after.column("path").to_pylist()))
+    assert len(keys) == len(set(keys))
+    assert _digest(after) == before
+    # and a third split still converges
+    cfg4 = split_partitions(cfg3, factor=2)
+    assert _digest(read_lake(cfg4)) == before
