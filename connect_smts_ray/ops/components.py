@@ -162,6 +162,11 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
             "k": rtab.column(right_on).to_pandas(),
             "ri": np.arange(rtab.num_rows, dtype=np.int64),
         })
+        # acero leaves null join keys unmatched, but pandas merge matches
+        # null==null — drop null right keys so a null left key matches
+        # nothing (inner: row dropped; left_outer: right columns null),
+        # keeping both per-bucket join kernels row-identical.
+        rdf = rdf[rdf["k"].notna()]
         m = ldf.merge(rdf, on="k", how="inner" if how == "inner" else "left")
         lpart = ltab.take(pa.array(m["li"].to_numpy(), type=pa.int64()))
         ri = pa.array(pd.array(m["ri"], dtype="Int64"))  # null = outer miss
@@ -286,6 +291,7 @@ def connected_components(pair_ds, num_partitions: int = 16,
     n_edges = edges.count()
     if n_edges == 0:
         return _empty_labels()
+    id_t = _to_arrow_schema(edges.schema()).field("node").type
     if n_edges <= driver_edge_limit:
         import ray.data
 
@@ -297,11 +303,13 @@ def connected_components(pair_ds, num_partitions: int = 16,
                              b.column("nbr").to_pylist()))
         comp = union_find_components(pairs)
         items = sorted(comp.items())
+        # preserve the input id dtype: the iterative path below emits
+        # labels in id_t, and downstream joins against the original id
+        # column must not see a size-gated type switch to int64
         return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([k for k, _ in items], type=pa.int64()),
-            "component": pa.array([v for _, v in items], type=pa.int64()),
+            "doc_id": pa.array([k for k, _ in items], type=id_t),
+            "component": pa.array([v for _, v in items], type=id_t),
         }))
-    id_t = _to_arrow_schema(edges.schema()).field("node").type
     edges_schema = pa.schema([("node", id_t), ("nbr", id_t)])
     labels_schema = pa.schema([("lnode", id_t), ("label", id_t)])
 

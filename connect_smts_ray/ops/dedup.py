@@ -95,7 +95,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     from connect_smts_ray.ops.components import _to_arrow_schema, hash_join
 
-    base_schema = _to_arrow_schema(ds.schema())
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
     )
@@ -149,7 +148,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         out = hashed.map_batches(drop_losers, batch_format="pyarrow")
     else:
         # Explicit schemas: Dataset.schema() on a lazy plan probe-executes
-        # it (see hash_join's docstring); both sides are known statically.
+        # it (see hash_join's docstring), so derive base_schema only here —
+        # the broadcast branch (the common path) never needs it and must
+        # not pay the probe of ds's lazy lineage.
+        base_schema = _to_arrow_schema(ds.schema())
         joined = hash_join(
             hashed, dup_winners, left_on="content_hash", right_on="dup_hash",
             how="left_outer", num_partitions=num_partitions,

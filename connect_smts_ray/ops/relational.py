@@ -19,9 +19,24 @@ from connect_smts_ray.core.arrow import from_pandas as _from_pandas
 
 
 def _ts_us_int64(col) -> pa.ChunkedArray:
-    """Timestamp column → int64 microseconds-since-epoch (pure Arrow casts;
-    positive epoch values, so integer division below == floor division)."""
+    """Timestamp column → int64 microseconds-since-epoch (pure Arrow casts)."""
     return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+def _floor_div_us(ts, divisor_us: int):
+    """Floor division of an int64 Arrow array by a POSITIVE divisor.
+
+    ``pc.divide`` truncates toward zero, which disagrees with floor for
+    negative values (pre-1970 timestamps): trunc(-1us / 60s) = 0 but the
+    event belongs to window -60s. Window starts and range-join band ids
+    must floor so they agree with the numpy ``//`` used on replicated
+    sides and with SQL's date_trunc-style bucketing."""
+    d = pa.scalar(divisor_us, pa.int64())
+    q = pc.divide(ts, d)  # trunc toward zero
+    r = pc.subtract(ts, pc.multiply(q, d))
+    adjust = pc.and_(pc.not_equal(r, pa.scalar(0, pa.int64())),
+                     pc.less(ts, pa.scalar(0, pa.int64())))
+    return pc.subtract(q, pc.cast(adjust, pa.int64()))
 
 
 def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
@@ -186,6 +201,11 @@ def asof_join(left, right, left_on: str, right_on: str,
         return asof_join_broadcast(
             left, right, left_on, right_on, left_by, right_by, tiebreak
         )
+    # materialize BEFORE counting: count() on a lazy Dataset executes its
+    # whole lineage, and to_pandas() (or the partitioned exchange) would
+    # then re-execute it from scratch — same re-execution trap as
+    # exact_dedup's auto path (measured 3.5× wall there)
+    right = right.materialize()
     if right.count() <= broadcast_limit:
         return asof_join_broadcast(
             left, right.to_pandas(), left_on, right_on, left_by, right_by,
@@ -240,7 +260,7 @@ def hopping_window(ds, ts_col: str, width_seconds: int, slide_seconds: int,
         # only the int64 window_start column is new per copy.
         ts = _ts_us_int64(batch.column(ts_col))
         base = pc.multiply(
-            pc.divide(ts, pa.scalar(slide_us, pa.int64())),
+            _floor_div_us(ts, slide_us),
             pa.scalar(slide_us, pa.int64()),
         )
         parts = []
@@ -378,7 +398,7 @@ def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
     def add_window(batch: pa.Table) -> pa.Table:
         ts = _ts_us_int64(batch.column(ts_col))
         ws = pc.multiply(
-            pc.divide(ts, pa.scalar(width_us, pa.int64())),
+            _floor_div_us(ts, width_us),
             pa.scalar(width_us, pa.int64()),
         )
         return batch.append_column(pa.field("window_start", pa.int64()), ws)
@@ -411,7 +431,9 @@ def range_join(left, right_small, left_key: str, right_key: str,
 
     def add_band_left(batch: pa.Table) -> pa.Table:
         ts = _ts64(batch.column(left_ts))
-        band = pc.divide(ts, pa.scalar(width_us, pa.int64()))
+        # floor (not trunc) so negative-domain timestamps land in the same
+        # band id as replicate_right's numpy ``//`` floor division
+        band = _floor_div_us(ts, width_us)
         key = pc.binary_join_element_wise(
             pc.cast(batch.column(left_key), pa.string()),
             pc.cast(band, pa.string()), "|",

@@ -47,6 +47,9 @@ def knn_brute_force(ds, query_vecs: np.ndarray, k: int = 10,
     q = _unit(np.asarray(query_vecs, dtype=np.float64))
     q_ref = ray.put(q)
     qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    # query ids are caller-supplied and may be strings — derive the Arrow
+    # type once so the grouped and driver merge paths emit the same schema
+    qid_type = pa.array(qids).type if qids else pa.int64()
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
@@ -89,9 +92,7 @@ def knn_brute_force(ds, query_vecs: np.ndarray, k: int = 10,
                 order = order[nid[order] != qids[qi]]
             order = order[:k]
             return pa.table({
-                "query_id": pa.array(
-                    np.full(len(order), qids[qi], dtype=np.int64)
-                ),
+                "query_id": pa.array([qids[qi]] * len(order), type=qid_type),
                 "neighbor_id": pa.array(nid[order]),
                 "rank": pa.array(
                     np.arange(len(order), dtype=np.int32)
@@ -105,7 +106,7 @@ def knn_brute_force(ds, query_vecs: np.ndarray, k: int = 10,
         parts = list(out.iter_batches(batch_format="pyarrow"))
         if not parts:
             return pa.table({
-                "query_id": pa.array([], type=pa.int64()),
+                "query_id": pa.array([], type=qid_type),
                 "neighbor_id": pa.array([], type=pa.int64()),
                 "rank": pa.array([], type=pa.int32()),
                 "score": pa.array([], type=pa.float64()),
@@ -140,7 +141,7 @@ def knn_brute_force(ds, query_vecs: np.ndarray, k: int = 10,
             out_s.append(-negs)
             rank += 1
     return pa.table({
-        "query_id": pa.array(out_q, type=pa.int64()),
+        "query_id": pa.array(out_q, type=qid_type),
         "neighbor_id": pa.array(out_n, type=pa.int64()),
         "rank": pa.array(out_r, type=pa.int32()),
         "score": pa.array(out_s, type=pa.float64()),
@@ -227,6 +228,7 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10,
     probe_ref = ray.put(probe_sets)
     q_ref = ray.put(q)
     qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    qid_type = pa.array(qids).type if qids else pa.int64()
 
     def partial(batch: pa.Table) -> pa.Table:
         cent = _unit(ray.get(cent_ref))
@@ -276,7 +278,7 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10,
             out_r.append(rank)
             out_s.append(-negs)
     return pa.table({
-        "query_id": pa.array(out_q, type=pa.int64()),
+        "query_id": pa.array(out_q, type=qid_type),
         "neighbor_id": pa.array(out_n, type=pa.int64()),
         "rank": pa.array(out_r, type=pa.int32()),
         "score": pa.array(out_s, type=pa.float64()),

@@ -352,3 +352,125 @@ def test_vectorized_key_and_murmur_equivalence():
     slow = np.array([murmur2_positive(s.encode()) for s in arr.to_pylist()],
                     dtype=np.uint32)
     assert (fast == slow).all()
+
+
+def test_gather_join_null_keys_unmatched(ray_session):
+    """pandas merge matches null==null; the list-payload gather path must
+    mirror acero (nulls never match): inner drops null-key rows, left_outer
+    keeps them with null right columns — no null cross-product."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join
+
+    # list-typed payload forces the _gather_join path
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None, None], pa.string()),
+        "emb": pa.array([[1.0], [2.0], [3.0]], pa.list_(pa.float64())),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None], pa.string()),
+        "v": pa.array([10, 20], pa.int64()),
+    }))
+    ls = pa.schema([("k", pa.string()), ("emb", pa.list_(pa.float64()))])
+    rs = pa.schema([("k", pa.string()), ("v", pa.int64())])
+
+    inner = hash_join(left, right, "k", "k", how="inner",
+                      left_schema=ls, right_schema=rs).take_all()
+    assert len(inner) == 1 and inner[0]["k"] == "a" and inner[0]["v"] == 10
+
+    outer = hash_join(left, right, "k", "k", how="left_outer",
+                      left_schema=ls, right_schema=rs).take_all()
+    assert len(outer) == 3
+    null_rows = [r for r in outer if r["k"] is None]
+    assert len(null_rows) == 2 and all(r["v"] is None for r in null_rows)
+
+
+def test_range_join_negative_timestamps(ray_session):
+    """Left bands must use FLOOR division like the replicated right side:
+    trunc-vs-floor disagreement dropped pre-1970 matches silently."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import range_join
+
+    width = 200
+    left = ray.data.from_arrow(pa.table({
+        "key": pa.array(["k"] * 4, pa.string()),
+        "lts": pa.array([-450, -250, -100, 150], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rkey": pa.array(["k"] * 3, pa.string()),
+        "rts": pa.array([-500, -300, 100], pa.int64()),
+    }))
+    out = range_join(
+        left, right, "key", "rkey", "lts", "rts", width_us=width,
+        left_schema=pa.schema([("key", pa.string()), ("lts", pa.int64())]),
+        right_schema=pa.schema([("rkey", pa.string()), ("rts", pa.int64())]),
+    ).take_all()
+    got = {(r["lts"], r["rts"]) for r in out}
+    # brute-force oracle: rts <= lts < rts + width
+    want = {(l, r) for l in (-450, -250, -100, 150) for r in (-500, -300, 100)
+            if r <= l < r + width}
+    assert got == want
+
+
+def test_window_pre_epoch_timestamps(ray_session):
+    """Pre-1970 events must land in the floor window, not the trunc one."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import hopping_window, tumbling_window
+
+    ts = pa.array([-1_000_000, 1_000_000], pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_ts": ts, "k": pa.array(["a", "a"]),
+        "v": pa.array([1.0, 2.0]),
+    }))
+    out = tumbling_window(ds, "event_ts", 60, ["k"],
+                          {"n": ("v", "count")}).take_all()
+    starts = sorted(r["window_start"] for r in out)
+    assert starts == [-60_000_000, 0]
+
+    out2 = hopping_window(ds, "event_ts", 120, 60, ["k"],
+                          {"n": ("v", "count")}).take_all()
+    starts2 = sorted({r["window_start"] for r in out2})
+    assert starts2 == [-120_000_000, -60_000_000, 0]
+
+
+def test_connected_components_driver_path_preserves_dtype(ray_session):
+    """The small-graph driver union-find must emit labels in the input id
+    dtype (int32 here), matching the iterative path's schema."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import connected_components
+
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([1, 2], pa.int32()),
+        "id_b": pa.array([2, 3], pa.int32()),
+    }))
+    labels = connected_components(pairs, driver_edge_limit=1000)
+    t = pa.concat_tables(labels.iter_batches(batch_format="pyarrow"), promote_options="default") \
+        if hasattr(labels, "iter_batches") else labels
+    sch = {f.name: f.type for b in labels.iter_batches(batch_format="pyarrow") for f in b.schema}
+    assert sch["doc_id"] == pa.int32()
+    assert sch["component"] == pa.int32()
+
+
+def test_knn_string_query_ids_grouped(ray_session):
+    """String query_ids through the grouped merge path (n_q >= 64) — the
+    int64 np.full crashed; both paths must emit the string-typed column."""
+    import ray.data
+
+    from connect_smts_ray.ops.similarity import knn_brute_force
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(100, 8)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    }))
+    q = vecs[:64]
+    qids = [f"q-{i:03d}" for i in range(64)]
+    grouped = knn_brute_force(ds, q, k=3, query_ids=qids, merge="grouped")
+    driver = knn_brute_force(ds, q, k=3, query_ids=qids, merge="driver")
+    assert grouped.schema.field("query_id").type == pa.string()
+    assert grouped.sort_by([("query_id", "ascending"), ("rank", "ascending")]).equals(
+        driver.sort_by([("query_id", "ascending"), ("rank", "ascending")]))
