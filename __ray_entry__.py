@@ -425,18 +425,19 @@ def q_expand_json_evolution(sf_dir: str):
 
 def q_asof_join_orders(sf_dir: str):
     """As-of join: each event matched to the customer's most recent order at
-    event time (backward; ties → max o_orderkey). Broadcast right side +
-    per-batch merge_asof — no shuffle."""
-    import pandas as pd
+    event time (backward; ties → max o_orderkey). Right side is a DATASET
+    through the auto-selecting ``asof_join``: below the broadcast limit it
+    ships once via ``ray.put`` + per-batch merge_asof (zero shuffle); a
+    100×-larger orders side would take the partitioned exchange instead of
+    overwhelming the driver."""
+    from connect_smts_ray.ops.relational import asof_join
 
-    from connect_smts_ray.ops.relational import asof_join_broadcast
-
-    right = pd.read_parquet(
-        f"{sf_dir}/orders.parquet",
+    right = _read(
+        sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-    joined = asof_join_broadcast(
+    joined = asof_join(
         ds, right, left_on="ts", right_on="o_orderdate",
         left_by="user_id", right_by="o_custkey", tiebreak="o_orderkey",
     )
@@ -892,17 +893,28 @@ def q_hash_join_events_orders(sf_dir: str):
 
 def q_join_orders_customer(sf_dir: str):
     """Broadcast join orders ⨝ customer + grouped revenue per segment."""
-    import pandas as pd
-
-    from connect_smts_ray.ops.relational import broadcast_join
+    from connect_smts_ray.ops.relational import auto_join
 
     orders = _read(
         sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
     )
-    customer = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).rename(columns={"c_custkey": "o_custkey"})
-    joined = broadcast_join(orders, customer, on="o_custkey")
+    customer = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [{"c_custkey": "o_custkey"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    # dimension side read distributed + pruned; auto_join broadcasts it at
+    # this size and would switch to the hash exchange at fact-table scale
+    joined = auto_join(
+        orders, customer, on="o_custkey",
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("c_mktsegment", pa.string())]),
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -986,35 +998,60 @@ def q_shipping_priority(sf_dir: str):
     basis points — the only exchange is the tiny final groupby + top-k."""
     import pandas as pd
 
-    from connect_smts_ray.ops.relational import broadcast_join, topk
+    from connect_smts_ray.ops.relational import auto_join, topk
 
     cutoff = pd.Timestamp("1998-01-01")
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    cutoff_us = pa.scalar(cutoff.to_datetime64())
+    # dimension chain fully distributed: customer filters to BUILDING keys,
+    # orders filters by date and auto_joins against them; each side is read
+    # pruned and only the FILTERED survivors ever leave their tasks
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b.filter(
+                pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING"))
+            ).column("c_custkey"),
+        }),
+        batch_format="pyarrow",
     )
-    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]].rename(
-        columns={"c_custkey": "o_custkey"}
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff_us)),
+        batch_format="pyarrow",
     )
-    orders = pd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    orders = auto_join(
+        orders, cust, on="o_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    ).map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b.column("o_orderkey"),
+            "o_orderdate": b.column("o_orderdate"),
+        }),
+        batch_format="pyarrow",
     )
-    orders = orders[orders["o_orderdate"] < cutoff]
-    orders = orders.merge(cust, on="o_custkey")[
-        ["o_orderkey", "o_orderdate"]
-    ].rename(columns={"o_orderkey": "l_orderkey"})
 
     ds = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
     ds = ds.map_batches(
-        lambda b: b.filter(
-            pc.greater(b.column("l_shipdate"), pa.scalar(cutoff.to_datetime64()))
-        ),
+        lambda b: b.filter(pc.greater(b.column("l_shipdate"), cutoff_us)),
         batch_format="pyarrow",
     )
-    joined = broadcast_join(ds, orders, on="l_orderkey")
+    joined = auto_join(
+        ds, orders, on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()

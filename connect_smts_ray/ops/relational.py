@@ -53,6 +53,38 @@ def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
+def auto_join(left, right, on, how: str = "inner",
+              num_partitions: int = 16, broadcast_limit: int = 2_000_000,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Auto-selecting equi-join on a shared key column name.
+
+    The right side (DataFrame or Dataset) is materialized once; at or
+    under ``broadcast_limit`` rows it broadcasts (``ray.put`` + per-batch
+    merge — zero shuffle, the dimension-table path), above it both sides
+    take the partitioned hash exchange (``hash_join``). Lets a query keep
+    one code path that is broadcast-fast at dimension scale and still
+    correct when the right side is another fact table."""
+    from connect_smts_ray.ops.components import hash_join
+
+    arrow_how = {"inner": "inner", "left": "left_outer",
+                 "left_outer": "left_outer"}[how]
+    if isinstance(right, pd.DataFrame):
+        if len(right) <= broadcast_limit:
+            return broadcast_join(left, right, on=on, how=how)
+        import ray.data
+
+        right = ray.data.from_pandas(right)
+    right = right.materialize()  # count() + consumption: execute ONCE
+    if right.count() <= broadcast_limit:
+        return broadcast_join(left, right.to_pandas(), on=on, how=how)
+    return hash_join(
+        left, right, left_on=on, right_on=on, how=arrow_how,
+        num_partitions=num_partitions,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+
+
 def asof_join_broadcast(ds, right: pd.DataFrame, left_on: str, right_on: str,
                         left_by: str, right_by: str,
                         tiebreak: str | None = None):

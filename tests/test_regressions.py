@@ -474,3 +474,34 @@ def test_knn_string_query_ids_grouped(ray_session):
     assert grouped.schema.field("query_id").type == pa.string()
     assert grouped.sort_by([("query_id", "ascending"), ("rank", "ascending")]).equals(
         driver.sort_by([("query_id", "ascending"), ("rank", "ascending")]))
+
+
+def test_auto_join_paths_identical(ray_session):
+    """auto_join must produce identical rows via the broadcast path and the
+    hash-exchange path (forced with broadcast_limit=0)."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import auto_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "a": pa.array(["w", "x", "y", "z"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 5], pa.int64()),
+        "b": pa.array([20, 30, 50], pa.int64()),
+    }))
+    ls = pa.schema([("k", pa.int64()), ("a", pa.string())])
+    rs = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+
+    def rows(ds):
+        return sorted(
+            (tuple(sorted(r.items())) for r in ds.take_all()),
+        )
+
+    bc = auto_join(left, right, on="k", broadcast_limit=1000,
+                   left_schema=ls, right_schema=rs)
+    hx = auto_join(left, right, on="k", broadcast_limit=0,
+                   left_schema=ls, right_schema=rs)
+    assert rows(bc) == rows(hx)
+    assert len(rows(bc)) == 2
