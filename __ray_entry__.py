@@ -119,10 +119,17 @@ def _strip_schema_metadata(b: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data
 
+    # metadata-free schema at the READ (not just the post-read strip): the
+    # pandas metadata dict defeats Ray Data's schema-dedup hash inside the
+    # fused read task itself
+    sch = pq.read_schema(f"{sf_dir}/{table}.parquet").remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
     return ray.data.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=columns
+        f"{sf_dir}/{table}.parquet", columns=columns, schema=sch
     ).map_batches(_strip_schema_metadata, batch_format="pyarrow")
 
 

@@ -87,9 +87,17 @@ def read_corpus(sf_dir: str, num_blocks: int | None = None) -> "ray.data.Dataset
         want = min(int(num_blocks), 64)
         if ctx._max_num_blocks_in_streaming_gen_buffer < want:
             ctx._max_num_blocks_in_streaming_gen_buffer = want
+    # explicit metadata-free schema: the driver-written parquet carries
+    # pandas schema metadata whose dict defeats Ray Data's schema-dedup
+    # hash inside the read task ("Failed to hash the schemas" warning spam)
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(f"{sf_dir}/documents.parquet").remove_metadata()
+    cols = ["doc_id", "text", "lang", "source"]
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source"],
+        columns=cols,
+        schema=pa.schema([sch.field(c) for c in cols]),
         **kwargs,
     )
     return ds.map_batches(_documents_to_corpus, batch_format="pyarrow")
