@@ -776,20 +776,24 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
+    from connect_smts_ray.core.worker_state import stateful_task
     from connect_smts_ray.ops.text import LangId
 
+    # task stage with a per-worker cached instance: scales to every
+    # cluster CPU (the r2 actor pool was capped at 2×0.5 CPU total)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+        stateful_task(LangId), batch_format="pyarrow"
     ).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
 
 
 def q_quality_score(sf_dir: str):
+    from connect_smts_ray.core.worker_state import stateful_task
     from connect_smts_ray.ops.text import QualityScore
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        QualityScore, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+        stateful_task(QualityScore), batch_format="pyarrow"
     ).map_batches(
         lambda b: b.select(["doc_id", "quality"]), batch_format="pyarrow"
     )
@@ -1256,14 +1260,16 @@ def q_curation_pipeline(sf_dir: str):
     (predicted English) → exact dedup → token counting. Every stage is one
     of the engine's own operators chained on the same streaming Dataset;
     the oracle composes the same CTEs."""
+    from connect_smts_ray.core.worker_state import stateful_task
     from connect_smts_ray.ops.dedup import exact_dedup
     from connect_smts_ray.ops.text import LangId, QualityScore, add_token_count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(QualityScore, batch_format="pyarrow",
-                        concurrency=(1, 4), num_cpus=1)
-    ds = ds.map_batches(LangId, batch_format="pyarrow",
-                        concurrency=(1, 4), num_cpus=1)
+    # task stages with per-worker cached instances — the scoring
+    # heuristics are the CPU-heavy stages here and must be free to use
+    # every core, not a 4-actor pool (r3 profile: starved at 4 of 32)
+    ds = ds.map_batches(stateful_task(QualityScore), batch_format="pyarrow")
+    ds = ds.map_batches(stateful_task(LangId), batch_format="pyarrow")
 
     def keep(b: pa.Table) -> pa.Table:
         mask = pc.and_(

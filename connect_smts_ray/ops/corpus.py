@@ -151,14 +151,20 @@ def tfidf_top_terms(ds, k_per_doc: int = 3, id_col: str = "doc_id",
     td = term_doc_counts(ds, id_col=id_col, text_col=text_col)
     td = td.materialize()  # consumed twice (df agg + join probe)
     df_ds = doc_frequencies(td, id_col=id_col, num_partitions=num_partitions)
-    from connect_smts_ray.ops.components import hash_join
+    from connect_smts_ray.ops.relational import auto_join
 
     td_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
                            ("tf", pa.int64())])
     df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
-    joined = hash_join(
-        td, df_ds, left_on="term", right_on="term", how="inner",
-        num_partitions=num_partitions,
+    # auto_join: the (term, df) side is the VOCABULARY — Zipf-sublinear in
+    # corpus size — so it broadcasts and the fat exploded td table never
+    # shuffles. That also keeps each document's rows co-located in their
+    # original block, so grouped_topk's per-block partial already reduces
+    # to the final per-doc top-k and its shuffle carries only k rows/doc.
+    # A vocabulary above the broadcast limit falls back to the hash
+    # exchange (one td shuffle) automatically.
+    joined = auto_join(
+        td, df_ds, on="term", num_partitions=num_partitions,
         left_schema=td_schema, right_schema=df_schema,
     )
 
