@@ -1188,6 +1188,48 @@ def q_token_quantiles(sf_dir: str):
 _STRATA = {"en": 20, "es": 10, "fr": 5, "de": 50, "zh": 35}
 
 
+def q_train_val_test_split(sf_dir: str):
+    """Reproducible hash-addressed 90/5/5 train/val/test assignment —
+    stable across runs, block layouts and cluster sizes (no RNG state)."""
+    from connect_smts_ray.ops.corpus import train_val_test_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return train_val_test_split(ds, id_col="doc_id", pct=(90, 5, 5))
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: documents with doc_id % 97 == 0 act as
+    the held-out benchmark; every other document reports how many distinct
+    word 3-grams it shares with ANY benchmark doc (n_hits > 0 ⇒ the doc
+    would be dropped before training). Distinct (doc, gram) explosion per
+    block → LEFT SEMI hash join on the gram string → per-doc count."""
+    from connect_smts_ray.ops.corpus import ngram_contamination
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(parity_keep: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(
+                pc.cast(
+                    pc.subtract(
+                        b.column("doc_id"),
+                        pc.multiply(
+                            pc.divide(b.column("doc_id"), pa.scalar(97)),
+                            pa.scalar(97),
+                        ),
+                    ),
+                    pa.int64(),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            return b.filter(m if parity_keep else pc.invert(m))
+        return f
+
+    bench = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    return ngram_contamination(corpus, bench, n=3)
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-language deterministic Bernoulli sample (md5-addressed, stable
     across runs / block layouts / cluster sizes)."""
@@ -1507,6 +1549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
+        "train_val_test_split": q_train_val_test_split,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2438,6 +2482,37 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 10
                             WHEN 'fr' THEN 5 WHEN 'de' THEN 50
                             WHEN 'zh' THEN 35 ELSE 0 END
+        """,
+        "train_val_test_split": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_lower(
+                              'split|' || CAST(doc_id AS VARCHAR)) % 100 < 90
+                        THEN 'train'
+                        WHEN md5_number_lower(
+                              'split|' || CAST(doc_id AS VARCHAR)) % 100 < 95
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     w.ws[i.i] || ' ' || w.ws[i.i + 1] || ' ' ||
+                     w.ws[i.i + 2] AS gram
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(w.ws) - 2)) AS i
+              ) i
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM c JOIN bench USING (gram)
+            GROUP BY c.doc_id
         """,
         "pack_sequences": """
             WITH t AS (

@@ -501,3 +501,101 @@ def ngram_counts(ds, n: int = 2, text_col: str = "text",
         }),
         batch_format="pyarrow",
     )
+
+
+def train_val_test_split(ds, id_col: str = "doc_id",
+                         pct=(90, 5, 5), salt: str = "split"):
+    """Deterministic hash-addressed train/val/test assignment: bucket =
+    md5(salt ∥ '|' ∥ id) % 100 (little-endian uint64 of md5 bytes 8..16 —
+    DuckDB ``md5_number_lower``), buckets [0, pct₀) → train,
+    [pct₀, pct₀+pct₁) → val, rest → test. Stable across runs, block
+    layouts and cluster sizes; a stateless per-batch map, no shuffle —
+    the standard reproducible-split shape for training corpora."""
+    if sum(pct) != 100:
+        raise ValueError("pct must sum to 100")
+    lo_train, lo_val = pct[0], pct[0] + pct[1]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in batch.column(id_col).to_pylist():
+            h = int.from_bytes(
+                hashlib.md5(f"{salt}|{i}".encode()).digest()[8:], "little"
+            )
+            b = h % 100
+            out.append("train" if b < lo_train
+                       else "val" if b < lo_val else "test")
+        return batch.append_column(
+            pa.field("split", pa.string()), pa.array(out, pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def doc_ngram_windows(batch: pa.Table, n: int, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Distinct (doc_id, gram) word n-grams of each document in a batch —
+    the vectorized window join of ``ngram_counts`` plus a per-batch
+    distinct. Complete per block because a doc's text lives in one row."""
+    ids, words = _explode_words(batch, id_col, text_col)
+    idv = ids.to_numpy(zero_copy_only=False)
+    m = len(idv)
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "gram": pa.array([], pa.string()),
+    })
+    if m < n:
+        return empty
+    wv = np.asarray(words.to_pylist(), dtype=object)
+    grams = wv[: m - n + 1]
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + wv[j: m - n + 1 + j]
+    keep = idv[: m - n + 1] == idv[n - 1:]
+    if not keep.any():
+        return empty
+    t = pa.table({
+        id_col: pa.array(idv[: m - n + 1][keep], pa.int64()),
+        "gram": pa.array(grams[keep].tolist(), pa.string()),
+    })
+    g = t.group_by([id_col, "gram"], use_threads=False).aggregate([])
+    return g
+
+
+def ngram_contamination(corpus_ds, benchmark_ds, n: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int = 16):
+    """Benchmark decontamination: per corpus document, the number of
+    DISTINCT word ``n``-grams it shares with ANY benchmark document
+    (docs with ``n_hits > 0`` are contaminated and would be dropped
+    before training). Returns Dataset (doc_id, n_hits), hits only.
+
+    Shape: both sides explode to distinct (doc, gram) rows inside their
+    own blocks (no driver pass); a reduce-side LEFT SEMI hash join on the
+    gram string keeps only corpus grams present in the benchmark set; one
+    grouped count per doc. The benchmark gram table is usually tiny next
+    to the corpus but the semi join never assumes it fits anywhere."""
+    from connect_smts_ray.ops.components import hash_join
+
+    corpus_grams = corpus_ds.map_batches(
+        lambda b: doc_ngram_windows(b, n, id_col, text_col),
+        batch_format="pyarrow",
+    )
+    bench_grams = benchmark_ds.map_batches(
+        lambda b: doc_ngram_windows(b, n, id_col, text_col)
+        .select(["gram"]),
+        batch_format="pyarrow",
+    )
+    hits = hash_join(
+        corpus_grams, bench_grams, left_on="gram", right_on="gram",
+        how="left_semi", num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()), ("gram", pa.string())]),
+        right_schema=pa.schema([("gram", pa.string())]),
+    )
+    agg = hits.groupby(id_col).count()
+    return agg.map_batches(
+        lambda b: pa.table({
+            id_col: b.column(id_col),
+            "n_hits": pc.cast(b.column("count()"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

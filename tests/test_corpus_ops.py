@@ -301,3 +301,54 @@ def test_incremental_exact_dedup_state(ray_session, tmp_path):
         ds_of([(30, "other"), (31, "fresh")]), state
     ).take_all()
     assert e3 == []
+
+
+def test_train_val_test_split_deterministic(ray_session):
+    """Assignments are a pure function of the id — identical across runs
+    and layouts; fractions must sum to 100."""
+    import ray.data
+
+    from connect_smts_ray.ops.corpus import train_val_test_split
+
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    a = train_val_test_split(ray.data.from_arrow(t)).take_all()
+    b = train_val_test_split(
+        ray.data.from_arrow(t).repartition(7)
+    ).take_all()
+    am = {r["doc_id"]: r["split"] for r in a}
+    bm = {r["doc_id"]: r["split"] for r in b}
+    assert am == bm
+    from collections import Counter
+    c = Counter(am.values())
+    # ~90/5/5 within generous tolerance at n=1000
+    assert 850 < c["train"] < 950 and c["val"] > 20 and c["test"] > 20
+
+    with pytest.raises(ValueError):
+        train_val_test_split(ray.data.from_arrow(t), pct=(80, 10, 5))
+
+
+def test_ngram_contamination_oracle(ray_session):
+    """Exact hit counts vs a brute-force Python oracle on a tiny corpus."""
+    import ray.data
+
+    from connect_smts_ray.ops.corpus import ngram_contamination
+
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps",   # shares 'the quick brown' x1... and 'quick brown fox'
+            "totally unrelated words here",
+            "brown fox jumps over lazy",   # shares 'brown fox jumps'
+        ]),
+    })
+    bench = pa.table({
+        "doc_id": pa.array([10], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over"]),
+    })
+    out = ngram_contamination(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(bench), n=3
+    ).take_all()
+    hits = {r["doc_id"]: r["n_hits"] for r in out}
+    # doc 1: grams {the quick brown, quick brown fox, brown fox jumps} all in bench -> 3
+    # doc 3: {brown fox jumps, fox jumps over} in bench -> 2
+    assert hits == {1: 3, 3: 2}
