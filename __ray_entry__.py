@@ -119,18 +119,9 @@ def _strip_schema_metadata(b: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import pyarrow.parquet as pq
-    import ray.data
+    from connect_smts_ray.core.arrow import read_parquet_clean
 
-    # metadata-free schema at the READ (not just the post-read strip): the
-    # pandas metadata dict defeats Ray Data's schema-dedup hash inside the
-    # fused read task itself
-    sch = pq.read_schema(f"{sf_dir}/{table}.parquet").remove_metadata()
-    if columns is not None:
-        sch = pa.schema([sch.field(c) for c in columns])
-    return ray.data.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=columns, schema=sch
-    ).map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def q_cdc_replay(sf_dir: str):
@@ -447,6 +438,9 @@ def q_asof_join_orders(sf_dir: str):
     joined = asof_join(
         ds, right, left_on="ts", right_on="o_orderdate",
         left_by="user_id", right_by="o_custkey", tiebreak="o_orderkey",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("ts", pa.timestamp("us")),
+                               ("user_id", pa.int64())]),
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1205,7 +1199,9 @@ def q_decontaminate(sf_dir: str):
     block → LEFT SEMI hash join on the gram string → per-doc count."""
     from connect_smts_ray.ops.corpus import ngram_contamination
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # materialize ONCE: both side() branches consume this read, and
+    # un-materialized datasets re-execute their plan per consumer
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
     def side(parity_keep: bool):
         def f(b: pa.Table) -> pa.Table:

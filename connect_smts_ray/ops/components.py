@@ -191,8 +191,13 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
         # rejects list-typed non-key columns, e.g. embedding payloads)
         if rtab.num_rows == 0:
             return ltab if how == "left_anti" else ltab.slice(0, 0)
+        # skip_nulls=True: a null in the right value_set must not match a
+        # null left key (SQL anti/semi semantics — null matches nothing),
+        # mirroring the inner/left_outer kernels above
         present = pc.is_in(
-            ltab.column(left_on), value_set=rtab.column(right_on).combine_chunks()
+            ltab.column(left_on),
+            value_set=rtab.column(right_on).combine_chunks(),
+            skip_nulls=True,
         )
         present = pc.fill_null(present, False)
         mask = pc.invert(present) if how == "left_anti" else present

@@ -536,11 +536,12 @@ def doc_ngram_windows(batch: pa.Table, n: int, id_col: str = "doc_id",
     """Distinct (doc_id, gram) word n-grams of each document in a batch —
     the vectorized window join of ``ngram_counts`` plus a per-batch
     distinct. Complete per block because a doc's text lives in one row."""
+    id_type = batch.schema.field(id_col).type  # don't assume int64
     ids, words = _explode_words(batch, id_col, text_col)
     idv = ids.to_numpy(zero_copy_only=False)
     m = len(idv)
     empty = pa.table({
-        id_col: pa.array([], pa.int64()),
+        id_col: pa.array([], id_type),
         "gram": pa.array([], pa.string()),
     })
     if m < n:
@@ -554,7 +555,7 @@ def doc_ngram_windows(batch: pa.Table, n: int, id_col: str = "doc_id",
     if not keep.any():
         return empty
     t = pa.table({
-        id_col: pa.array(idv[: m - n + 1][keep], pa.int64()),
+        id_col: pa.array(idv[: m - n + 1][keep].tolist(), id_type),
         "gram": pa.array(grams[keep].tolist(), pa.string()),
     })
     g = t.group_by([id_col, "gram"], use_threads=False).aggregate([])
@@ -563,7 +564,8 @@ def doc_ngram_windows(batch: pa.Table, n: int, id_col: str = "doc_id",
 
 def ngram_contamination(corpus_ds, benchmark_ds, n: int = 5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        num_partitions: int = 16):
+                        num_partitions: int = 16,
+                        id_type: pa.DataType = pa.int64()):
     """Benchmark decontamination: per corpus document, the number of
     DISTINCT word ``n``-grams it shares with ANY benchmark document
     (docs with ``n_hits > 0`` are contaminated and would be dropped
@@ -588,7 +590,7 @@ def ngram_contamination(corpus_ds, benchmark_ds, n: int = 5,
     hits = hash_join(
         corpus_grams, bench_grams, left_on="gram", right_on="gram",
         how="left_semi", num_partitions=num_partitions,
-        left_schema=pa.schema([(id_col, pa.int64()), ("gram", pa.string())]),
+        left_schema=pa.schema([(id_col, id_type), ("gram", pa.string())]),
         right_schema=pa.schema([("gram", pa.string())]),
     )
     agg = hits.groupby(id_col).count()

@@ -41,16 +41,48 @@ def _floor_div_us(ts, divisor_us: int):
 
 def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
                    suffix: str = "_r"):
-    """Join a Dataset against a small in-memory table without a shuffle."""
+    """Join a Dataset against a small in-memory table without a shuffle.
+
+    Null join keys never match (SQL/acero semantics — pandas merge would
+    match NaN==NaN) and Arrow dtypes are preserved end-to-end: the
+    per-batch pandas merge runs over (key, row-index) pairs ONLY, then
+    Arrow ``take`` gathers the full payload rows from both sides — a
+    full-row pandas merge would also float-ify nullable int columns.
+    Row-identical to hash_join for inner/left (pinned in pytest)."""
+    import numpy as np
     import ray
 
-    ref = ray.put(small)
+    on_cols = [on] if isinstance(on, str) else list(on)
+    small_t = pa.Table.from_pandas(small, preserve_index=False)
+    small_t = small_t.replace_schema_metadata(None)
+    for c in on_cols:
+        small_t = small_t.filter(pc.is_valid(small_t.column(c)))
+    ref = ray.put(small_t)
 
-    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        rhs = ray.get(ref)
-        return batch.merge(rhs, on=on, how=how, suffixes=("", suffix))
+    def join_batch(batch: pa.Table) -> pa.Table:
+        rtab = ray.get(ref)
+        ldf = pd.DataFrame(
+            {c: batch.column(c).to_pandas() for c in on_cols}
+            | {"__li": np.arange(batch.num_rows, dtype=np.int64)}
+        )
+        rdf = pd.DataFrame(
+            {c: rtab.column(c).to_pandas() for c in on_cols}
+            | {"__ri": np.arange(rtab.num_rows, dtype=np.int64)}
+        )
+        m = ldf.merge(
+            rdf, on=on_cols, how="inner" if how == "inner" else "left"
+        )
+        out = batch.take(pa.array(m["__li"].to_numpy(), type=pa.int64()))
+        ri = pa.array(pd.array(m["__ri"], dtype="Int64"))  # null = miss
+        rpart = rtab.drop_columns(on_cols).take(ri)
+        for name in rpart.column_names:
+            col = rpart.column(name)
+            out = out.append_column(
+                name + suffix if name in out.column_names else name, col
+            )
+        return out
 
-    return ds.map_batches(join_batch, batch_format="pandas")
+    return ds.map_batches(join_batch, batch_format="pyarrow")
 
 
 def auto_join(left, right, on, how: str = "inner",
@@ -225,10 +257,15 @@ def asof_join_partitioned(left, right, left_on: str, right_on: str,
 
 def asof_join(left, right, left_on: str, right_on: str,
               left_by: str, right_by: str, tiebreak: str | None = None,
-              num_partitions: int = 16, broadcast_limit: int = 1_000_000):
+              num_partitions: int = 16, broadcast_limit: int = 1_000_000,
+              left_schema: pa.Schema | None = None):
     """Auto-selecting as-of join: a pandas right side (or a Dataset counting
     ≤ ``broadcast_limit`` rows) broadcasts; larger Dataset right sides take
-    the partitioned exchange. Both paths produce identical rows."""
+    the partitioned exchange. Both paths produce identical rows.
+
+    ``left_schema`` matters on the partitioned path: without it the lazy
+    left plan is probe-executed by ``Dataset.schema()`` (the right side's
+    schema is free — it was just materialized)."""
     if isinstance(right, pd.DataFrame):
         return asof_join_broadcast(
             left, right, left_on, right_on, left_by, right_by, tiebreak
@@ -243,9 +280,13 @@ def asof_join(left, right, left_on: str, right_on: str,
             left, right.to_pandas(), left_on, right_on, left_by, right_by,
             tiebreak,
         )
+    from connect_smts_ray.ops.components import _to_arrow_schema
+
     return asof_join_partitioned(
         left, right, left_on, right_on, left_by, right_by, tiebreak,
         num_partitions,
+        left_schema=left_schema,
+        right_schema=_to_arrow_schema(right.schema()),
     )
 
 

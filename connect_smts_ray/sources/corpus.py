@@ -87,17 +87,11 @@ def read_corpus(sf_dir: str, num_blocks: int | None = None) -> "ray.data.Dataset
         want = min(int(num_blocks), 64)
         if ctx._max_num_blocks_in_streaming_gen_buffer < want:
             ctx._max_num_blocks_in_streaming_gen_buffer = want
-    # explicit metadata-free schema: the driver-written parquet carries
-    # pandas schema metadata whose dict defeats Ray Data's schema-dedup
-    # hash inside the read task ("Failed to hash the schemas" warning spam)
-    import pyarrow.parquet as pq
+    from connect_smts_ray.core.arrow import read_parquet_clean
 
-    sch = pq.read_schema(f"{sf_dir}/documents.parquet").remove_metadata()
-    cols = ["doc_id", "text", "lang", "source"]
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
-        columns=cols,
-        schema=pa.schema([sch.field(c) for c in cols]),
+        columns=["doc_id", "text", "lang", "source"],
         **kwargs,
     )
     return ds.map_batches(_documents_to_corpus, batch_format="pyarrow")

@@ -7,6 +7,7 @@ import os
 import tempfile
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -447,8 +448,6 @@ def test_connected_components_driver_path_preserves_dtype(ray_session):
         "id_b": pa.array([2, 3], pa.int32()),
     }))
     labels = connected_components(pairs, driver_edge_limit=1000)
-    t = pa.concat_tables(labels.iter_batches(batch_format="pyarrow"), promote_options="default") \
-        if hasattr(labels, "iter_batches") else labels
     sch = {f.name: f.type for b in labels.iter_batches(batch_format="pyarrow") for f in b.schema}
     assert sch["doc_id"] == pa.int32()
     assert sch["component"] == pa.int32()
@@ -505,3 +504,82 @@ def test_auto_join_paths_identical(ray_session):
                    left_schema=ls, right_schema=rs)
     assert rows(bc) == rows(hx)
     assert len(rows(bc)) == 2
+
+
+def test_broadcast_join_null_keys_and_dtypes(ray_session):
+    """broadcast_join must mirror hash_join: null keys never match, int64
+    columns stay int64 (a full-row pandas merge float-ified them)."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import auto_join, broadcast_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, None], pa.int64()),
+        "a": pa.array([10, 20, 30], pa.int64()),
+    }))
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "v": pd.array([100, 200], dtype="Int64")})
+    inner = broadcast_join(left, right, on="k", how="inner")
+    rows = inner.take_all()
+    assert rows == [{"k": 1, "a": 10, "v": 100}]
+    sch = {f.name: f.type for b in inner.iter_batches(batch_format="pyarrow")
+           for f in b.schema}
+    assert sch["k"] == pa.int64() and sch["v"] == pa.int64()
+
+    outer = broadcast_join(left, right, on="k", how="left").take_all()
+    assert len(outer) == 3
+    assert all(r["v"] is None for r in outer if r["k"] is None)
+
+    # and the two auto_join paths agree in the presence of nulls
+    right_ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "v": pa.array([100, 200], pa.int64()),
+    }))
+    ls = pa.schema([("k", pa.int64()), ("a", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    bc = auto_join(left, right_ds, on="k", broadcast_limit=10,
+                   left_schema=ls, right_schema=rs).take_all()
+    hx = auto_join(left, right_ds, on="k", broadcast_limit=0,
+                   left_schema=ls, right_schema=rs).take_all()
+    key = lambda r: tuple(sorted((k, v if v is not None else -1)
+                                 for k, v in r.items()))
+    assert sorted(map(key, bc)) == sorted(map(key, hx))
+
+
+def test_hash_join_anti_semi_null_keys(ray_session):
+    """anti/semi must treat null keys as matching nothing, even when the
+    right side also carries nulls (pc.is_in default matched null==null)."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None], pa.string()),
+        "x": pa.array([1, 2], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None], pa.string()),
+    }))
+    ls = pa.schema([("k", pa.string()), ("x", pa.int64())])
+    rs = pa.schema([("k", pa.string())])
+    anti = hash_join(left, right, "k", "k", how="left_anti",
+                     left_schema=ls, right_schema=rs).take_all()
+    assert [r["x"] for r in anti] == [2]   # null-key row kept
+    semi = hash_join(left, right, "k", "k", how="left_semi",
+                     left_schema=ls, right_schema=rs).take_all()
+    assert [r["x"] for r in semi] == [1]   # null-key row dropped
+
+
+def test_doc_ngram_windows_string_ids(ray_session):
+    """Gram explosion must preserve non-int64 id dtypes."""
+    from connect_smts_ray.ops.corpus import doc_ngram_windows
+
+    b = pa.table({
+        "doc_id": pa.array(["d1", "d2"], pa.string()),
+        "text": pa.array(["one two three", "four five"], pa.string()),
+    })
+    out = doc_ngram_windows(b, 2, "doc_id", "text")
+    assert out.schema.field("doc_id").type == pa.string()
+    got = set(zip(out.column("doc_id").to_pylist(),
+                  out.column("gram").to_pylist()))
+    assert got == {("d1", "one two"), ("d1", "two three"), ("d2", "four five")}
