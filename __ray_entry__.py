@@ -1316,7 +1316,12 @@ def q_curation_pipeline(sf_dir: str):
         )
         return b.filter(pc.fill_null(mask, False)).select(["doc_id", "text"])
 
-    ds = ds.map_batches(keep, batch_format="pyarrow")
+    # materialize the FILTERED survivors of the scoring stages before the
+    # dedup: exact_dedup consumes its input twice (hash+groupby chain and
+    # the loser filter), and without this the actor-pool scoring would
+    # re-execute per consumer. The materialized set is the post-filter
+    # subset (object-store resident, spillable), not the raw corpus.
+    ds = ds.map_batches(keep, batch_format="pyarrow").materialize()
     survivors = exact_dedup(ds)
     out = survivors.map_batches(add_token_count, batch_format="pyarrow")
     return out.map_batches(lambda b: b.select(["doc_id", "n_tokens"]),

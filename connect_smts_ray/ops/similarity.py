@@ -218,6 +218,9 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10,
     centroid buckets per query. Same output schema as brute force."""
     import ray
 
+    # consumed 3×: the training-sample count, the sample filter pass and
+    # the probe scan — a lazy input would re-execute its lineage each time
+    ds = ds.materialize()
     sample = _training_sample(ds, cfg, vec_col, id_col)
     centroids = _kmeans_lite(sample, cfg)
     cent_ref = ray.put(centroids)
