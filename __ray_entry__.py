@@ -1493,6 +1493,87 @@ def q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, chunk_chars=400, overlap=50)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filters: per-doc duplicate-2gram and
+    top-2gram fractions — stateless vectorized map_batches (regex explode
+    + numpy window join + two Arrow group_bys per block)."""
+    from connect_smts_ray.ops.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(repetition_stats, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "n_2grams", "dup_2gram_tokens",
+                            "top_2gram_count", "dup_2gram_frac",
+                            "top_2gram_frac"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_token_rarity(sf_dir: str):
+    """Unigram-LM quality proxy: per doc, total/mean corpus frequency of
+    its tokens — two combiner-first passes + a reduce-side hash join on
+    the term; the corpus vocabulary never touches the driver."""
+    from connect_smts_ray.ops.corpus import token_rarity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    return token_rarity(ds)
+
+
+def q_global_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle rank (distributed zip-with-index):
+    range-bucket on the md5 key prefix, tiny bucket-count groupby, driver
+    prefix sum over ≤256 rows, per-bucket sort + offset."""
+    from connect_smts_ray.ops.corpus import global_shuffle_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return global_shuffle_rank(ds, id_col="doc_id", seed="s")
+
+
+def q_rolling_user_stats(sf_dir: str):
+    """Per-user ordered window functions (row_number, lag-gap, running
+    max) — one groupby(user) shuffle + vectorized per-group reduce; the
+    SQL-window family Ray Data lacks natively."""
+    from connect_smts_ray.ops.relational import ordered_group_windows
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return ordered_group_windows(ds, key_col="user_id", ts_col="ts",
+                                 order_tiebreak="event_id",
+                                 value_col="value")
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """count(DISTINCT user_id) per event_type — distinct-pairs combiner
+    before the shuffle, grouped dedup, per-block count + final sum."""
+    from connect_smts_ray.ops.relational import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id")
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source parity: documents → write_csv (partitioned
+    files) → read_csv → projection. Third storage format end-to-end;
+    int64s and ascii word-soup text survive the text roundtrip exactly."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars", "text"])
+    out_dir = tempfile.mkdtemp(prefix="csr_csv_")
+    ds.write_csv(out_dir)
+    back = ray.data.read_csv(out_dir)
+    return back.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "lang": pc.cast(b.column("lang"), pa.string()),
+            "source": pc.cast(b.column("source"), pa.string()),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            "text": pc.cast(b.column("text"), pa.string()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1552,6 +1633,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "train_val_test_split": q_train_val_test_split,
         "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "token_rarity": q_token_rarity,
+        "global_shuffle_rank": q_global_shuffle_rank,
+        "rolling_user_stats": q_rolling_user_stats,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "csv_roundtrip": q_csv_roundtrip,
     }
 
 
@@ -2710,5 +2797,88 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    CAST(350 * k AS BIGINT) AS chunk_start
             FROM ks
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest([w[i] || ' ' || w[i+1]
+                             FOR i IN generate_series(1, len(w) - 1)])
+                         AS gram
+              FROM toks
+            ),
+            pg AS (
+              SELECT doc_id, gram, count(*) AS c
+              FROM g GROUP BY doc_id, gram
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_2grams,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                         AS dup_2gram_tokens,
+                     CAST(max(c) AS BIGINT) AS top_2gram_count
+              FROM pg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_2grams, 0) AS n_2grams,
+                   COALESCE(a.dup_2gram_tokens, 0) AS dup_2gram_tokens,
+                   COALESCE(a.top_2gram_count, 0) AS top_2gram_count,
+                   CAST(a.dup_2gram_tokens AS DOUBLE) / a.n_2grams
+                       AS dup_2gram_frac,
+                   CAST(a.top_2gram_count AS DOUBLE) / a.n_2grams
+                       AS top_2gram_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "token_rarity": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS word
+              FROM documents
+            ),
+            wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+                   FROM w GROUP BY word),
+            agg AS (
+              SELECT w.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(wc.c) AS BIGINT) AS sum_freq
+              FROM w JOIN wc USING (word)
+              GROUP BY w.doc_id
+            )
+            SELECT doc_id, n_tokens, sum_freq,
+                   CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS mean_freq
+            FROM agg
+        """,
+        "global_shuffle_rank": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5('s' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1 AS BIGINT) AS shuffle_rank
+            FROM documents
+        """,
+        "rolling_user_stats": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS seq,
+                   CAST(date_diff('microsecond', lag(ts) OVER w, ts)
+                        AS BIGINT) AS gap_us,
+                   max(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id, lang, source, n_chars, text FROM documents
         """,
     }

@@ -601,3 +601,127 @@ def ngram_contamination(corpus_ds, benchmark_ds, n: int = 5,
         }),
         batch_format="pyarrow",
     )
+
+
+def token_rarity(ds, id_col: str = "doc_id", text_col: str = "text",
+                 num_partitions: int = 16):
+    """Perplexity-proxy scoring under the corpus's own unigram model: per
+    document, the total and mean corpus-wide frequency of its tokens (docs
+    made of globally rare tokens — gibberish, OCR noise — score low; see
+    Wenzek et al. 2020, CCNet, which filters on LM scores the same way).
+
+    Fully distributed two-pass shape that holds at corpus scale:
+
+    1. ``word_counts`` — combiner-first global (word, count),
+    2. ``term_doc_counts`` — per-block (doc, term, tf),
+    3. reduce-side ``hash_join`` on the term (never a driver vocabulary),
+    4. per-doc grouped sum of ``tf`` and ``tf·count``.
+
+    All-integer sums with ONE final IEEE division (``sum_freq/n_tokens``),
+    so the DuckDB mirror is bit-exact. Input ``ds`` is consumed by both
+    passes — pass a materialized Dataset to avoid plan re-execution.
+    """
+    from connect_smts_ray.ops.components import hash_join
+
+    wc = word_counts(ds, text_col=text_col, id_col=id_col)
+    td = term_doc_counts(ds, id_col=id_col, text_col=text_col)
+    joined = hash_join(
+        td, wc, left_on="term", right_on="word", how="inner",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("word", pa.string()),
+                                ("count", pa.int64())]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": batch.column("tf"),
+            "sum_freq": pc.multiply(batch.column("tf"),
+                                    batch.column("count")),
+        })
+        g = t.group_by(id_col, use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("sum_freq", "sum")]
+        )
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_tokens": pc.cast(g.column("n_tokens_sum"), pa.int64()),
+            "sum_freq": pc.cast(g.column("sum_freq_sum"), pa.int64()),
+        })
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(id_col).sum(["n_tokens", "sum_freq"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("sum(n_tokens)"), pa.int64())
+        s = pc.cast(batch.column("sum(sum_freq)"), pa.int64())
+        mean = pc.divide(pc.cast(s, pa.float64()), pc.cast(n, pa.float64()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": n,
+            "sum_freq": s,
+            "mean_freq": mean,
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def global_shuffle_rank(ds, id_col: str = "doc_id", seed: str = "s",
+                        num_buckets: int = 256):
+    """Deterministic global shuffle with an explicit, dense, 0-based rank:
+    rows are ordered by ``md5(seed ∥ id)`` (tie-break: id), the standard
+    content-addressed shuffle for training-data export — identical across
+    runs, block layouts and cluster sizes, and resumable (a re-run assigns
+    the same rank to every row).
+
+    Distributed zip-with-index (Ray Data has no rank primitive; a naive
+    global sort + driver enumerate would materialize the corpus):
+
+    1. key + bucket (top 8 hex bits of the md5) per row,
+    2. per-bucket counts — ONE tiny groupby (≤ num_buckets rows),
+    3. driver prefix-sum over bucket counts → broadcast base offsets,
+    4. per-bucket grouped reduce: sort by (key, id) inside the bucket,
+       rank = base_offset + arange.
+
+    The md5 keys are uniform, so bucket sizes are balanced (≈ n/buckets);
+    at 10^10 rows raise ``num_buckets`` so a bucket fits one task.
+    Output: (id_col, shuffle_rank).
+    """
+    import ray
+
+    if num_buckets > 65536:
+        raise ValueError("num_buckets must fit the md5 prefix (≤ 65536)")
+    # RANGE partitioning on the 16-bit md5 prefix: bucket b holds a
+    # contiguous key range, so base_offset(b) + in-bucket position IS the
+    # global rank (a modulo here would interleave key ranges and break it).
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(f"{seed}{v}".encode()).hexdigest() for v in ids]
+        buckets = [int(k[:4], 16) * num_buckets // 65536 for k in keys]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "__key": pa.array(keys, pa.string()),
+            "__bucket": pa.array(buckets, pa.int64()),
+        })
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
+    counts = keyed.groupby("__bucket").count().to_pandas() \
+        .sort_values("__bucket")
+    csum = counts["count()"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(counts["__bucket"].astype(int), csum.astype(int)))
+    ref = ray.put(offsets)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        base = int(ray.get(ref)[int(group.column("__bucket")[0].as_py())])
+        s = group.sort_by([("__key", "ascending"), (id_col, "ascending")])
+        return pa.table({
+            id_col: s.column(id_col),
+            "shuffle_rank": pa.array(
+                base + np.arange(s.num_rows, dtype=np.int64), pa.int64()
+            ),
+        })
+
+    return keyed.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

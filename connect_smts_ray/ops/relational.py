@@ -554,3 +554,77 @@ def range_join(left, right_small, left_key: str, right_key: str,
         return out
 
     return joined.map_batches(exact, batch_format="pyarrow")
+
+
+def ordered_group_windows(ds, key_col: str, ts_col: str, order_tiebreak: str,
+                          value_col: str):
+    """Ordered window functions per key — ``row_number()``, ``lag``-gap and
+    running max — the SQL-window family Ray Data has no primitive for
+    (reference analog: none; engine capability for event-stream features).
+
+    One ``groupby(key)`` shuffle, then a per-group vectorized reduce
+    (argsort + diff + maximum.accumulate); a group = one key's rows, the
+    natural partitioning for per-entity sequences. Assumes a single key's
+    history fits one task (same contract as SQL engines' hash windowing;
+    salt/split entity histories upstream if a key is pathologically hot).
+
+    Output: (order_tiebreak, key, seq BIGINT, gap_us BIGINT nullable,
+    run_max DOUBLE) — integer/max-only windows, so a DuckDB window-function
+    oracle matches bit-exactly (no order-dependent float summation).
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
+        tie = group.column(order_tiebreak).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts))
+        s = group.take(pa.array(order))
+        ts_s = ts[order]
+        gaps = np.empty(len(ts_s), dtype=np.int64)
+        gaps[1:] = np.diff(ts_s)
+        vals = s.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            order_tiebreak: s.column(order_tiebreak),
+            key_col: s.column(key_col),
+            "seq": pa.array(np.arange(1, len(ts_s) + 1, dtype=np.int64)),
+            "gap_us": pa.array(gaps, pa.int64(),
+                               mask=np.arange(len(ts_s)) == 0),
+            "run_max": pa.array(np.maximum.accumulate(vals), pa.float64()),
+        })
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def grouped_count_distinct(ds, group_col: str, distinct_col: str):
+    """count(DISTINCT distinct_col) per group, combiner-first: blocks
+    collapse to their distinct (group, value) pairs before the shuffle, a
+    grouped dedup makes pairs globally unique, and a per-block count per
+    group + final sum produces the answer — the corpus itself never
+    crosses the wire, only distinct pairs. Output: (group_col, n_distinct).
+    """
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, distinct_col]).group_by(
+            [group_col, distinct_col], use_threads=False
+        ).aggregate([])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+    uniq = pairs.groupby([group_col, distinct_col]).count()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(group_col, use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            group_col: g.column(group_col),
+            "n_distinct": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    agg = uniq.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(group_col).sum("n_distinct")
+    return agg.map_batches(
+        lambda b: pa.table({
+            group_col: b.column(group_col),
+            "n_distinct": pc.cast(b.column("sum(n_distinct)"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

@@ -144,6 +144,68 @@ class QualityScore:
         return out
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document: the fraction of word
+    2-grams that are repeats (``dup_2gram_frac``) and the fraction taken by
+    the single most frequent 2-gram (``top_2gram_frac``). High values mark
+    boilerplate / spam for training-corpus filtering (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters — public paper).
+
+    Vectorized: one regex explode per batch, numpy string-add window join
+    to form 2-grams, two Arrow group_bys (per (row, gram), then per row).
+    Fractions are single IEEE divisions of integer counts, so the DuckDB
+    oracle reproduces them bit-exactly. Docs with <2 tokens report 0 grams
+    and NULL fractions."""
+    from connect_smts_ray.ops.corpus import _explode_words
+
+    n_rows = batch.num_rows
+    tmp = pa.table({
+        "__row": pa.array(np.arange(n_rows, dtype=np.int64)),
+        text_col: batch.column(text_col),
+    })
+    ids, words = _explode_words(tmp, "__row", text_col)
+    idv = ids.to_numpy(zero_copy_only=False)
+    m = len(idv)
+    n_grams = np.zeros(n_rows, dtype=np.int64)
+    dup_grams = np.zeros(n_rows, dtype=np.int64)
+    top_gram = np.zeros(n_rows, dtype=np.int64)
+    if m >= 2:
+        wv = np.asarray(words.to_pylist(), dtype=object)
+        grams = wv[:-1] + " " + wv[1:]
+        keep = idv[:-1] == idv[1:]
+        if keep.any():
+            t = pa.table({
+                "__row": pa.array(idv[:-1][keep]),
+                "gram": pa.array(grams[keep].tolist(), pa.string()),
+            })
+            per_gram = t.group_by(["__row", "gram"], use_threads=False) \
+                .aggregate([([], "count_all")])
+            rows = per_gram.column("__row").to_numpy(zero_copy_only=False)
+            c = per_gram.column("count_all").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            np.add.at(n_grams, rows, c)
+            np.add.at(dup_grams, rows, np.where(c > 1, c, 0))
+            np.maximum.at(top_gram, rows, c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_frac = dup_grams / n_grams
+        top_frac = top_gram / n_grams
+    valid = n_grams > 0
+    out = batch
+    for name, arr, typ in (
+        ("n_2grams", n_grams, pa.int64()),
+        ("dup_2gram_tokens", dup_grams, pa.int64()),
+        ("top_2gram_count", top_gram, pa.int64()),
+    ):
+        out = out.append_column(pa.field(name, typ), pa.array(arr, type=typ))
+    for name, arr in (("dup_2gram_frac", dup_frac),
+                      ("top_2gram_frac", top_frac)):
+        out = out.append_column(
+            pa.field(name, pa.float64()),
+            pa.array(arr, type=pa.float64(), mask=~valid),
+        )
+    return out
+
+
 # GPT-2-style pretokenizer shape, restricted to constructs RE2 (pyarrow's
 # regex engine) and DuckDB share: letter runs, single digits, single
 # non-alnum-non-space marks. Counting these approximates BPE pretoken

@@ -352,3 +352,71 @@ def test_ngram_contamination_oracle(ray_session):
     # doc 1: grams {the quick brown, quick brown fox, brown fox jumps} all in bench -> 3
     # doc 3: {brown fox jumps, fox jumps over} in bench -> 2
     assert hits == {1: 3, 3: 2}
+
+
+def test_repetition_stats_edges(ray_session):
+    """Empty / single-token / fully-repetitive docs, computed per batch."""
+    from connect_smts_ray.ops.text import repetition_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "word", "a b a b a b", "x y z w"]),
+    })
+    out = repetition_stats(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["n_2grams"] == 0 and rows[1]["dup_2gram_frac"] is None
+    assert rows[2]["n_2grams"] == 0
+    # 'a b a b a b' -> grams [a b, b a, a b, b a, a b]: all 5 are repeats
+    assert rows[3]["n_2grams"] == 5
+    assert rows[3]["dup_2gram_tokens"] == 5
+    assert rows[3]["top_2gram_count"] == 3
+    assert rows[3]["dup_2gram_frac"] == 1.0
+    # 'x y z w' -> 3 distinct grams, no repeats
+    assert rows[4]["n_2grams"] == 3 and rows[4]["dup_2gram_tokens"] == 0
+    assert rows[4]["top_2gram_frac"] == 1.0 / 3.0
+
+
+def test_global_shuffle_rank_dense_and_stable(ray_session):
+    """Ranks are a dense 0..n-1 permutation, identical across block
+    layouts, and match a driver-side sort by the same md5 key."""
+    import hashlib
+
+    import ray.data
+
+    from connect_smts_ray.ops.corpus import global_shuffle_rank
+
+    ids = list(range(300))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = global_shuffle_rank(
+        ray.data.from_arrow(t).repartition(5), seed="s", num_buckets=16
+    ).take_all()
+    got = {r["doc_id"]: r["shuffle_rank"] for r in out}
+    assert sorted(got.values()) == ids  # dense permutation
+    expected_order = sorted(
+        ids, key=lambda v: (hashlib.md5(f"s{v}".encode()).hexdigest(), v)
+    )
+    assert got == {v: i for i, v in enumerate(expected_order)}
+    # block-layout independence
+    out2 = global_shuffle_rank(
+        ray.data.from_arrow(t).repartition(11), seed="s", num_buckets=64
+    ).take_all()
+    assert {r["doc_id"]: r["shuffle_rank"] for r in out2} == got
+
+
+def test_token_rarity_tiny_oracle(ray_session):
+    """Hand-checked corpus: freqs the=3, cat=2, dog=1."""
+    import ray.data
+
+    from connect_smts_ray.ops.corpus import token_rarity
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the cat the dog", "the cat"]),
+    })
+    out = token_rarity(ray.data.from_arrow(t).materialize()).take_all()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 1: the(3)+cat(2)+the(3)+dog(1) = 9 over 4 tokens
+    assert rows[1]["n_tokens"] == 4 and rows[1]["sum_freq"] == 9
+    assert rows[1]["mean_freq"] == 9 / 4
+    # doc 2: the(3)+cat(2) = 5 over 2
+    assert rows[2]["sum_freq"] == 5 and rows[2]["mean_freq"] == 2.5
