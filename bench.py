@@ -128,7 +128,8 @@ def run_bench() -> dict:
                      "knn_bruteforce", "dedup_minhash", "window_events",
                      "asof_join_orders", "vocab_topk", "tfidf_top_terms",
                      "pack_sequences", "range_join_lineitem",
-                     "embedding_clusters", "curation_pipeline"):
+                     "embedding_clusters", "curation_pipeline",
+                     "token_rarity", "global_shuffle_rank"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets
