@@ -18,7 +18,6 @@ Stateful pieces (compiled regexes, stopword tables) live in actor
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -72,31 +71,63 @@ STOPWORDS = {
 }
 
 
+def _explode_rows(text: pa.ChunkedArray, split_pattern: str):
+    """(parent row indices, words) for maximal runs of the word class —
+    split on the complement pattern, drop boundary empties. Fully
+    vectorized (RE2 kernels + Arrow list ops)."""
+    lists = pc.split_pattern_regex(
+        pc.coalesce(text, pa.scalar("")), split_pattern
+    )
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    parents = pc.list_parent_indices(lists)
+    words = pc.list_flatten(lists)
+    keep = pc.not_equal(words, pa.scalar(""))
+    return (
+        pc.filter(parents, keep).to_numpy(zero_copy_only=False),
+        pc.filter(words, keep),
+    )
+
+
 class LangId:
     """Actor stage: stopword-profile language id with deterministic
-    tie-break (score desc, then language code asc)."""
+    tie-break (score desc, then language code asc).
+
+    Vectorized: one RE2 split per batch, one ``is_in`` membership kernel
+    per language, per-row sums via bincount — no Python loop over rows or
+    words (the per-row/per-word version cost ~100× more CPU per batch)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
-        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        # complement of the reference word class [a-zA-Zà-ÿÀ-ß]+ (findall
+        # of a class == split on its complement, minus boundary empties)
+        self.split_pattern = r"[^a-zA-Zà-ÿÀ-ß]+"
+        self.langs = sorted(STOPWORDS)  # asc order ⇒ argmax tie-break asc
+        self.value_sets = {
+            lang: pa.array(sorted(STOPWORDS[lang])) for lang in self.langs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for v in batch.column(self.text_col).to_pylist():
-            if not v:
-                preds.append(None)
-                continue
-            words = self.word_re.findall(v.lower())
-            # max() returns the FIRST maximal element, so iterating languages
-            # in sorted order gives the documented asc tie-break.
-            best = max(
-                sorted(self.tables),
-                key=lambda lang: sum(w in self.tables[lang] for w in words),
-            )
-            preds.append(best)
+        t = batch.column(self.text_col)
+        n = batch.num_rows
+        lower = pc.utf8_lower(pc.coalesce(t, pa.scalar("")))
+        parents, words = _explode_rows(lower, self.split_pattern)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hit = pc.is_in(words, value_set=self.value_sets[lang]) \
+                .to_numpy(zero_copy_only=False)
+            scores[:, j] = np.bincount(parents[hit], minlength=n)
+        # np.argmax returns the FIRST maximal column; langs are ascending,
+        # so ties resolve to the alphabetically-first language — the same
+        # winner the reference per-row max(sorted(langs)) picked.
+        best = np.array(self.langs, dtype=object)[np.argmax(scores, axis=1)]
+        empty = pc.or_kleene(
+            pc.is_null(t), pc.equal(t, pa.scalar(""))
+        ).to_numpy(zero_copy_only=False)
         return batch.append_column(
-            pa.field("lang_pred", pa.string()), pa.array(preds, type=pa.string())
+            pa.field("lang_pred", pa.string()),
+            pa.array(best.tolist(), type=pa.string(),
+                     mask=np.asarray(empty, dtype=bool)),
         )
 
 
@@ -106,26 +137,40 @@ class QualityScore:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"\w+")
-        self.punct_re = re.compile(r"[^\w\s]")
-        self.stop = frozenset().union(*STOPWORDS.values())
+        self.split_pattern = r"[^\w]+"  # findall(\w+) == split complement
+        self.stop_set = pa.array(
+            sorted(frozenset().union(*STOPWORDS.values()))
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        n_chars = np.zeros(n)
-        punct_ratio = np.zeros(n)
-        stop_ratio = np.zeros(n)
-        rep_ratio = np.zeros(n)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            n_chars[i] = len(t)
-            punct_ratio[i] = len(self.punct_re.findall(t)) / len(t)
-            words = self.word_re.findall(t.lower())
-            if words:
-                stop_ratio[i] = sum(w in self.stop for w in words) / len(words)
-                rep_ratio[i] = 1.0 - len(set(words)) / len(words)
+        # Vectorized: RE2 count/split kernels + bincount/group_by per-row
+        # reduces. Ratio arithmetic keeps the original operand order
+        # (single integer divisions), so results — and the bit-exact DuckDB
+        # oracle — are unchanged from the per-row version this replaces.
+        t = batch.column(self.text_col)
+        n = batch.num_rows
+        filled = pc.coalesce(t, pa.scalar(""))
+        n_chars = pc.utf8_length(filled).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_punct = pc.count_substring_regex(filled, r"[^\w\s]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        parents, words = _explode_rows(
+            pc.utf8_lower(filled), self.split_pattern
+        )
+        nw = np.bincount(parents, minlength=n).astype(np.float64)
+        hit = pc.is_in(words, value_set=self.stop_set) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parents[hit], minlength=n).astype(np.float64)
+        pairs = pa.table({
+            "r": pa.array(parents), "w": words
+        }).group_by(["r", "w"], use_threads=False).aggregate([])
+        n_dist = np.bincount(
+            pairs.column("r").to_numpy(zero_copy_only=False), minlength=n
+        ).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            punct_ratio = np.where(n_chars > 0, n_punct / n_chars, 0.0)
+            stop_ratio = np.where(nw > 0, n_stop / nw, 0.0)
+            rep_ratio = np.where(nw > 0, 1.0 - n_dist / nw, 0.0)
         length_score = np.clip(n_chars / 500.0, 0, 1)
         punct_score = 1.0 - np.clip(punct_ratio * 5, 0, 1)
         stop_score = np.clip(stop_ratio * 4, 0, 1)
