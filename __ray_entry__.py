@@ -1574,6 +1574,21 @@ def q_csv_roundtrip(sf_dir: str):
     )
 
 
+def q_export_shards(sf_dir: str):
+    """Resumable sharded parquet export: content-addressed shard ids, one
+    writer task per shard (sorted rows → deterministic bytes), per-shard
+    manifest commit with skip-if-committed resume. Returns the per-shard
+    summary (exactly-once sink pattern applied to corpus export)."""
+    from connect_smts_ray.ops.export import export_shards
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = tempfile.mkdtemp(prefix="csr_export_")
+    return export_shards(ds, out, id_col="doc_id", num_shards=8).map_batches(
+        lambda b: b.select(["shard", "n_rows", "sum_id", "min_id", "max_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1639,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_stats": q_rolling_user_stats,
         "distinct_users_by_type": q_distinct_users_by_type,
         "csv_roundtrip": q_csv_roundtrip,
+        "export_shards": q_export_shards,
     }
 
 
@@ -2880,5 +2896,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip": """
             SELECT doc_id, lang, source, n_chars, text FROM documents
+        """,
+        "export_shards": """
+            SELECT CAST(md5_number_lower('shard|' || CAST(doc_id AS VARCHAR))
+                        % 8 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM documents GROUP BY shard
         """,
     }

@@ -420,3 +420,53 @@ def test_token_rarity_tiny_oracle(ray_session):
     assert rows[1]["mean_freq"] == 9 / 4
     # doc 2: the(3)+cat(2) = 5 over 2
     assert rows[2]["sum_freq"] == 5 and rows[2]["mean_freq"] == 2.5
+
+
+def test_export_shards_resume(ray_session, tmp_path):
+    """Exactly-once export: a second run skips every committed shard; a
+    shard whose manifest is destroyed is rewritten byte-identically; reads
+    see only committed shards."""
+    import os
+
+    import ray.data
+
+    from connect_smts_ray.ops.export import export_shards, read_shards
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "lang": pa.array(["en"] * 100),
+    })
+    out = str(tmp_path / "export")
+
+    def run():
+        return {
+            r["shard"]: r
+            for r in export_shards(
+                ray.data.from_arrow(t).repartition(7), out, num_shards=4
+            ).take_all()
+        }
+
+    first = run()
+    assert sorted(first) == [0, 1, 2, 3]
+    assert not any(r["skipped"] for r in first.values())
+    assert sum(r["n_rows"] for r in first.values()) == 100
+    files = {
+        k: open(os.path.join(out, f"shard={k}", "data.parquet"), "rb").read()
+        for k in first
+    }
+
+    second = run()
+    assert all(r["skipped"] for r in second.values())
+    assert {k: r["n_rows"] for k, r in second.items()} == \
+        {k: r["n_rows"] for k, r in first.items()}
+
+    # destroy one shard's manifest -> only that shard rewrites, same bytes
+    os.remove(os.path.join(out, "shard=2", "_MANIFEST.json"))
+    third = run()
+    assert not third[2]["skipped"]
+    assert all(third[k]["skipped"] for k in (0, 1, 3))
+    assert open(os.path.join(out, "shard=2", "data.parquet"), "rb").read() \
+        == files[2]
+
+    back = read_shards(out)
+    assert back.count() == 100
