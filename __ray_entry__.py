@@ -1589,6 +1589,56 @@ def q_export_shards(sf_dir: str):
     )
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD2 temporal materialization: per user, runs of an unchanged
+    event_type collapse into validity intervals [valid_from, valid_to) —
+    the keep-every-version counterpart of the LWW sink."""
+    from connect_smts_ray.ops.relational import scd2_history
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return scd2_history(ds, key_col="user_id", ts_col="ts",
+                        tiebreak_col="event_id", value_col="event_type")
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC sink + source parity via the custom connector (Ray has no
+    native ORC): per-block ORC writes → parallel binary reads + Arrow
+    decode → grouped integer-cent stats. Fourth storage format."""
+    from connect_smts_ray.sources.orc import read_orc, write_orc
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["event_id", "event_type", "value_cents"]),
+        batch_format="pyarrow",
+    )
+    out_dir = tempfile.mkdtemp(prefix="csr_orc_")
+    # consuming the summary executes the distributed write
+    assert write_orc(ds, out_dir).count() >= 0
+    back = read_orc(out_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type", use_threads=False).aggregate([
+            ("value_cents", "sum"), ("event_id", "count"),
+        ])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "sum_cents": pc.cast(g.column("value_cents_sum"), pa.int64()),
+            "n_events": pc.cast(g.column("event_id_count"), pa.int64()),
+        })
+
+    agg = back.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").sum(["sum_cents", "n_events"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "sum_cents": pc.cast(b.column("sum(sum_cents)"), pa.int64()),
+            "n_events": pc.cast(b.column("sum(n_events)"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1655,6 +1705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": q_distinct_users_by_type,
         "csv_roundtrip": q_csv_roundtrip,
         "export_shards": q_export_shards,
+        "scd2_history": q_scd2_history,
+        "orc_roundtrip": q_orc_roundtrip,
     }
 
 
@@ -2905,5 +2957,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS min_id,
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM documents GROUP BY shard
+        """,
+        "scd2_history": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+              SELECT *, sum(chg) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS island
+              FROM o
+            ),
+            isl AS (
+              SELECT user_id, island, event_type,
+                     min(ts) AS valid_from,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM g GROUP BY user_id, island, event_type
+            )
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (
+                     PARTITION BY user_id ORDER BY island
+                   ) AS valid_to,
+                   n_events,
+                   (lead(valid_from) OVER (
+                     PARTITION BY user_id ORDER BY island
+                   ) IS NULL) AS is_current
+            FROM isl
+        """,
+        "orc_roundtrip": """
+            SELECT event_type,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
     }

@@ -628,3 +628,47 @@ def grouped_count_distinct(ds, group_col: str, distinct_col: str):
         }),
         batch_format="pyarrow",
     )
+
+
+def scd2_history(ds, key_col: str, ts_col: str, tiebreak_col: str,
+                 value_col: str):
+    """Slowly-changing-dimension (type 2) materialization of a change
+    stream: per key, maximal runs of an unchanged value collapse into one
+    validity interval ``[valid_from, valid_to)`` (``valid_to`` NULL on the
+    current row) — the temporal-table output mode of a CDC engine, where
+    the LWW sink keeps only final state but SCD2 keeps every version.
+
+    One ``groupby(key)`` shuffle + vectorized per-key gaps-and-islands
+    (argsort + run-length encode); same per-entity partitioning contract
+    as ``ordered_group_windows``. Output: (key, value, valid_from,
+    valid_to, n_events BIGINT, is_current BOOL)."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
+        tie = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts))
+        s = group.take(pa.array(order))
+        vals = np.asarray(s.column(value_col).to_pylist(), dtype=object)
+        n = len(vals)
+        change = np.ones(n, dtype=bool)
+        change[1:] = vals[1:] != vals[:-1]
+        starts = np.flatnonzero(change)
+        ts_s = ts[order]
+        valid_from = ts_s[starts]
+        valid_to = np.empty(len(starts), dtype=np.int64)
+        valid_to[:-1] = valid_from[1:]
+        counts = np.diff(np.append(starts, n))
+        ts_type = group.schema.field(ts_col).type
+        to_mask = np.zeros(len(starts), dtype=bool)
+        to_mask[-1] = True  # current version: open interval
+        return pa.table({
+            key_col: s.column(key_col).take(pa.array(starts)),
+            value_col: pa.array(vals[starts].tolist()),
+            "valid_from": pa.array(valid_from, pa.int64()).cast(ts_type),
+            "valid_to": pa.array(valid_to, pa.int64(),
+                                 mask=to_mask).cast(ts_type),
+            "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            "is_current": pa.array(to_mask),
+        })
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -347,3 +347,35 @@ def test_label_propagation_matches_union_find(ray_session):
     fast = label_propagation(ray.data.from_arrow(t), max_iters=6)
     got_fast = {r["doc_id"]: r["component"] for r in fast.take_all()}
     assert got_fast == want
+
+
+def test_scd2_history_islands(ray_session):
+    """Gaps-and-islands semantics: runs collapse, re-appearing values open
+    NEW intervals, last interval is open-ended/current."""
+    import datetime as dt
+
+    import ray.data
+
+    from connect_smts_ray.ops.relational import scd2_history
+
+    def ts(s):
+        return dt.datetime(2026, 1, 1, 0, 0, s)
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 9], pa.int64()),
+        "ts": pa.array([ts(1), ts(2), ts(3), ts(4), ts(1)],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "b", "a", "x"]),
+    })
+    out = scd2_history(ray.data.from_arrow(t), "user_id", "ts",
+                       "event_id", "event_type").take_all()
+    u7 = sorted([r for r in out if r["user_id"] == 7],
+                key=lambda r: r["valid_from"])
+    assert [r["event_type"] for r in u7] == ["a", "b", "a"]
+    assert [r["n_events"] for r in u7] == [2, 1, 1]
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[-1]["valid_to"] is None and u7[-1]["is_current"]
+    assert not u7[0]["is_current"]
+    u9 = [r for r in out if r["user_id"] == 9]
+    assert len(u9) == 1 and u9[0]["is_current"] and u9[0]["n_events"] == 1
