@@ -1639,6 +1639,34 @@ def q_orc_roundtrip(sf_dir: str):
     )
 
 
+def q_salted_event_stats(sf_dir: str):
+    """Hot-key-proof grouped sum: two-stage (key, salt) → key aggregation
+    so a key holding half the stream fans across num_salts reducers —
+    same answer as the direct groupby (integer cents keep it exact)."""
+    from connect_smts_ray.ops.relational import salted_grouped_sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: pa.table({
+                "event_type": b.column("event_type"),
+                "cents": b.column("value_cents"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+    out = salted_grouped_sum(ds, "event_type", ["cents", "one"],
+                             num_salts=16)
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "sum_cents": b.column("cents"),
+            "n_events": b.column("one"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1707,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q_export_shards,
         "scd2_history": q_scd2_history,
         "orc_roundtrip": q_orc_roundtrip,
+        "salted_event_stats": q_salted_event_stats,
     }
 
 
@@ -2991,6 +3020,14 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
         """,
         "orc_roundtrip": """
+            SELECT event_type,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY event_type
+        """,
+        "salted_event_stats": """
             SELECT event_type,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_cents,

@@ -407,3 +407,71 @@ def drop_duplicates(ds, labels, id_col: str, num_partitions: int = 16):
         num_partitions=num_partitions,
         right_schema=pa.schema([("loser_id", pa.int64())]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast Bloom prefilter (shuffle-volume reducer for semi joins)
+# ---------------------------------------------------------------------------
+
+_BLOOM_KEY1 = b"csr-bloom-h1-key"  # 16 bytes, pandas hash_key contract
+_BLOOM_KEY2 = b"csr-bloom-h2-key"
+
+
+def _bloom_hashes(values: pd.Series):
+    """Two independent vectorized 64-bit hashes per value (pandas
+    murmur-based hash_pandas_object with distinct keys) for double
+    hashing: index_i = (h1 + i·h2) mod bits."""
+    h1 = pd.util.hash_pandas_object(
+        values, index=False, hash_key=_BLOOM_KEY1.decode()
+    ).to_numpy()
+    h2 = pd.util.hash_pandas_object(
+        values, index=False, hash_key=_BLOOM_KEY2.decode()
+    ).to_numpy()
+    return h1, h2
+
+
+def bloom_build(ds, col: str, bits: int = 1 << 20, k: int = 4) -> bytes:
+    """Build a Bloom filter over a Dataset column: each block sets its
+    bits locally (one small bitmap row per block crosses to the driver,
+    never the values), the driver ORs the bitmaps. Returns the packed
+    bitmap (``bits/8`` bytes) — ``ray.put`` it and test membership inside
+    map_batches with ``bloom_maybe_contains``.
+
+    False positives only (never negatives): safe as a PREFILTER in front
+    of an exact semi/anti join — it cuts shuffle volume, not correctness."""
+    nbytes = bits // 8
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        bitmap = np.zeros(nbytes, dtype=np.uint8)
+        if batch.num_rows:
+            h1, h2 = _bloom_hashes(batch.column(col).to_pandas())
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(bits)
+                np.bitwise_or.at(
+                    bitmap, (idx >> np.uint64(3)).astype(np.int64),
+                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+                )
+        return pa.table({"bitmap": pa.array([bitmap.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(block_bitmap, batch_format="pyarrow").take_all()
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_maybe_contains(values, bitmap: bytes, bits: int = 1 << 20,
+                         k: int = 4) -> np.ndarray:
+    """Vectorized membership mask (True = maybe present, False =
+    definitely absent) for an Arrow array against a packed bitmap."""
+    arr = np.frombuffer(bitmap, dtype=np.uint8)
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas()
+    h1, h2 = _bloom_hashes(values)
+    mask = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(bits)
+        bit = (arr[(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        mask &= bit.astype(bool)
+    return mask

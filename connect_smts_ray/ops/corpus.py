@@ -565,7 +565,8 @@ def doc_ngram_windows(batch: pa.Table, n: int, id_col: str = "doc_id",
 def ngram_contamination(corpus_ds, benchmark_ds, n: int = 5,
                         id_col: str = "doc_id", text_col: str = "text",
                         num_partitions: int = 16,
-                        id_type: pa.DataType = pa.int64()):
+                        id_type: pa.DataType = pa.int64(),
+                        bloom_bits: int = 1 << 20):
     """Benchmark decontamination: per corpus document, the number of
     DISTINCT word ``n``-grams it shares with ANY benchmark document
     (docs with ``n_hits > 0`` are contaminated and would be dropped
@@ -575,18 +576,48 @@ def ngram_contamination(corpus_ds, benchmark_ds, n: int = 5,
     own blocks (no driver pass); a reduce-side LEFT SEMI hash join on the
     gram string keeps only corpus grams present in the benchmark set; one
     grouped count per doc. The benchmark gram table is usually tiny next
-    to the corpus but the semi join never assumes it fits anywhere."""
-    from connect_smts_ray.ops.components import hash_join
+    to the corpus but the semi join never assumes it fits anywhere.
+
+    A broadcast Bloom filter over the benchmark grams (``bloom_bits``
+    bits; 0 disables) prefilters corpus grams INSIDE each map task before
+    the shuffle — at corpus scale almost no gram matches a benchmark, so
+    the semi join's left side shrinks from the whole gram stream to the
+    (tiny) maybe-matching set. False positives only, so the exact semi
+    join downstream keeps correctness; the filter itself is built
+    distributed (one small bitmap per block → driver OR)."""
+    import ray
+
+    from connect_smts_ray.ops.components import (
+        bloom_build,
+        bloom_maybe_contains,
+        hash_join,
+    )
 
     corpus_grams = corpus_ds.map_batches(
         lambda b: doc_ngram_windows(b, n, id_col, text_col),
         batch_format="pyarrow",
     )
+    # materialize: the bloom build and the join both consume this side
     bench_grams = benchmark_ds.map_batches(
         lambda b: doc_ngram_windows(b, n, id_col, text_col)
         .select(["gram"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    if bloom_bits:
+        bitmap_ref = ray.put(bloom_build(bench_grams, "gram",
+                                         bits=bloom_bits))
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            mask = bloom_maybe_contains(
+                batch.column("gram"), ray.get(bitmap_ref), bits=bloom_bits
+            )
+            return batch.filter(pa.array(mask))
+
+        corpus_grams = corpus_grams.map_batches(
+            prefilter, batch_format="pyarrow"
+        )
     hits = hash_join(
         corpus_grams, bench_grams, left_on="gram", right_on="gram",
         how="left_semi", num_partitions=num_partitions,

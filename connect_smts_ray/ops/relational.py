@@ -672,3 +672,50 @@ def scd2_history(ds, key_col: str, ts_col: str, tiebreak_col: str,
         })
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def salted_grouped_sum(ds, key_col: str, value_cols, num_salts: int = 16):
+    """Grouped integer sum hardened against HOT KEYS: stage 1 groups by
+    ``(key, salt)`` where ``salt = row_position % num_salts`` inside each
+    block, stage 2 groups the ≤ num_salts partials per key. A key holding
+    half the corpus lands on ``num_salts`` reducers instead of one — the
+    standard two-stage salting for power-law key distributions (SURVEY
+    §4.2.2). Per-block pre-aggregation still applies before both shuffles,
+    so the wire carries at most (distinct keys × num_salts) rows.
+
+    Sums must be associative — use integer/fixed-point columns (float
+    addition would change association order vs a single-stage group)."""
+    value_cols = list(value_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        salt = pa.array(
+            (np.arange(n) % num_salts).astype(np.int64), pa.int64()
+        )
+        t = batch.select([key_col] + value_cols).append_column(
+            pa.field("__salt", pa.int64()), salt
+        )
+        g = t.group_by([key_col, "__salt"], use_threads=False).aggregate(
+            [(c, "sum") for c in value_cols]
+        )
+        return g.rename_columns([key_col, "__salt"] + value_cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    stage1 = partials.groupby([key_col, "__salt"]).sum(value_cols)
+
+    def restage(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch.column(key_col)}
+        for c in value_cols:
+            cols[c] = pc.cast(batch.column(f"sum({c})"), pa.int64())
+        return pa.table(cols)
+
+    stage2 = stage1.map_batches(restage, batch_format="pyarrow") \
+        .groupby(key_col).sum(value_cols)
+    return stage2.map_batches(
+        lambda b: pa.table(
+            {key_col: b.column(key_col),
+             **{c: pc.cast(b.column(f"sum({c})"), pa.int64())
+                for c in value_cols}}
+        ),
+        batch_format="pyarrow",
+    )

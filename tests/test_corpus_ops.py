@@ -470,3 +470,26 @@ def test_export_shards_resume(ray_session, tmp_path):
 
     back = read_shards(out)
     assert back.count() == 100
+
+
+def test_bloom_prefilter_no_false_negatives(ray_session):
+    """Bloom guarantees: every inserted value tests positive; absent
+    values are mostly negative (fp rate sane at this sizing)."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    present = [f"gram-{i}" for i in range(2000)]
+    absent = [f"other-{i}" for i in range(2000)]
+    ds = ray.data.from_arrow(
+        pa.table({"gram": pa.array(present)})
+    ).repartition(5)
+    bm = bloom_build(ds, "gram", bits=1 << 16, k=4)
+    assert bloom_maybe_contains(
+        pa.array(present), bm, bits=1 << 16
+    ).all(), "false negative!"
+    fp = bloom_maybe_contains(pa.array(absent), bm, bits=1 << 16).mean()
+    assert fp < 0.15, f"fp rate {fp}"
