@@ -1667,6 +1667,19 @@ def q_salted_event_stats(sf_dir: str):
     )
 
 
+def q_table_profile(sf_dir: str):
+    """Pre-ingest data-quality audit of events: per-column row/null counts
+    and typed min/max, combiner-first (one summary row per column per
+    block crosses the wire)."""
+    from connect_smts_ray.ops.profile import table_profile
+
+    ds = _read(sf_dir, "events")
+    return table_profile(
+        ds, int_cols=["event_id", "user_id"],
+        str_cols=["event_type", "props"], other_cols=["ts", "value"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1736,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": q_scd2_history,
         "orc_roundtrip": q_orc_roundtrip,
         "salted_event_stats": q_salted_event_stats,
+        "table_profile": q_table_profile,
     }
 
 
@@ -3034,5 +3048,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "table_profile": """
+            WITH cols(col, is_int, is_str) AS (
+              VALUES ('event_id', 1, 0), ('user_id', 1, 0),
+                     ('event_type', 0, 1), ('props', 0, 1),
+                     ('ts', 0, 0), ('value', 0, 0)
+            ),
+            prof AS (
+              SELECT 'event_id' AS col_name, count(*) AS n_rows,
+                     CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_nulls,
+                     min(event_id) AS min_int, max(event_id) AS max_int,
+                     CAST(NULL AS VARCHAR) AS min_str,
+                     CAST(NULL AS VARCHAR) AS max_str
+              FROM events
+              UNION ALL
+              SELECT 'user_id', count(*),
+                     CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     min(user_id), max(user_id), NULL, NULL
+              FROM events
+              UNION ALL
+              SELECT 'event_type', count(*),
+                     CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     NULL, NULL, min(event_type), max(event_type)
+              FROM events
+              UNION ALL
+              SELECT 'props', count(*),
+                     CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     NULL, NULL, min(props), max(props)
+              FROM events
+              UNION ALL
+              SELECT 'ts', count(*),
+                     CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     NULL, NULL, NULL, NULL
+              FROM events
+              UNION ALL
+              SELECT 'value', count(*),
+                     CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     NULL, NULL, NULL, NULL
+              FROM events
+            )
+            SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, n_nulls,
+                   CAST(min_int AS BIGINT) AS min_int,
+                   CAST(max_int AS BIGINT) AS max_int, min_str, max_str
+            FROM prof
         """,
     }
