@@ -1680,6 +1680,30 @@ def q_table_profile(sf_dir: str):
     )
 
 
+def q_lake_time_travel(sf_dir: str):
+    """Time travel on the epoch-delta lake: replay 3 epochs, then read the
+    state AS OF the end of epoch 1 — reconstructed exactly from the
+    immutable delta log (epochs 0-1 cover per-key events [0, 4) of 6, so
+    the SQL oracle is the replay oracle cut at events_per_key=4)."""
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        final_state,
+        replay,
+    )
+
+    lake = tempfile.mkdtemp(prefix="csr_lake_tt_")
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=lake, events_per_key=6, num_partitions=8,
+        epochs=3, expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(cfg, fresh=True)
+    out = final_state(cfg, as_of=1)
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.select(
+        ["repo", "path", "commit", "lang", "content", "version", "commit_lsn"]
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1750,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": q_orc_roundtrip,
         "salted_event_stats": q_salted_event_stats,
         "table_profile": q_table_profile,
+        "lake_time_travel": q_lake_time_travel,
     }
 
 
@@ -2148,6 +2173,8 @@ def oracle_sql() -> dict[str, str]:
         # The resumed replay must converge to the SAME final state as the
         # single-shot one (manifest no-op replays) — identical oracle.
         "cdc_replay_resume": _replay_final_state_sql(events_per_key=6, seed=42),
+        # state as of the end of epoch 1 of 3 = events [0, 4) per key
+        "lake_time_travel": _replay_final_state_sql(events_per_key=4, seed=42),
         "replay_lineage": _replay_lineage_sql(
             events_per_key=6, seed=42, num_partitions=8
         ),

@@ -285,5 +285,7 @@ def replay(cfg: ReplayConfig, fresh: bool = False) -> list:
     return lineage
 
 
-def final_state(cfg: ReplayConfig) -> pa.Table:
-    return read_lake(cfg.upsert())
+def final_state(cfg: ReplayConfig, as_of: int | None = None) -> pa.Table:
+    """Lake state at the head, or time-traveled to the end of epoch
+    ``as_of`` (exact: the delta log keeps every epoch's bytes)."""
+    return read_lake(cfg.upsert(), as_of=as_of)

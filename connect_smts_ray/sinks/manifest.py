@@ -183,15 +183,27 @@ class ManifestStore:
         m = self.read_base_manifest(pid, base_epoch) or {}
         return int(m.get("covers_through", base_epoch))
 
-    def read_plan(self, pid: int) -> tuple:
+    def read_plan(self, pid: int, as_of: int | None = None) -> tuple:
         """(base_epoch | None, [delta epochs after the base]) — the file set
-        whose merge-on-read IS the partition's current state."""
+        whose merge-on-read IS the partition's current state.
+
+        ``as_of``: TIME TRAVEL — the plan for the state as of the end of
+        epoch ``as_of`` instead of the head. The delta log keeps every
+        epoch's bytes immutable (compaction adds bases, never deletes
+        deltas), so any historical cut is reconstructible: the newest base
+        covering ≤ as_of, plus the deltas in (covered, as_of]."""
         bases = self.committed_base_epochs(pid)
+        if as_of is not None:
+            bases = [
+                b for b in bases
+                if self.base_covers_through(pid, b) <= as_of
+            ]
         base = bases[-1] if bases else None
         cutoff = self.base_covers_through(pid, base) if base is not None else None
         deltas = [
             e for e in self.committed_epochs(pid)
-            if cutoff is None or e > cutoff
+            if (cutoff is None or e > cutoff)
+            and (as_of is None or e <= as_of)
         ]
         return base, deltas
 

@@ -649,19 +649,21 @@ def run_upsert(ds, cfg: UpsertConfig, epoch: int = 0):
     )
 
 
-def read_lake_ds(cfg: UpsertConfig):
+def read_lake_ds(cfg: UpsertConfig, as_of: int | None = None):
     """Distributed merge-on-read: one task per partition runs
     ``merge_tables`` over that partition's (base + deltas) — partitions are
     independent, so the read scales with partitions and no single node ever
     holds more than one partition's state. This is the 100-TB read path;
-    ``read_lake`` below is the small-scale driver-side convenience."""
+    ``read_lake`` below is the small-scale driver-side convenience.
+    ``as_of``: time-travel to the state after epoch ``as_of`` (the delta
+    log keeps every epoch immutable, so any cut reconstructs exactly)."""
     import ray.data
 
     cfg = cfg.resolve()
     store = cfg.store()
     items = []
     for pid in store.all_partitions():
-        base, deltas = store.read_plan(pid)
+        base, deltas = store.read_plan(pid, as_of=as_of)
         files = ([store.base_path(pid, base)] if base is not None else []) + [
             store.state_path(pid, e) for e in deltas
         ]
@@ -683,7 +685,7 @@ def read_lake_ds(cfg: UpsertConfig):
     )
 
 
-def read_lake(cfg: UpsertConfig) -> pa.Table:
+def read_lake(cfg: UpsertConfig, as_of: int | None = None) -> pa.Table:
     """Final table state = f(committed manifests): per partition, LWW
     merge-on-read of (latest base + subsequent deltas), tombstones applied.
     Small-scale driver read; at scale run the same per-partition
@@ -693,7 +695,7 @@ def read_lake(cfg: UpsertConfig) -> pa.Table:
     store = cfg.store()
     parts = []
     for pid in store.all_partitions():
-        base, deltas = store.read_plan(pid)
+        base, deltas = store.read_plan(pid, as_of=as_of)
         tables = []
         if base is not None:
             tables.append(pq.read_table(store.base_path(pid, base)))

@@ -366,3 +366,37 @@ def test_resume_with_compaction_reconverges(ray_session, tmp_path, sf_dir):
     lin = run_upsert(ds, split.upsert(), epoch=1).to_pandas()
     assert lin["skipped"].all()
     assert state_digest(final_state(split)) == state_digest(final_state(single))
+
+
+def test_time_travel_every_epoch(ray_session, tmp_path, sf_dir):
+    """as_of=e must equal the pure-Python oracle cut at that epoch's lsn
+    hi — including cuts that land before, on, and after compacted bases
+    (compact_every=2 over 6 epochs → bases at 1, 3, 5)."""
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_tt"),
+        events_per_key=6, num_partitions=4, epochs=6, compact_every=2,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(cfg, fresh=True)
+
+    def state_sha(table):
+        return {
+            (r, p): hashlib.sha256(c.encode()).hexdigest()
+            for r, p, c in zip(
+                table.column("repo").to_pylist(),
+                table.column("path").to_pylist(),
+                table.column("content").to_pylist(),
+            )
+        }
+
+    for e in range(cfg.epochs):
+        lo, hi = cfg.epoch_lsn_range(e)
+        want = oracle_table(sf_dir, hi)
+        got = final_state(cfg, as_of=e)
+        assert state_sha(got) == {
+            k: hashlib.sha256(v["content"].encode()).hexdigest()
+            for k, v in want.items()
+        }, f"as_of={e}"
+    # head == as_of last epoch == plain read
+    assert state_sha(final_state(cfg, as_of=cfg.epochs - 1)) == \
+        state_sha(final_state(cfg))
