@@ -1704,6 +1704,36 @@ def q_lake_time_travel(sf_dir: str):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
+def q_watermark_window_events(sf_dir: str):
+    """Tumbling 1-hour windows under a 2-hour watermark: only windows
+    fully closed at watermark = max(ts) − 2h are emitted — the streaming
+    on-time-pane semantics an incremental batch job needs (open windows
+    would still change under stragglers)."""
+    from connect_smts_ray.ops.relational import watermark_window
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(_append_value_cents,
+                        batch_format="pyarrow").materialize()
+    out = watermark_window(
+        ds, ts_col="ts", width_seconds=3600,
+        allowed_lateness_seconds=7200, key_cols=["user_id"],
+        aggs={"n_events": ("event_id", "count"),
+              "sum_cents": ("value_cents", "sum")},
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "window_start": b.column("window_start"),
+            "n_events": b.column("n_events"),
+            "sum_value": pc.divide(
+                pc.cast(b.column("sum_cents"), pa.float64()), pa.scalar(100.0)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1775,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_event_stats": q_salted_event_stats,
         "table_profile": q_table_profile,
         "lake_time_travel": q_lake_time_travel,
+        "watermark_window_events": q_watermark_window_events,
     }
 
 
@@ -2484,6 +2515,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events
+            GROUP BY 1, 2
+        """,
+        "watermark_window_events": """
+            WITH wm AS (
+              SELECT epoch_us(max(ts)) - 7200000000 AS w FROM events
+            )
+            SELECT user_id,
+                   epoch_us(date_trunc('hour', ts)) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events, wm
+            WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm.w
             GROUP BY 1, 2
         """,
         "hopping_window_events": """

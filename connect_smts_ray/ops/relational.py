@@ -719,3 +719,40 @@ def salted_grouped_sum(ds, key_col: str, value_cols, num_salts: int = 16):
         ),
         batch_format="pyarrow",
     )
+
+
+def watermark_window(ds, ts_col: str, width_seconds: int,
+                     allowed_lateness_seconds: int, key_cols, aggs):
+    """Event-time tumbling windows with WATERMARK semantics: only windows
+    that have fully closed under ``watermark = max(ts) − allowed_lateness``
+    are emitted — the batch analog of a streaming engine's on-time pane
+    (open windows would still change as straggler events arrive, so a
+    correct incremental job must not emit them yet).
+
+    Two passes, both cheap: a scalar max(ts) aggregate (combiner-first,
+    one row per block), then the standard tumbling reduce filtered to
+    closed windows. ``ds`` is consumed twice — pass a materialized
+    Dataset when upstream is expensive."""
+    width_us = width_seconds * 1_000_000
+
+    def ts_max_partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us_int64(batch.column(ts_col))
+        if batch.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([pc.max(ts).as_py()], pa.int64())})
+
+    mx = ds.map_batches(ts_max_partial, batch_format="pyarrow").max("m")
+    watermark_us = int(mx) - allowed_lateness_seconds * 1_000_000
+
+    # a window [w, w+width) is CLOSED iff w + width <= watermark
+    windows = tumbling_window(ds, ts_col, width_seconds, key_cols, aggs)
+    return windows.map_batches(
+        lambda b: b.filter(
+            pc.less_equal(
+                pc.add(b.column("window_start"),
+                       pa.scalar(width_us, pa.int64())),
+                pa.scalar(watermark_us, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )

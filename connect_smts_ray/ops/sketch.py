@@ -1,0 +1,75 @@
+"""Mergeable sketches — the approximate path for 100-TB cardinalities.
+
+Exact ``grouped_count_distinct`` shuffles every distinct (group, value)
+pair; at extreme cardinality the sketch path moves a FIXED 2^p bytes per
+block instead: HyperLogLog registers built per block, merged by
+elementwise max (associative + commutative, so any tree of merges gives
+the identical sketch), estimated once on the driver.
+
+Flajolet et al. 2007 (HyperLogLog) with the standard small-range linear
+counting correction; hashes are pandas' vectorized 64-bit hash (stable
+across processes — no per-row Python)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_HLL_KEY = "csr-hll-hash-key"  # 16 chars, pandas hash_key contract
+
+
+def hll_registers(values, p: int = 12) -> np.ndarray:
+    """2^p uint8 registers for one batch of values (vectorized)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas()
+    h = pd.util.hash_pandas_object(
+        pd.Series(values), index=False, hash_key=_HLL_KEY
+    ).to_numpy()
+    m = 1 << p
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(p)
+    # rank = position of the first 1-bit in the remaining 64-p bits (1-based)
+    nbits = 64 - p
+    rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+    found = np.zeros(len(h), dtype=bool)
+    for b in range(nbits):
+        hit = ~found & (((rest >> np.uint64(b)) & np.uint64(1)) == 1)
+        rank[hit] = b + 1
+        found |= hit
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate with linear-counting small-range correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Distributed approximate count-distinct: per-block registers (one
+    2^p-byte row per block crosses to the driver — never the values),
+    driver-side max-merge + estimate. Typical error ≈ 1.04/√(2^p)
+    (~1.6% at p=12)."""
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        regs = hll_registers(batch.column(col), p=p) if batch.num_rows \
+            else np.zeros(1 << p, dtype=np.uint8)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(block_regs, batch_format="pyarrow").take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts:
+        merged = hll_merge(merged, np.frombuffer(row["regs"], dtype=np.uint8))
+    return hll_estimate(merged)

@@ -493,3 +493,37 @@ def test_bloom_prefilter_no_false_negatives(ray_session):
     ).all(), "false negative!"
     fp = bloom_maybe_contains(pa.array(absent), bm, bits=1 << 16).mean()
     assert fp < 0.15, f"fp rate {fp}"
+
+
+def test_hll_approx_distinct_bounds(ray_session):
+    """HLL estimate within ~3σ of truth at p=12 (σ ≈ 1.04/64 ≈ 1.6%);
+    merge order must not change the sketch."""
+    import numpy as np
+    import ray.data
+
+    from connect_smts_ray.ops.sketch import (
+        approx_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 50_000
+    vals = pa.array([f"v{i}" for i in range(n)])
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(9)
+    est = approx_distinct(ds, "x", p=12)
+    assert abs(est - n) / n < 0.05, est
+
+    # associativity/commutativity of the merge
+    a = hll_registers(pa.array([f"v{i}" for i in range(0, n, 2)]))
+    b = hll_registers(pa.array([f"v{i}" for i in range(1, n, 2)]))
+    assert (hll_merge(a, b) == hll_merge(b, a)).all()
+    est2 = hll_estimate(hll_merge(a, b))
+    assert abs(est2 - est) / n < 0.01  # same sketch as the whole-set build
+
+    # duplicates do not move the estimate
+    dup = ray.data.from_arrow(
+        pa.table({"x": pa.array([f"v{i % 100}" for i in range(10_000)])})
+    ).repartition(4)
+    est3 = approx_distinct(dup, "x", p=12)
+    assert abs(est3 - 100) / 100 < 0.10, est3
