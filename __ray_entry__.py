@@ -1734,6 +1734,50 @@ def q_watermark_window_events(sf_dir: str):
     )
 
 
+def q_multi_key_enrich(sf_dir: str):
+    """Composite-key reduce-side join: every event enriched with its
+    (user_id, event_type) group count via hash_join_multi — fused
+    length-prefixed key, SQL-USING null/collision semantics."""
+    from connect_smts_ray.ops.components import hash_join_multi
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type"]).materialize()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "event_type": g.column("event_type"),
+            "n_group": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).sum("n_group")
+    counts = counts.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "n_group": pc.cast(b.column("sum(n_group)"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out = hash_join_multi(
+        ds, counts, left_on=["user_id", "event_type"],
+        right_on=["user_id", "event_type"], how="inner",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("event_type", pa.string())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("event_type", pa.string()),
+                                ("n_group", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "event_type", "n_group"]),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1806,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "lake_time_travel": q_lake_time_travel,
         "watermark_window_events": q_watermark_window_events,
+        "multi_key_enrich": q_multi_key_enrich,
     }
 
 
@@ -3053,6 +3098,12 @@ def oracle_sql() -> dict[str, str]:
                    ) AS run_max
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "multi_key_enrich": """
+            SELECT event_id, user_id, event_type,
+                   CAST(count(*) OVER (PARTITION BY user_id, event_type)
+                        AS BIGINT) AS n_group
+            FROM events
         """,
         "distinct_users_by_type": """
             SELECT event_type,

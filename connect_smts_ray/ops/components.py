@@ -475,3 +475,64 @@ def bloom_maybe_contains(values, bitmap: bytes, bits: int = 1 << 20,
                >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
         mask &= bit.astype(bool)
     return mask
+
+
+def fuse_key_columns(batch: pa.Table, cols, out_col: str = "__mkey") -> pa.Table:
+    """Fuse several key columns into ONE join key: each component renders
+    as ``{len}:{str(value)}`` (length-prefixed, so concatenation is
+    unambiguous — 'a','bc' can never collide with 'ab','c'), and a null in
+    ANY component nulls the fused key (SQL semantics: null matches
+    nothing; the single-key kernels already treat null keys that way).
+
+    Same string-rendering caveat as the sink's composite_key_array: the
+    Arrow cast renders bool as 'true' and floats shortest-round-trip —
+    fine for the string/int keys joins actually use; don't fuse floats."""
+    fused_parts = []
+    any_null = None
+    for c in cols:
+        col = batch.column(c)
+        nl = pc.is_null(col)
+        any_null = nl if any_null is None else pc.or_(any_null, nl)
+        s = pc.coalesce(pc.cast(col, pa.string()), pa.scalar(""))
+        fused_parts.append(pc.cast(pc.utf8_length(s), pa.string()))
+        fused_parts.append(pa.array([":"] * batch.num_rows, pa.string()))
+        fused_parts.append(s)
+    fused = pc.binary_join_element_wise(*fused_parts, "")
+    fused = pc.if_else(any_null, pa.scalar(None, pa.string()), fused)
+    return batch.append_column(pa.field(out_col, pa.string()), fused)
+
+
+def hash_join_multi(left, right, left_on, right_on, how: str = "inner",
+                    num_partitions: int = 16,
+                    left_schema: pa.Schema | None = None,
+                    right_schema: pa.Schema | None = None):
+    """Composite-key reduce-side join: fuse the key columns on each side
+    (``fuse_key_columns``), run the single-key ``hash_join`` on the fused
+    key, drop the plumbing. The right side's key columns are dropped
+    before the join (SQL USING semantics — they are redundant with the
+    left's on every match), so same-named keys never collide."""
+    left_on, right_on = list(left_on), list(right_on)
+
+    def prep(side, on, drop_keys):
+        def f(b: pa.Table) -> pa.Table:
+            b = fuse_key_columns(b, on)
+            return b.drop_columns(on) if drop_keys else b
+        return side.map_batches(f, batch_format="pyarrow")
+
+    lt = prep(left, left_on, drop_keys=False)
+    rt = prep(right, right_on, drop_keys=True)
+    lsch = None if left_schema is None else pa.schema(
+        list(left_schema) + [pa.field("__mkey", pa.string())]
+    )
+    rsch = None if right_schema is None else pa.schema(
+        [f for f in right_schema if f.name not in right_on]
+        + [pa.field("__mkey", pa.string())]
+    )
+    joined = hash_join(
+        lt, rt, left_on="__mkey", right_on="__mkey", how=how,
+        num_partitions=num_partitions,
+        left_schema=lsch, right_schema=rsch,
+    )
+    return joined.map_batches(
+        lambda b: b.drop_columns(["__mkey"]), batch_format="pyarrow"
+    )

@@ -379,3 +379,37 @@ def test_scd2_history_islands(ray_session):
     assert not u7[0]["is_current"]
     u9 = [r for r in out if r["user_id"] == 9]
     assert len(u9) == 1 and u9[0]["is_current"] and u9[0]["n_events"] == 1
+
+
+def test_hash_join_multi_null_and_collision_safety(ray_session):
+    """Composite keys: length-prefixed fusing can't collide ('a','bc' vs
+    'ab','c'); a null in ANY key component matches nothing (SQL)."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join_multi
+
+    left = pa.table({
+        "k1": pa.array(["a", "ab", "x", None]),
+        "k2": pa.array(["bc", "c", "y", "z"]),
+        "lv": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    right = pa.table({
+        "k1": pa.array(["a", "ab", None]),
+        "k2": pa.array(["bc", "c", "z"]),
+        "rv": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = hash_join_multi(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_on=["k1", "k2"], right_on=["k1", "k2"], how="inner",
+        left_schema=left.schema, right_schema=right.schema,
+    ).take_all()
+    got = {(r["k1"], r["k2"]): (r["lv"], r["rv"]) for r in out}
+    # ('a','bc') matches only ('a','bc'), never ('ab','c'); nulls match nothing
+    assert got == {("a", "bc"): (1, 10), ("ab", "c"): (2, 20)}
+
+    anti = hash_join_multi(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_on=["k1", "k2"], right_on=["k1", "k2"], how="left_anti",
+        left_schema=left.schema, right_schema=right.schema,
+    ).take_all()
+    assert sorted(r["lv"] for r in anti) == [3, 4]  # null left key -> anti keeps
