@@ -191,7 +191,17 @@ class ManifestStore:
         epoch ``as_of`` instead of the head. The delta log keeps every
         epoch's bytes immutable (compaction adds bases, never deletes
         deltas), so any historical cut is reconstructible: the newest base
-        covering ≤ as_of, plus the deltas in (covered, as_of]."""
+        covering ≤ as_of, plus the deltas in (covered, as_of]. ``vacuum``
+        may have reclaimed epochs below the recorded horizon — asking for
+        those raises instead of returning a silently partial state."""
+        if as_of is not None:
+            meta = self.read_table_meta() or {}
+            horizon = (meta.get("vacuum_horizon") or {}).get(str(pid))
+            if horizon is not None and as_of < int(horizon):
+                raise ValueError(
+                    f"as_of={as_of} below partition {pid}'s vacuum horizon "
+                    f"{horizon} — those epochs were reclaimed"
+                )
         bases = self.committed_base_epochs(pid)
         if as_of is not None:
             bases = [
@@ -246,3 +256,58 @@ class ManifestStore:
                 out.append(self.base_path(pid, base))
             out.extend(self.state_path(pid, e) for e in deltas)
         return out
+
+
+def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
+    """Reclaim storage from the delta log while keeping the head state and
+    the last ``retain_epochs`` epochs time-travelable (the Delta-Lake
+    VACUUM tradeoff, made explicit).
+
+    Per partition: pick the newest compacted base whose ``covers_through``
+    ≤ head − retain_epochs (the "anchor"); every delta it covers and every
+    older base is then unreachable from any plan the retention window can
+    ask for, so their files AND manifests are deleted. The head plan is
+    untouched (it uses the newest base, which is ≥ the anchor), and
+    ``read_plan(as_of)`` for any as_of ≥ the anchor's cover still
+    reconstructs exactly. as_of BELOW the horizon now raises (the horizon
+    is recorded per partition in the table meta) instead of returning a
+    silently partial state.
+
+    Returns {pid: horizon} for the partitions vacuumed this call."""
+    meta = store.read_table_meta() or {}
+    horizons = dict(meta.get("vacuum_horizon", {}))
+    changed = {}
+    for pid in store.all_partitions():
+        epochs = store.committed_epochs(pid)
+        if not epochs:
+            continue
+        target = max(epochs) - retain_epochs
+        eligible = [
+            b for b in store.committed_base_epochs(pid)
+            if store.base_covers_through(pid, b) <= target
+        ]
+        if not eligible:
+            continue
+        anchor = max(eligible, key=lambda b: store.base_covers_through(pid, b))
+        covered = store.base_covers_through(pid, anchor)
+        for e in [e for e in epochs if e <= covered]:
+            for p in (store.state_path(pid, e), store.manifest_path(pid, e)):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        for b in [b for b in store.committed_base_epochs(pid) if b < anchor]:
+            for p in (store.base_path(pid, b),
+                      store.base_manifest_path(pid, b)):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        horizon = covered + 1
+        if horizon > int(horizons.get(str(pid), -10**9)):
+            horizons[str(pid)] = horizon
+            changed[pid] = horizon
+    if changed:
+        meta["vacuum_horizon"] = horizons
+        store.write_table_meta(meta)
+    return changed

@@ -400,3 +400,49 @@ def test_time_travel_every_epoch(ray_session, tmp_path, sf_dir):
     # head == as_of last epoch == plain read
     assert state_sha(final_state(cfg, as_of=cfg.epochs - 1)) == \
         state_sha(final_state(cfg))
+
+
+def test_vacuum_retention(ray_session, tmp_path, sf_dir):
+    """vacuum keeps the head byte-identical, keeps time travel within
+    retention, deletes covered deltas + older bases, and raises on as_of
+    below the horizon. Second vacuum is a no-op."""
+    import os
+
+    from connect_smts_ray.sinks.manifest import vacuum
+
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_vac"),
+        events_per_key=6, num_partitions=4, epochs=6, compact_every=2,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(cfg, fresh=True)
+    store = cfg.upsert().resolve().store()
+
+    def sha(table):
+        return {
+            (r, p): hashlib.sha256(c.encode()).hexdigest()
+            for r, p, c in zip(
+                table.column("repo").to_pylist(),
+                table.column("path").to_pylist(),
+                table.column("content").to_pylist(),
+            )
+        }
+
+    head_before = sha(final_state(cfg))
+    asof4_before = sha(final_state(cfg, as_of=4))
+
+    changed = vacuum(store, retain_epochs=2)
+    assert changed, "nothing vacuumed"
+    # bases at 1,3,5 (compact_every=2): anchor covers 3 -> deltas 0-3 gone
+    pid0 = store.all_partitions()[0]
+    assert not os.path.exists(store.state_path(pid0, 0))
+    assert not os.path.exists(store.base_path(pid0, 1))
+    assert os.path.exists(store.state_path(pid0, 4))
+
+    assert sha(final_state(cfg)) == head_before
+    assert sha(final_state(cfg, as_of=4)) == asof4_before
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        final_state(cfg, as_of=2)
+
+    assert vacuum(store, retain_epochs=2) == {}  # idempotent no-op
+    assert sha(final_state(cfg)) == head_before
