@@ -1778,6 +1778,30 @@ def q_multi_key_enrich(sf_dir: str):
     )
 
 
+def q_similarity_join(sf_dir: str):
+    """Cross-table fuzzy linkage: documents with doc_id%3==0 vs %3==1,
+    word-3-gram Jaccard ≥ 0.5 — gram-blocked candidates, exact verify,
+    one integer division for the score."""
+    from connect_smts_ray.ops.similarity import ngram_similarity_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def side(mod: int):
+        return ds.map_batches(
+            lambda b: b.filter(pc.equal(
+                pc.cast(pc.subtract(
+                    b.column("doc_id"),
+                    pc.multiply(pc.divide(b.column("doc_id"), pa.scalar(3)),
+                                pa.scalar(3)),
+                ), pa.int64()),
+                pa.scalar(mod, pa.int64()),
+            )),
+            batch_format="pyarrow",
+        )
+
+    return ngram_similarity_join(side(0), side(1), n=3, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1851,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_time_travel": q_lake_time_travel,
         "watermark_window_events": q_watermark_window_events,
         "multi_key_enrich": q_multi_key_enrich,
+        "similarity_join": q_similarity_join,
     }
 
 
@@ -3098,6 +3123,42 @@ def oracle_sql() -> dict[str, str]:
                    ) AS run_max
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "similarity_join": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct(list_transform(
+                               generate_series(1, len(ws) - 2),
+                               i -> array_to_string(ws[i:i+2], ' ')))
+                          ELSE CAST([] AS VARCHAR[]) END AS gs
+              FROM docs
+            ),
+            l AS (SELECT doc_id AS lid, gs FROM grams
+                  WHERE doc_id % 3 = 0 AND len(gs) > 0),
+            r AS (SELECT doc_id AS rid, gs FROM grams
+                  WHERE doc_id % 3 = 1 AND len(gs) > 0),
+            p AS (
+              SELECT lid, rid,
+                     CAST(len(list_intersect(l.gs, r.gs)) AS BIGINT)
+                         AS n_shared,
+                     CAST(len(l.gs) AS BIGINT) AS n_l,
+                     CAST(len(r.gs) AS BIGINT) AS n_r
+              FROM l CROSS JOIN r
+            )
+            SELECT lid, rid, n_shared, n_l, n_r,
+                   CAST(n_shared AS DOUBLE)
+                       / CAST(n_l + n_r - n_shared AS DOUBLE) AS jaccard
+            FROM p
+            WHERE n_shared > 0
+              AND CAST(n_shared AS DOUBLE)
+                  / CAST(n_l + n_r - n_shared AS DOUBLE) >= 0.5
         """,
         "multi_key_enrich": """
             SELECT event_id, user_id, event_type,

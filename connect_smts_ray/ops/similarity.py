@@ -439,3 +439,98 @@ def kmeans_lloyd(ds, init_centroids: np.ndarray, n_iter: int = 2,
 
     return cents, assign_euclidean(base, cents, vec_col=vec_col,
                                    id_col=id_col)
+
+
+def ngram_similarity_join(left, right, n: int = 3, threshold: float = 0.5,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          num_partitions: int = 16):
+    """Fuzzy record linkage between TWO tables: pairs (lid, rid) whose
+    word ``n``-gram Jaccard ≥ threshold — the cross-table counterpart of
+    the dedup families (same gram blocking, exact verification).
+
+    Distributed shape (nothing all-pairs, nothing on the driver):
+
+    1. each side explodes to distinct (id, gram) rows per block
+       (``doc_ngram_windows``) and per-doc gram counts (complete per
+       block: a doc's text lives in one row),
+    2. candidates = reduce-side ``hash_join`` on the gram → grouped
+       count = |shared grams| per pair (only pairs sharing ≥1 gram exist),
+    3. two id-joins attach |L| and |R|; jaccard = shared/(|L|+|R|−shared)
+       is one integer division, so the SQL mirror is bit-exact.
+
+    Hot-gram caveat: a gram appearing in f_L × f_R rows emits that many
+    candidate rows. At corpus scale, prefilter high-df grams (prefix
+    filtering) or route through the MinHash blocker — both trade recall
+    and must be mirrored in the oracle if exactness is claimed.
+
+    Output: (lid, rid, n_shared, n_l, n_r, jaccard), all matches.
+    """
+    import pyarrow.compute as pc
+
+    from connect_smts_ray.ops.components import hash_join
+    from connect_smts_ray.ops.corpus import doc_ngram_windows
+
+    def grams_of(side, out_id):
+        g = side.map_batches(
+            lambda b: doc_ngram_windows(b, n, id_col, text_col)
+            .rename_columns([out_id, "gram"]),
+            batch_format="pyarrow",
+        )
+        return g.materialize()  # consumed twice: pair join + count
+
+    def counts_of(g, out_id, out_n):
+        def per_block(b: pa.Table) -> pa.Table:
+            t = b.group_by(out_id, use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table({
+                out_id: t.column(out_id),
+                out_n: pc.cast(t.column("count_all"), pa.int64()),
+            })
+        return g.map_batches(per_block, batch_format="pyarrow")
+
+    lg, rg = grams_of(left, "lid"), grams_of(right, "rid")
+    lc, rc = counts_of(lg, "lid", "n_l"), counts_of(rg, "rid", "n_r")
+
+    cand = hash_join(
+        lg, rg, left_on="gram", right_on="gram", how="inner",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("lid", pa.int64()), ("gram", pa.string())]),
+        right_schema=pa.schema([("rid", pa.int64()), ("gram", pa.string())]),
+    )
+    shared = cand.groupby(["lid", "rid"]).count()
+    shared = shared.map_batches(
+        lambda b: pa.table({
+            "lid": b.column("lid"), "rid": b.column("rid"),
+            "n_shared": pc.cast(b.column("count()"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    shared = hash_join(
+        shared, lc, left_on="lid", right_on="lid", how="inner",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("lid", pa.int64()), ("rid", pa.int64()),
+                               ("n_shared", pa.int64())]),
+        right_schema=pa.schema([("lid", pa.int64()), ("n_l", pa.int64())]),
+    )
+    shared = hash_join(
+        shared, rc, left_on="rid", right_on="rid", how="inner",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("lid", pa.int64()), ("rid", pa.int64()),
+                               ("n_shared", pa.int64()),
+                               ("n_l", pa.int64())]),
+        right_schema=pa.schema([("rid", pa.int64()), ("n_r", pa.int64())]),
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        sh = pc.cast(b.column("n_shared"), pa.float64())
+        union = pc.cast(
+            pc.subtract(pc.add(b.column("n_l"), b.column("n_r")),
+                        b.column("n_shared")),
+            pa.float64(),
+        )
+        j = pc.divide(sh, union)
+        t = b.append_column(pa.field("jaccard", pa.float64()), j)
+        return t.filter(pc.greater_equal(j, pa.scalar(threshold)))
+
+    return shared.map_batches(score, batch_format="pyarrow")
