@@ -583,3 +583,71 @@ def test_doc_ngram_windows_string_ids(ray_session):
     got = set(zip(out.column("doc_id").to_pylist(),
                   out.column("gram").to_pylist()))
     assert got == {("d1", "one two"), ("d1", "two three"), ("d2", "four five")}
+
+
+def test_lww_winners_unsigned_and_tie_semantics(ray_session):
+    """ADVICE r02 #1: negating an unsigned order column WRAPS (uint 0
+    would rank as max), so uint dtypes must take the polars fallback —
+    and fully-tied order columns must keep the LAST input row in both
+    the numpy fast path and the polars path."""
+    from connect_smts_ray.sinks.upsert import UpsertConfig, lww_winners
+
+    cfg = UpsertConfig(
+        lake_dir="/tmp/unused_lww", key_columns=("k",),
+        order_columns=("o",),
+    )
+    # uint64 order: max is 5, NOT 0 — a wrapped negation would pick 0
+    t = pa.table({
+        "k": pa.array(["a", "a", "a"]),
+        "o": pa.array([0, 5, 3], pa.uint64()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = lww_winners(t, cfg)
+    assert out.num_rows == 1 and out.column("v")[0].as_py() == 2
+
+    # signed fast path, full tie on the order column: LAST input row wins
+    t2 = pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "o": pa.array([7, 7, 1], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+    })
+    out2 = lww_winners(t2, cfg)
+    got = {r["k"]: r["v"] for r in out2.to_pylist()}
+    assert got == {"a": 20, "b": 30}
+
+    # same tie through the polars path (uint dtype forces it)
+    t3 = pa.table({
+        "k": pa.array(["a", "a"]),
+        "o": pa.array([7, 7], pa.uint64()),
+        "v": pa.array([10, 20], pa.int64()),
+    })
+    assert lww_winners(t3, cfg).column("v")[0].as_py() == 20
+
+
+def test_composite_key_builders_equal_nonstring_dtypes():
+    """ADVICE r02 #3: scalar and vectorized key builders must render
+    int/bool/float/timestamp key columns identically (both use the Arrow
+    string cast), so partition routing cannot silently diverge."""
+    import datetime as dt
+
+    from connect_smts_ray.sinks.upsert import (
+        composite_key_array,
+        composite_key_bytes,
+    )
+
+    t = pa.table({
+        "i": pa.array([0, -7, None, 2**62], pa.int64()),
+        "b": pa.array([True, False, True, None], pa.bool_()),
+        "f": pa.array([2.0, -0.5, 1e300, None], pa.float64()),
+        "ts": pa.array(
+            [dt.datetime(2026, 1, 1), None,
+             dt.datetime(1969, 12, 31, 23, 59, 59), dt.datetime(2000, 6, 15)],
+            pa.timestamp("us")),
+    })
+    for cols in (("i",), ("b", "f"), ("i", "b", "f", "ts")):
+        old = composite_key_bytes(t, cols)
+        new = [
+            s.encode()
+            for s in composite_key_array(t, cols).to_pylist()
+        ]
+        assert old == new, cols
