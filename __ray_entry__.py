@@ -1802,6 +1802,27 @@ def q_similarity_join(sf_dir: str):
     return ngram_similarity_join(side(0), side(1), n=3, threshold=0.5)
 
 
+def q_declarative_expand(sf_dir: str):
+    """Kafka-Connect-style declarative chain: flat string properties
+    (transforms=expand,map + per-alias keys) assemble the same
+    ExpandJson → field-mapping pipeline as expand_json_events — the
+    reference's ConfigDef user surface, re-expressed."""
+    from connect_smts_ray.pipelines.declarative import build_chain
+
+    props = {
+        "transforms": "expand,map",
+        "transforms.expand.type": "expand-json",
+        "transforms.expand.columns": "props",
+        "transforms.expand.union-previous-messages-schema": "true",
+        "transforms.expand.probabilistic-fast-path": "true",
+        "transforms.map.type": "field-mapping",
+        "transforms.map.keep": "event_id",
+        "transforms.map.mappings": "k=props.k:int32",
+    }
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    return build_chain(ds, props)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1876,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_window_events": q_watermark_window_events,
         "multi_key_enrich": q_multi_key_enrich,
         "similarity_join": q_similarity_join,
+        "declarative_expand": q_declarative_expand,
     }
 
 
@@ -2281,6 +2303,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": _simhash_cc_sql(max_hamming=2),
         "expand_json_events": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INTEGER) AS k
+            FROM events
+        """,
+        "declarative_expand": """
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS INTEGER) AS k
             FROM events

@@ -413,3 +413,78 @@ def test_hash_join_multi_null_and_collision_safety(ray_session):
         left_schema=left.schema, right_schema=right.schema,
     ).take_all()
     assert sorted(r["lv"] for r in anti) == [3, 4]  # null left key -> anti keeps
+
+
+def test_declarative_chain_validation_and_equivalence(ray_session):
+    """Connect-style properties build the same pipeline as code; unknown
+    types/keys raise like ConfigDef validation."""
+    import pytest as _pytest
+    import ray.data
+
+    from connect_smts_ray.pipelines.declarative import (
+        ChainConfigError,
+        build_chain,
+        parse_chain,
+    )
+    from connect_smts_ray.pipelines.replay import TEST_JWK
+
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "props": pa.array(['{"k": 5}', '{"k": 7}']),
+    })
+
+    props = {
+        "transforms": "enc,dec,expand,map",
+        "transforms.enc.type": "encrypt",
+        "transforms.enc.keys": TEST_JWK,
+        "transforms.enc.columns": "props",
+        "transforms.enc.deterministic": "true",
+        "transforms.dec.type": "decrypt",
+        "transforms.dec.keys": TEST_JWK,
+        "transforms.dec.columns": "props",
+        "transforms.expand.type": "expand-json",
+        "transforms.expand.columns": "props",
+        "transforms.map.type": "field-mapping",
+        "transforms.map.keep": "event_id",
+        "transforms.map.mappings": "k=props.k:int32",
+    }
+    # crypto stages emit binary then string payloads; cast back for expand
+    import pyarrow.compute as _pc
+
+    ds = ray.data.from_arrow(t)
+    out_ds = build_chain(ds, {
+        "transforms": "enc,dec",
+        "transforms.enc.type": "encrypt",
+        "transforms.enc.keys": TEST_JWK,
+        "transforms.enc.columns": "props",
+        "transforms.enc.deterministic": "true",
+        "transforms.dec.type": "decrypt",
+        "transforms.dec.keys": TEST_JWK,
+        "transforms.dec.columns": "props",
+    }).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("props"), "props",
+            _pc.cast(b.column("props"), pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    out_ds = build_chain(out_ds, {
+        "transforms": "expand,map",
+        "transforms.expand.type": "expand-json",
+        "transforms.expand.columns": "props",
+        "transforms.map.type": "field-mapping",
+        "transforms.map.keep": "event_id",
+        "transforms.map.mappings": "k=props.k:int32",
+    })
+    rows = {r["event_id"]: r["k"] for r in out_ds.take_all()}
+    assert rows == {1: 5, 2: 7}
+
+    with _pytest.raises(ChainConfigError, match="unknown transform type"):
+        parse_chain({"transforms": "x", "transforms.x.type": "nope"})
+    with _pytest.raises(ChainConfigError, match="unknown config key"):
+        build_chain(ds, {
+            "transforms": "e", "transforms.e.type": "expand-json",
+            "transforms.e.bogus": "1",
+        })
+    with _pytest.raises(ChainConfigError, match="missing 'transforms'"):
+        parse_chain({})
