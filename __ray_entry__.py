@@ -1823,6 +1823,51 @@ def q_declarative_expand(sf_dir: str):
     return build_chain(ds, props)
 
 
+def q_dlq_expand(sf_dir: str):
+    """Dead-letter error tolerance (Connect errors.tolerance=all): props
+    of every event_id % 37 == 0 are corrupted to unparseable JSON; the
+    DLQ-wrapped ExpandJson routes those rows to the dead-letter parquet
+    (batch bisection — zero cost on clean batches) and the survivors flow
+    on. Output = surviving (event_id, k); the oracle mirrors the drop."""
+    from connect_smts_ray.core.worker_state import stateful_task
+    from connect_smts_ray.transforms.dlq import with_dlq
+    from connect_smts_ray.transforms.expand_json import (
+        ExpandJson,
+        ExpandJsonConfig,
+    )
+    from connect_smts_ray.transforms.field_mapping import (
+        FieldMap,
+        FieldMappingConfig,
+        apply_field_mapping,
+    )
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        bad = pc.equal(
+            pc.cast(pc.subtract(
+                b.column("event_id"),
+                pc.multiply(pc.divide(b.column("event_id"), pa.scalar(37)),
+                            pa.scalar(37)),
+            ), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        props = pc.if_else(bad, pa.scalar("{broken"), b.column("props"))
+        return pa.table({"event_id": b.column("event_id"), "props": props})
+
+    dlq_dir = tempfile.mkdtemp(prefix="csr_dlq_")
+    expand = stateful_task(ExpandJson,
+                           config=ExpandJsonConfig(columns=("props",)))
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    ds = ds.map_batches(corrupt, batch_format="pyarrow")
+    ds = ds.map_batches(with_dlq(expand, dlq_dir, stage="expand"),
+                        batch_format="pyarrow")
+    mapping = FieldMappingConfig(
+        keep=("event_id",), mappings=(FieldMap("k", "props.k", pa.int32()),)
+    )
+    return ds.map_batches(
+        lambda b: apply_field_mapping(b, mapping), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1898,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_key_enrich": q_multi_key_enrich,
         "similarity_join": q_similarity_join,
         "declarative_expand": q_declarative_expand,
+        "dlq_expand": q_dlq_expand,
     }
 
 
@@ -2311,6 +2357,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS INTEGER) AS k
             FROM events
+        """,
+        "dlq_expand": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INTEGER) AS k
+            FROM events
+            WHERE event_id % 37 <> 0
         """,
         "outbox_partition_number": """
             SELECT event_id,

@@ -1,0 +1,94 @@
+"""Dead-letter queue: per-record error tolerance for batch transforms.
+
+Kafka Connect's ``errors.tolerance=all`` + ``errors.deadletterqueue.*``
+(the reference's deploy surface) routes records a transform rejects to a
+DLQ topic instead of failing the task. The engine analog wraps any batch
+transform:
+
+    ds.map_batches(with_dlq(fn, dlq_dir, stage="expand"), ...)
+
+Vectorized happy path: the batch is tried WHOLE — zero overhead when
+nothing fails. On an exception the batch bisects recursively down to
+single rows (log₂(n) extra applications around each poison row); failing
+rows land in ``{dlq_dir}/part-*.parquet`` as
+``(record_json, error, stage)`` — schema-stable regardless of the input
+schema, so one DLQ directory serves every stage — and the surviving rows
+flow on. Deterministic: which rows fail is a pure function of the rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _bisect_apply(fn, batch: pa.Table, dead: list):
+    """Apply fn to batch; on failure split in half (single rows → DLQ).
+    Returns list of successful output tables (order-preserving)."""
+    if batch.num_rows == 0:
+        return []
+    try:
+        return [fn(batch)]
+    except Exception as e:  # noqa: BLE001 — the DLQ exists to catch fn's errors
+        if batch.num_rows == 1:
+            dead.append((batch, f"{type(e).__name__}: {e}"))
+            return []
+        mid = batch.num_rows // 2
+        return (_bisect_apply(fn, batch.slice(0, mid), dead)
+                + _bisect_apply(fn, batch.slice(mid), dead))
+
+
+def with_dlq(fn, dlq_dir: str, stage: str = "stage"):
+    """Wrap a ``pa.Table -> pa.Table`` transform with per-record error
+    tolerance. Failed rows append to ``dlq_dir`` (one file per failing
+    task, atomic rename); survivors pass through fn's normal output."""
+    os.makedirs(dlq_dir, exist_ok=True)
+
+    def wrapped(batch: pa.Table) -> pa.Table:
+        dead: list = []
+        goods = _bisect_apply(fn, batch, dead)
+        if dead:
+            rows, errs = [], []
+            for row_tbl, err in dead:
+                rows.append(json.dumps(
+                    {c: str(row_tbl.column(c)[0].as_py())
+                     for c in row_tbl.column_names},
+                    sort_keys=True,
+                ))
+                errs.append(err)
+            t = pa.table({
+                "record_json": pa.array(rows, pa.string()),
+                "error": pa.array(errs, pa.string()),
+                "stage": pa.array([stage] * len(rows), pa.string()),
+            })
+            path = os.path.join(dlq_dir, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        if goods:
+            return pa.concat_tables(goods)
+        # every row failed: the output schema must still be fn's — apply
+        # to the empty slice (transforms produce their schema on 0 rows)
+        return fn(batch.slice(0, 0))
+
+    wrapped.__name__ = wrapped.__qualname__ = f"dlq[{getattr(fn, '__name__', 'fn')}]"
+    return wrapped
+
+
+def read_dlq(dlq_dir: str) -> pa.Table:
+    """All dead-lettered records (driver-side convenience; the directory
+    is plain parquet for ray.data.read_parquet at scale)."""
+    parts = [
+        pq.read_table(os.path.join(dlq_dir, n))
+        for n in sorted(os.listdir(dlq_dir)) if n.endswith(".parquet")
+    ]
+    if not parts:
+        return pa.table({
+            "record_json": pa.array([], pa.string()),
+            "error": pa.array([], pa.string()),
+            "stage": pa.array([], pa.string()),
+        })
+    return pa.concat_tables(parts)

@@ -488,3 +488,43 @@ def test_declarative_chain_validation_and_equivalence(ray_session):
         })
     with _pytest.raises(ChainConfigError, match="missing 'transforms'"):
         parse_chain({})
+
+
+def test_dlq_isolates_poison_rows(ray_session, tmp_path):
+    """Poison rows land in the DLQ with their error; survivors transform
+    normally; a fully-poisoned batch still yields fn's schema."""
+    import ray.data
+
+    from connect_smts_ray.transforms.dlq import read_dlq, with_dlq
+
+    def strict(b: pa.Table) -> pa.Table:
+        vals = b.column("x").to_pylist()
+        if any(v < 0 for v in vals):
+            raise ValueError("negative!")
+        return pa.table({"x2": pa.array([v * 2 for v in vals], pa.int64())})
+
+    dlq = str(tmp_path / "dlq")
+    t = pa.table({"x": pa.array([1, -5, 3, -7, 4], pa.int64())})
+    out = ray.data.from_arrow(t).map_batches(
+        with_dlq(strict, dlq, stage="double"), batch_format="pyarrow"
+    ).take_all()
+    assert sorted(r["x2"] for r in out) == [2, 6, 8]
+    dead = read_dlq(dlq)
+    assert dead.num_rows == 2
+    assert set(dead.column("stage").to_pylist()) == {"double"}
+    assert all("negative" in e for e in dead.column("error").to_pylist())
+    import json as _json
+    xs = sorted(_json.loads(r)["x"] for r in
+                dead.column("record_json").to_pylist())
+    assert xs == ["-5", "-7"]
+
+    # all-poison batch: the wrapper still returns fn's schema, zero rows
+    # (asserted on the wrapper directly — Ray's to_pandas drops column
+    # names for all-empty datasets, which is a display quirk, not DLQ's)
+    dlq2 = str(tmp_path / "dlq2")
+    t2 = pa.table({"x": pa.array([-1, -2], pa.int64())})
+    wrapped = with_dlq(strict, dlq2, stage="double")
+    empty_out = wrapped(t2)
+    assert empty_out.num_rows == 0
+    assert empty_out.column_names == ["x2"]
+    assert read_dlq(dlq2).num_rows == 2
