@@ -1868,6 +1868,31 @@ def q_dlq_expand(sf_dir: str):
     )
 
 
+def q_rollup_events(sf_dir: str):
+    """ROLLUP (event_type, user_id): integer-cent sums + counts at every
+    prefix level in ONE combiner-first pass — the OLAP hierarchy without
+    per-level scans."""
+    from connect_smts_ray.ops.relational import grouped_rollup
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.select(["event_type", "user_id", "value_cents"]),
+            batch_format="pyarrow",
+        )
+    return grouped_rollup(ds, ["event_type", "user_id"], "value_cents")
+
+
+def q_pivot_user_events(sf_dir: str):
+    """PIVOT event_type → one count column per type, per user —
+    conditional aggregation, one grouped integer sum."""
+    from connect_smts_ray.ops.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        ["click", "view", "purchase", "signup", "error"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1944,6 +1969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join": q_similarity_join,
         "declarative_expand": q_declarative_expand,
         "dlq_expand": q_dlq_expand,
+        "rollup_events": q_rollup_events,
+        "pivot_user_events": q_pivot_user_events,
     }
 
 
@@ -3244,6 +3271,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) OVER (PARTITION BY user_id, event_type)
                         AS BIGINT) AS n_group
             FROM events
+        """,
+        "rollup_events": """
+            SELECT event_type, user_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_val
+            FROM events
+            GROUP BY ROLLUP (event_type, user_id)
+        """,
+        "pivot_user_events": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
         """,
         "distinct_users_by_type": """
             SELECT event_type,

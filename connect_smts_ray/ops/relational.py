@@ -756,3 +756,101 @@ def watermark_window(ds, ts_col: str, width_seconds: int,
         ),
         batch_format="pyarrow",
     )
+
+
+def grouped_rollup(ds, key_cols, value_col: str):
+    """ROLLUP aggregation: integer sums + counts at every key-prefix level
+    ((a,b), (a), ()) — the OLAP hierarchy in one pass. Per-block partials
+    emit one row per level per distinct prefix (combiner-first), a single
+    groupby merges; absent levels carry NULL key columns exactly like SQL
+    ROLLUP. Output: key_cols..., n_rows, sum_val.
+
+    Ray Data's shuffle cannot sort null group keys, so rolled-up key slots
+    travel as typed sentinels ("" / 0) plus a ``__depth`` column — depth
+    disambiguates a REAL ""/0 key at level d from a sentinel at level
+    < d, and the final map restores proper NULLs from depth."""
+    key_cols = list(key_cols)
+
+    def _sentinel(typ):
+        return pa.scalar("", typ) if pa.types.is_string(typ) \
+            else pa.scalar(0, typ)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for depth in range(len(key_cols), -1, -1):
+            keys = key_cols[:depth]
+            if keys:
+                g = batch.select(keys + [value_col]) \
+                    .group_by(keys, use_threads=False) \
+                    .aggregate([(value_col, "sum"), ([], "count_all")])
+                cols = {k: g.column(k) for k in keys}
+                n = g.num_rows
+                sums = pc.cast(g.column(f"{value_col}_sum"), pa.int64())
+                cnts = pc.cast(g.column("count_all"), pa.int64())
+            else:
+                n = 1
+                sums = pa.array(
+                    [pc.sum(batch.column(value_col)).as_py() or 0],
+                    pa.int64())
+                cnts = pa.array([batch.num_rows], pa.int64())
+                cols = {}
+            for k in key_cols[depth:]:
+                typ = batch.schema.field(k).type
+                cols[k] = pa.array([_sentinel(typ).as_py()] * n, typ)
+            cols["__depth"] = pa.array([depth] * n, pa.int64())
+            cols["sum_val"] = sums
+            cols["n_rows"] = cnts
+            outs.append(pa.table(
+                {k: cols[k]
+                 for k in key_cols + ["__depth", "n_rows", "sum_val"]}
+            ))
+        return pa.concat_tables(outs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(key_cols + ["__depth"]).sum(["n_rows", "sum_val"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        depth = b.column("__depth")
+        cols = {}
+        for i, k in enumerate(key_cols):
+            col = b.column(k)
+            rolled = pc.less_equal(depth, pa.scalar(i, pa.int64()))
+            cols[k] = pc.if_else(rolled, pa.scalar(None, col.type), col)
+        cols["n_rows"] = pc.cast(b.column("sum(n_rows)"), pa.int64())
+        cols["sum_val"] = pc.cast(b.column("sum(sum_val)"), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_key: str, pivot_col: str, categories):
+    """PIVOT: one output column per category holding that category's row
+    count per key — conditional-aggregation form, so it is one grouped
+    integer sum (combiner-first), never a per-category pass. Categories
+    must be enumerated (the SQL PIVOT contract); unseen categories yield
+    zero columns. Output: (row_key, n_<cat>...)."""
+    categories = list(categories)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {row_key: batch.column(row_key)}
+        pv = batch.column(pivot_col)
+        for c in categories:
+            cols[f"n_{c}"] = pc.cast(
+                pc.equal(pv, pa.scalar(c)), pa.int64()
+            )
+        t = pa.table(cols)
+        g = t.group_by(row_key, use_threads=False).aggregate(
+            [(f"n_{c}", "sum") for c in categories]
+        )
+        return g.rename_columns([row_key] + [f"n_{c}" for c in categories])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(row_key).sum([f"n_{c}" for c in categories])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {row_key: b.column(row_key),
+             **{f"n_{c}": pc.cast(b.column(f"sum(n_{c})"), pa.int64())
+                for c in categories}}
+        ),
+        batch_format="pyarrow",
+    )
