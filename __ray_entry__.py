@@ -1893,6 +1893,18 @@ def q_pivot_user_events(sf_dir: str):
                         ["click", "view", "purchase", "signup", "error"])
 
 
+def q_value_histogram(sf_dir: str):
+    """Fixed-width $5 histogram of event values (integer cents) — bin ids
+    per block, one grouped count-sum."""
+    from connect_smts_ray.ops.relational import value_histogram
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["value_cents"]),
+                     batch_format="pyarrow")
+    return value_histogram(ds, "value_cents", bin_width_cents=500)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1971,6 +1983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dlq_expand": q_dlq_expand,
         "rollup_events": q_rollup_events,
         "pivot_user_events": q_pivot_user_events,
+        "value_histogram": q_value_histogram,
     }
 
 
@@ -3271,6 +3284,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) OVER (PARTITION BY user_id, event_type)
                         AS BIGINT) AS n_group
             FROM events
+        """,
+        "value_histogram": """
+            WITH c AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+            )
+            SELECT CAST(floor(cents / 500.0) * 500 AS BIGINT)
+                       AS bin_start_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 1
         """,
         "rollup_events": """
             SELECT event_type, user_id,

@@ -854,3 +854,36 @@ def pivot_counts(ds, row_key: str, pivot_col: str, categories):
         ),
         batch_format="pyarrow",
     )
+
+
+def value_histogram(ds, value_col: str, bin_width_cents: int = 500,
+                    cents: bool = True):
+    """Fixed-width histogram of a money column in integer cents: bin id =
+    floor(value_cents / width) per block (pure Arrow), one grouped sum of
+    counts — the shuffle carries one row per non-empty bin per block.
+    Output: (bin_start_cents, n)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        bins = pc.multiply(
+            _floor_div_us(pc.cast(v, pa.int64()), bin_width_cents),
+            pa.scalar(bin_width_cents, pa.int64()),
+        )
+        t = pa.table({"bin_start_cents": bins})
+        g = t.group_by("bin_start_cents", use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "bin_start_cents": g.column("bin_start_cents"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin_start_cents").sum("n")
+    return agg.map_batches(
+        lambda b: pa.table({
+            "bin_start_cents": b.column("bin_start_cents"),
+            "n": pc.cast(b.column("sum(n)"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
