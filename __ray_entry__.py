@@ -1905,6 +1905,39 @@ def q_value_histogram(sf_dir: str):
     return value_histogram(ds, "value_cents", bin_width_cents=500)
 
 
+def q_training_export(sf_dir: str):
+    """Capstone composition — the full training-data export a user runs:
+    curation (quality → lang filter → exact dedup → token count) →
+    deterministic train/val/test split → per-split doc and token totals.
+    Six op families chained on one streaming Dataset; the oracle wraps
+    the curation CTE with the split CASE."""
+    from connect_smts_ray.ops.corpus import train_val_test_split
+
+    cur = q_curation_pipeline(sf_dir)  # Dataset (doc_id, n_tokens)
+    withsplit = train_val_test_split(cur, id_col="doc_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("split", use_threads=False).aggregate(
+            [("n_tokens", "sum"), ([], "count_all")]
+        )
+        return pa.table({
+            "split": g.column("split"),
+            "sum_tokens": pc.cast(g.column("n_tokens_sum"), pa.int64()),
+            "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    agg = withsplit.map_batches(partial, batch_format="pyarrow") \
+        .groupby("split").sum(["sum_tokens", "n_docs"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "split": b.column("split"),
+            "n_docs": pc.cast(b.column("sum(n_docs)"), pa.int64()),
+            "sum_tokens": pc.cast(b.column("sum(sum_tokens)"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -1984,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events": q_rollup_events,
         "pivot_user_events": q_pivot_user_events,
         "value_histogram": q_value_histogram,
+        "training_export": q_training_export,
     }
 
 
@@ -2371,6 +2405,64 @@ _KNN_EXACT_SQL = """
 """
 
 
+
+# Shared by curation_pipeline and training_export (which wraps it).
+_CURATION_SQL = f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '\\w+') AS qws,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     regexp_extract_all(lower(text), '[a-zA-Zà-ÿÀ-ß]+') AS lws
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, text, n_punct,
+                     len(qws) AS nw,
+                     len(list_filter(qws, x -> list_contains({_sql_list(sorted(set(w for ws in _STOP_SQL.values() for w in ws)))}, x))) AS n_stop,
+                     len(list_distinct(qws)) AS n_dist,
+                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['de'])}, x))) AS c_de,
+                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['en'])}, x))) AS c_en,
+                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['es'])}, x))) AS c_es,
+                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['fr'])}, x))) AS c_fr
+              FROM w
+            ),
+            scored AS (
+              SELECT doc_id, text,
+                CASE WHEN text IS NULL OR text = '' THEN 0.5 ELSE
+                  ( least(greatest(CAST(length(text) AS DOUBLE) / 500.0, 0), 1)
+                  + (1.0 - least(greatest(
+                        (CAST(n_punct AS DOUBLE) / length(text)) * 5, 0), 1))
+                  + least(greatest((CASE WHEN nw = 0 THEN 0.0
+                                         ELSE CAST(n_stop AS DOUBLE) / nw END)
+                                   * 4, 0), 1)
+                  + (1.0 - least(greatest(
+                        ((CASE WHEN nw = 0 THEN 0.0
+                               ELSE 1.0 - CAST(n_dist AS DOUBLE) / nw END)
+                         - 0.5) * 2, 0), 1))
+                  ) / 4.0 END AS quality,
+                CASE WHEN text IS NULL OR text = '' THEN NULL
+                     WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
+                          THEN 'de'
+                     WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                     WHEN c_es >= c_fr THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+              FROM c
+            ),
+            kept AS (
+              SELECT doc_id, text FROM scored
+              WHERE quality >= 0.7 AND lang_pred = 'en'
+            ),
+            dedup AS (
+              SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+              FROM kept
+              GROUP BY regexp_replace(text, '\\s+', ' ', 'g')
+            )
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM dedup
+        """
+
 def oracle_sql() -> dict[str, str]:
     return {
         # The replay family: the binlog is a pure function of (seed, repo,
@@ -2542,61 +2634,20 @@ def oracle_sql() -> dict[str, str]:
         # Composition of the quality_score + lang_id + dedup_exact +
         # token_count oracles — same CTE arithmetic, chained like the Ray
         # pipeline chains the operators.
-        "curation_pipeline": f"""
-            WITH w AS (
-              SELECT doc_id, text,
-                     regexp_extract_all(lower(text), '\\w+') AS qws,
-                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-                     regexp_extract_all(lower(text), '[a-zA-Zà-ÿÀ-ß]+') AS lws
-              FROM documents
-            ),
-            c AS (
-              SELECT doc_id, text, n_punct,
-                     len(qws) AS nw,
-                     len(list_filter(qws, x -> list_contains({_sql_list(sorted(set(w for ws in _STOP_SQL.values() for w in ws)))}, x))) AS n_stop,
-                     len(list_distinct(qws)) AS n_dist,
-                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['de'])}, x))) AS c_de,
-                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['en'])}, x))) AS c_en,
-                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['es'])}, x))) AS c_es,
-                     len(list_filter(lws, x -> list_contains({_sql_list(_STOP_SQL['fr'])}, x))) AS c_fr
-              FROM w
-            ),
-            scored AS (
-              SELECT doc_id, text,
-                CASE WHEN text IS NULL OR text = '' THEN 0.5 ELSE
-                  ( least(greatest(CAST(length(text) AS DOUBLE) / 500.0, 0), 1)
-                  + (1.0 - least(greatest(
-                        (CAST(n_punct AS DOUBLE) / length(text)) * 5, 0), 1))
-                  + least(greatest((CASE WHEN nw = 0 THEN 0.0
-                                         ELSE CAST(n_stop AS DOUBLE) / nw END)
-                                   * 4, 0), 1)
-                  + (1.0 - least(greatest(
-                        ((CASE WHEN nw = 0 THEN 0.0
-                               ELSE 1.0 - CAST(n_dist AS DOUBLE) / nw END)
-                         - 0.5) * 2, 0), 1))
-                  ) / 4.0 END AS quality,
-                CASE WHEN text IS NULL OR text = '' THEN NULL
-                     WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
-                          THEN 'de'
-                     WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
-                     WHEN c_es >= c_fr THEN 'es'
-                     ELSE 'fr' END AS lang_pred
-              FROM c
-            ),
-            kept AS (
-              SELECT doc_id, text FROM scored
-              WHERE quality >= 0.7 AND lang_pred = 'en'
-            ),
-            dedup AS (
-              SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-              FROM kept
-              GROUP BY regexp_replace(text, '\\s+', ' ', 'g')
-            )
-            SELECT doc_id,
-                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
-                       AS n_tokens
-            FROM dedup
-        """,
+        "curation_pipeline": _CURATION_SQL,
+        "training_export": f"""
+            WITH cur AS ({{_CURATION_SQL_BODY}})
+            SELECT CASE WHEN md5_number_lower(
+                            'split|' || CAST(doc_id AS VARCHAR)) % 100 < 90
+                        THEN 'train'
+                        WHEN md5_number_lower(
+                            'split|' || CAST(doc_id AS VARCHAR)) % 100 < 95
+                        THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM cur
+            GROUP BY split
+        """.replace("{_CURATION_SQL_BODY}", _CURATION_SQL),
         "schema_serde": """
             SELECT doc_id,
                    '{"type":"STRUCT","name":"out_payload","isOptional":false,"fields":[{"index":0,"name":"commit","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":1,"name":"content","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":2,"name":"lang","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":3,"name":"path","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":4,"name":"repo","schema":{"type":"STRING","name":null,"isOptional":true}},{"index":5,"name":"version","schema":{"type":"INT32","name":null,"isOptional":true}}]}'
