@@ -301,9 +301,19 @@ def run_scaling() -> dict:
         / (p_lo["events"] / p_lo["delivered_core_sec"])
         for p_lo, p_hi in pairs
     ]
+
+    # A per-cycle ratio > 1 is physically impossible for this workload
+    # (the wide config cannot convert cycles BETTER than the narrow one);
+    # it means a steal burst corrupted one side's delivered-core
+    # accounting. Such ratios must not win round selection or the
+    # keep-best comparison (observed: a 90-core-s-steal round "scored"
+    # 1.53 and clobbered a clean 0.918 capture).
+    def _valid_cycle(r: float) -> float:
+        return r if r <= 1.05 else 0.0
+
     best_round = max(
         range(len(pairs)),
-        key=lambda i: max(per_round[i], per_round_cycle[i]),
+        key=lambda i: max(per_round[i], _valid_cycle(per_round_cycle[i])),
     )
     lo, hi = pairs[best_round]
     eff = per_round[best_round]
@@ -362,8 +372,11 @@ def _update_baseline_md(result: dict) -> None:
         m2 = _re.search(r"per-cycle\s+efficiency ratio \*\*([0-9.]+)\*\*", text)
         old_best = max(float(m.group(1)) if m else 0.0,
                        float(m2.group(1)) if m2 else 0.0)
+        # per-cycle > 1.05 is steal-corrupted accounting, not a result —
+        # never let it beat a clean recorded round (see _valid_cycle)
+        new_cycle = result["per_cycle_efficiency_ratio"]
         new_best = max(result["scaling_efficiency"],
-                       result["per_cycle_efficiency_ratio"])
+                       new_cycle if new_cycle <= 1.05 else 0.0)
         if new_best <= old_best:
             sys.stderr.write(
                 f"[bench --scaling] keeping recorded round (best {old_best}) "
