@@ -114,7 +114,7 @@ def run_bench() -> dict:
     # --scaling): the metric is SUSTAINED events/s of the engine, not of
     # whatever the co-tenant is doing this minute. Bounded wait; disable
     # with GRAFT_BENCH_QUIET_WAIT_S=0.
-    quiet_budget = float(os.environ.get("GRAFT_BENCH_QUIET_WAIT_S", "180"))
+    quiet_budget = float(os.environ.get("GRAFT_BENCH_QUIET_WAIT_S", "120"))
     if quiet_budget > 0:
         _wait_quiet(quiet_budget)
 
