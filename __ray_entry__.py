@@ -1938,6 +1938,77 @@ def q_training_export(sf_dir: str):
     )
 
 
+def q_outlier_filter(sf_dir: str):
+    """IQR outlier filter: EXACT per-type q25/q75 of integer cents
+    (group_quantiles — value-count combiner), tiny bounds table to the
+    driver, broadcast filter keeps rows within [q25−1.5·IQR, q75+1.5·IQR]
+    (integer comparison form: 2·v vs 2·q ± 3·IQR, so the SQL mirror is
+    bit-exact)."""
+    from connect_smts_ray.ops.corpus import group_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.select(["event_id", "event_type", "value_cents"]),
+            batch_format="pyarrow",
+        ).materialize()  # consumed by the quantile pass AND the filter
+    qdf = group_quantiles(
+        ds, "event_type", "value_cents", [0.25, 0.75]
+    ).to_pandas()
+    bounds = {}
+    for et, g in qdf.groupby("event_type"):
+        q = dict(zip(g["q_pct"], g["value_cents"]))
+        bounds[et] = (int(q[25]), int(q[75]))
+
+    def keep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        et = b.column("event_type").to_pylist()
+        v = b.column("value_cents").to_numpy(zero_copy_only=False)
+        lo = np.array([2 * bounds[e][0] - 3 * (bounds[e][1] - bounds[e][0])
+                       for e in et], dtype=np.int64)
+        hi = np.array([2 * bounds[e][1] + 3 * (bounds[e][1] - bounds[e][0])
+                       for e in et], dtype=np.int64)
+        mask = (2 * v >= lo) & (2 * v <= hi)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_regex_extract(sf_dir: str):
+    """Log-line field extraction: a synthetic 'user=… type=… cents=…' line
+    per event, then ONE vectorized RE2 extract_regex kernel splits it back
+    into typed columns — the standard log-parsing stage."""
+    def build_and_extract(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        line = pc.binary_join_element_wise(
+            pa.array(["user="] * b.num_rows),
+            pc.cast(b.column("user_id"), pa.string()),
+            pa.array([" type="] * b.num_rows),
+            b.column("event_type"),
+            pa.array([" cents="] * b.num_rows),
+            pc.cast(cents, pa.string()),
+            "",
+        )
+        st = pc.extract_regex(
+            line, r"user=(?P<u>\d+) type=(?P<t>\w+) cents=(?P<c>-?\d+)"
+        )
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "log_line": line,
+            "user_parsed": pc.cast(pc.struct_field(st, "u"), pa.int64()),
+            "type_parsed": pc.struct_field(st, "t"),
+            "cents_parsed": pc.cast(pc.struct_field(st, "c"), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "value"])
+    return ds.map_batches(build_and_extract, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": q_cdc_replay,
@@ -2018,6 +2089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_events": q_pivot_user_events,
         "value_histogram": q_value_histogram,
         "training_export": q_training_export,
+        "outlier_filter": q_outlier_filter,
+        "regex_extract": q_regex_extract,
     }
 
 
@@ -3335,6 +3408,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) OVER (PARTITION BY user_id, event_type)
                         AS BIGINT) AS n_group
             FROM events
+        """,
+        "outlier_filter": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents
+              FROM events
+            ),
+            q AS (
+              SELECT event_type,
+                     quantile_disc(value_cents, 0.25) AS q25,
+                     quantile_disc(value_cents, 0.75) AS q75
+              FROM c GROUP BY event_type
+            )
+            SELECT event_id, c.event_type, value_cents
+            FROM c JOIN q USING (event_type)
+            WHERE 2 * value_cents >= 2 * q25 - 3 * (q75 - q25)
+              AND 2 * value_cents <= 2 * q75 + 3 * (q75 - q25)
+        """,
+        "regex_extract": """
+            WITH l AS (
+              SELECT event_id,
+                     'user=' || CAST(user_id AS VARCHAR)
+                     || ' type=' || event_type
+                     || ' cents=' || CAST(CAST(round(value * 100) AS BIGINT)
+                                          AS VARCHAR) AS log_line
+              FROM events
+            )
+            SELECT event_id, log_line,
+                   CAST(regexp_extract(log_line,
+                        'user=(\\d+) type=(\\w+) cents=(-?\\d+)', 1)
+                        AS BIGINT) AS user_parsed,
+                   regexp_extract(log_line,
+                        'user=(\\d+) type=(\\w+) cents=(-?\\d+)', 2)
+                       AS type_parsed,
+                   CAST(regexp_extract(log_line,
+                        'user=(\\d+) type=(\\w+) cents=(-?\\d+)', 3)
+                        AS BIGINT) AS cents_parsed
+            FROM l
         """,
         "value_histogram": """
             WITH c AS (
