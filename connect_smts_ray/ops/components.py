@@ -420,7 +420,15 @@ _BLOOM_KEY2 = b"csr-bloom-h2-key"
 def _bloom_hashes(values: pd.Series):
     """Two independent vectorized 64-bit hashes per value (pandas
     murmur-based hash_pandas_object with distinct keys) for double
-    hashing: index_i = (h1 + i·h2) mod bits."""
+    hashing: index_i = (h1 + i·h2) mod bits.
+
+    hash_pandas_object only applies ``hash_key`` to OBJECT (string)
+    dtypes — numeric columns would hash identically under both keys,
+    degenerating double hashing to multiples of one hash (k-fold worse FP
+    rate, though never false negatives). Cast non-object inputs to their
+    string rendering first so the two streams stay independent."""
+    if values.dtype != object:
+        values = values.astype(str)
     h1 = pd.util.hash_pandas_object(
         values, index=False, hash_key=_BLOOM_KEY1.decode()
     ).to_numpy()
@@ -439,6 +447,8 @@ def bloom_build(ds, col: str, bits: int = 1 << 20, k: int = 4) -> bytes:
 
     False positives only (never negatives): safe as a PREFILTER in front
     of an exact semi/anti join — it cuts shuffle volume, not correctness."""
+    if bits % 8:
+        raise ValueError(f"bits must be a multiple of 8, got {bits}")
     nbytes = bits // 8
 
     def block_bitmap(batch: pa.Table) -> pa.Table:
@@ -464,6 +474,12 @@ def bloom_maybe_contains(values, bitmap: bytes, bits: int = 1 << 20,
                          k: int = 4) -> np.ndarray:
     """Vectorized membership mask (True = maybe present, False =
     definitely absent) for an Arrow array against a packed bitmap."""
+    if bits % 8:
+        raise ValueError(f"bits must be a multiple of 8, got {bits}")
+    if len(bitmap) * 8 < bits:
+        raise ValueError(
+            f"bitmap holds {len(bitmap) * 8} bits but {bits} were requested"
+        )
     arr = np.frombuffer(bitmap, dtype=np.uint8)
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = values.to_pandas()

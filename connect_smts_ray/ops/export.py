@@ -87,12 +87,19 @@ def export_shards(ds, out_dir: str, id_col: str = "doc_id",
         mpath = os.path.join(sdir, "_MANIFEST.json")
         dpath = os.path.join(sdir, "data.parquet")
         skipped = False
-        if os.path.exists(mpath):
+        # A manifest alone is NOT proof of a committed shard: the data file
+        # may have been lost after the manifest commit (partial rsync, disk
+        # swap). Honor the skip only when data.parquet exists AND its footer
+        # row count matches the manifest — a footer read costs O(KB), never
+        # a full-file scan, so resume stays cheap at 10^5 shards.
+        if os.path.exists(mpath) and os.path.exists(dpath):
             try:
                 m = json.load(open(mpath))
                 skipped = (m.get("n_rows") == body.num_rows
-                           and m.get("sha256") == sha)
-            except (json.JSONDecodeError, OSError):
+                           and m.get("sha256") == sha
+                           and pq.read_metadata(dpath).num_rows
+                           == body.num_rows)
+            except (json.JSONDecodeError, OSError, pa.ArrowInvalid):
                 skipped = False
         if not skipped:
             os.makedirs(sdir, exist_ok=True)
@@ -129,8 +136,15 @@ def read_shards(out_dir: str):
         sdir = os.path.join(out_dir, name)
         mpath = os.path.join(sdir, "_MANIFEST.json")
         dpath = os.path.join(sdir, "data.parquet")
-        if os.path.exists(mpath) and os.path.exists(dpath):
-            paths.append(dpath)
+        if not (os.path.exists(mpath) and os.path.exists(dpath)):
+            continue
+        try:
+            m = json.load(open(mpath))
+            if pq.read_metadata(dpath).num_rows != m.get("n_rows"):
+                continue  # data file doesn't match its manifest — unverified
+        except (json.JSONDecodeError, OSError, pa.ArrowInvalid):
+            continue
+        paths.append(dpath)
     if not paths:
         raise FileNotFoundError(f"no committed shards under {out_dir}")
     return ray.data.read_parquet(paths)

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -441,33 +442,77 @@ def kmeans_lloyd(ds, init_centroids: np.ndarray, n_iter: int = 2,
                                    id_col=id_col)
 
 
+def prefix_gram_table(batch: pa.Table, n: int, id_col: str, text_col: str,
+                      hot: pa.Array, threshold: float) -> pa.Table:
+    """Per-doc PREFIX grams under the global order (is_hot, gram) — the
+    exact-recall blocking set of ``ngram_similarity_join`` (AllPairs
+    lemma: the order-smallest shared gram of any pair with Jaccard ≥ t
+    lies within both docs' ``|x| − ⌈t·|x|⌉ + 1`` prefixes). Complete per
+    batch because a doc's text lives in one row. Returns (id_col, gram)."""
+    from connect_smts_ray.ops.corpus import doc_ngram_windows
+
+    t = doc_ngram_windows(batch, n, id_col, text_col)
+    if t.num_rows == 0:
+        return pa.table({
+            id_col: pa.array([], t.schema.field(id_col).type),
+            "gram": pa.array([], pa.string()),
+        })
+    is_hot = pc.is_in(t.column("gram"), value_set=hot)
+    t = t.append_column(
+        pa.field("__hot", pa.bool_()), pc.fill_null(is_hot, False)
+    ).sort_by([
+        (id_col, "ascending"), ("__hot", "ascending"), ("gram", "ascending"),
+    ])
+    idv = t.column(id_col).to_numpy(zero_copy_only=False)
+    m = len(idv)
+    starts = np.flatnonzero(np.concatenate(([True], idv[1:] != idv[:-1])))
+    sizes = np.diff(np.append(starts, m))
+    pos = np.arange(m) - np.repeat(starts, sizes)
+    # α = ⌈t·|x|⌉ (eps-guarded ceil can only shrink α → prefix can only
+    # LENGTHEN → still a candidate superset, never a missed pair)
+    alpha = np.ceil(threshold * sizes - 1e-9).astype(np.int64)
+    keep = pos < np.repeat(sizes - alpha + 1, sizes)
+    return t.filter(pa.array(keep)).select([id_col, "gram"])
+
+
 def ngram_similarity_join(left, right, n: int = 3, threshold: float = 0.5,
                           id_col: str = "doc_id", text_col: str = "text",
-                          num_partitions: int = 16):
+                          num_partitions: int = 16, max_df: int = 256):
     """Fuzzy record linkage between TWO tables: pairs (lid, rid) whose
     word ``n``-gram Jaccard ≥ threshold — the cross-table counterpart of
-    the dedup families (same gram blocking, exact verification).
+    the dedup families (gram blocking, exact verification).
 
-    Distributed shape (nothing all-pairs, nothing on the driver):
+    Distributed shape (nothing all-pairs, nothing big on the driver):
 
     1. each side explodes to distinct (id, gram) rows per block
        (``doc_ngram_windows``) and per-doc gram counts (complete per
        block: a doc's text lives in one row),
-    2. candidates = reduce-side ``hash_join`` on the gram → grouped
-       count = |shared grams| per pair (only pairs sharing ≥1 gram exist),
-    3. two id-joins attach |L| and |R|; jaccard = shared/(|L|+|R|−shared)
+    2. HOT grams — document frequency over both sides above ``max_df`` —
+       are found with a partial-count-then-sum groupby; the hot set is
+       ≤ gram_rows / max_df distinct strings, so it broadcasts,
+    3. PREFIX FILTER (AllPairs / PPJoin lemma, EXACT): order each doc's
+       gram set by the global total order (is_hot, gram) and keep only
+       the first ``|x| − ⌈t·|x|⌉ + 1`` grams. Any pair with Jaccard ≥ t
+       shares ≥ ⌈t·max(|x|,|y|)⌉ grams, and the order-smallest shared
+       gram provably falls inside BOTH prefixes — so joining prefixes on
+       the gram generates a candidate superset with NO recall loss. A
+       boilerplate gram shared by every doc sorts LAST in every doc and
+       enters a prefix only when |x| ≤ 1/t, so the f_L × f_R hot-gram
+       candidate explosion is gone: non-hot prefix grams fan out ≤
+       max_df², hot prefix grams only pair near-empty docs,
+    4. exact verification: distinct candidate pairs re-join the FULL gram
+       tables — (pairs ⋈ lg on lid) semi-joined with rg on (rid, gram),
+       grouped count = |shared grams| — so the score never depends on the
+       blocking and the all-pairs SQL oracle stays the oracle,
+    5. two id-joins attach |L| and |R|; jaccard = shared/(|L|+|R|−shared)
        is one integer division, so the SQL mirror is bit-exact.
 
-    Hot-gram caveat: a gram appearing in f_L × f_R rows emits that many
-    candidate rows. At corpus scale, prefilter high-df grams (prefix
-    filtering) or route through the MinHash blocker — both trade recall
-    and must be mirrored in the oracle if exactness is claimed.
-
-    Output: (lid, rid, n_shared, n_l, n_r, jaccard), all matches.
+    Output: (lid, rid, n_shared, n_l, n_r, jaccard) — ALL matching pairs,
+    identical to the unfiltered join for every threshold > 0.
     """
-    import pyarrow.compute as pc
+    import ray
 
-    from connect_smts_ray.ops.components import hash_join
+    from connect_smts_ray.ops.components import hash_join, hash_join_multi
     from connect_smts_ray.ops.corpus import doc_ngram_windows
 
     def grams_of(side, out_id):
@@ -476,7 +521,7 @@ def ngram_similarity_join(left, right, n: int = 3, threshold: float = 0.5,
             .rename_columns([out_id, "gram"]),
             batch_format="pyarrow",
         )
-        return g.materialize()  # consumed twice: pair join + count
+        return g.materialize()  # consumed twice: df pass + verify join
 
     def counts_of(g, out_id, out_n):
         def per_block(b: pa.Table) -> pa.Table:
@@ -492,13 +537,72 @@ def ngram_similarity_join(left, right, n: int = 3, threshold: float = 0.5,
     lg, rg = grams_of(left, "lid"), grams_of(right, "rid")
     lc, rc = counts_of(lg, "lid", "n_l"), counts_of(rg, "rid", "n_r")
 
+    # -- hot grams: df = #(doc, gram) rows (grams are distinct per doc).
+    # Per-block partial counts combine BEFORE the groupby shuffle; only
+    # grams with total df > max_df survive to the driver.
+    def df_partial(idc):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.group_by("gram", use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table({
+                "gram": t.column("gram"),
+                "df_part": pc.cast(t.column("count_all"), pa.int64()),
+            })
+        return f
+
+    df_ds = (
+        lg.map_batches(df_partial("lid"), batch_format="pyarrow")
+        .union(rg.map_batches(df_partial("rid"), batch_format="pyarrow"))
+        .groupby("gram").sum("df_part")
+    )
+    hot_rows = df_ds.map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("sum(df_part)"), pa.scalar(max_df))
+        ).select(["gram"]),
+        batch_format="pyarrow",
+    ).take_all()
+    hot_ref = ray.put(pa.array([r["gram"] for r in hot_rows], pa.string()))
+
+    # -- prefix explode: recomputed from the SOURCE rows (a doc's text is
+    # one row, so its whole gram set is in hand — no reliance on gram-table
+    # block boundaries, which Ray may split mid-doc at target block size).
+    def prefix_grams(side, out_id):
+        def per_batch(b: pa.Table) -> pa.Table:
+            out = prefix_gram_table(
+                b, n, id_col, text_col, ray.get(hot_ref), threshold
+            )
+            return out.rename_columns([out_id, "gram"])
+        return side.map_batches(per_batch, batch_format="pyarrow")
+
+    pl, pr = prefix_grams(left, "lid"), prefix_grams(right, "rid")
+
     cand = hash_join(
-        lg, rg, left_on="gram", right_on="gram", how="inner",
+        pl, pr, left_on="gram", right_on="gram", how="inner",
         num_partitions=num_partitions,
         left_schema=pa.schema([("lid", pa.int64()), ("gram", pa.string())]),
         right_schema=pa.schema([("rid", pa.int64()), ("gram", pa.string())]),
     )
-    shared = cand.groupby(["lid", "rid"]).count()
+    # distinct candidate pairs (several shared prefix grams → one pair)
+    pairs = cand.groupby(["lid", "rid"]).count().map_batches(
+        lambda b: b.select(["lid", "rid"]), batch_format="pyarrow",
+    )
+
+    # -- exact verification over the FULL gram tables
+    expanded = hash_join(
+        pairs, lg, left_on="lid", right_on="lid", how="inner",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("lid", pa.int64()), ("rid", pa.int64())]),
+        right_schema=pa.schema([("lid", pa.int64()), ("gram", pa.string())]),
+    )
+    matched = hash_join_multi(
+        expanded, rg, left_on=["rid", "gram"], right_on=["rid", "gram"],
+        how="left_semi", num_partitions=num_partitions,
+        left_schema=pa.schema([("lid", pa.int64()), ("rid", pa.int64()),
+                               ("gram", pa.string())]),
+        right_schema=pa.schema([("rid", pa.int64()), ("gram", pa.string())]),
+    )
+    shared = matched.groupby(["lid", "rid"]).count()
     shared = shared.map_batches(
         lambda b: pa.table({
             "lid": b.column("lid"), "rid": b.column("rid"),

@@ -269,9 +269,11 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
     ask for, so their files AND manifests are deleted. The head plan is
     untouched (it uses the newest base, which is ≥ the anchor), and
     ``read_plan(as_of)`` for any as_of ≥ the anchor's cover still
-    reconstructs exactly. as_of BELOW the horizon now raises (the horizon
-    is recorded per partition in the table meta) instead of returning a
-    silently partial state.
+    reconstructs exactly — the horizon is the anchor's cover itself, so
+    ``as_of == covered`` stays valid (the anchor base IS that cut). as_of
+    strictly BELOW the horizon raises (the horizon is recorded per
+    partition in the table meta) instead of returning a silently partial
+    state.
 
     Returns {pid: horizon} for the partitions vacuumed this call."""
     meta = store.read_table_meta() or {}
@@ -303,7 +305,9 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
                     os.remove(p)
                 except FileNotFoundError:
                     pass
-        horizon = covered + 1
+        # The anchor base IS the exact state as of `covered`, so that cut
+        # stays reconstructible — only as_of strictly below it raises.
+        horizon = covered
         if horizon > int(horizons.get(str(pid), -10**9)):
             horizons[str(pid)] = horizon
             changed[pid] = horizon

@@ -18,9 +18,9 @@ flow on. Deterministic: which rows fail is a pure function of the rows.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
-import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -45,7 +45,8 @@ def _bisect_apply(fn, batch: pa.Table, dead: list):
 def with_dlq(fn, dlq_dir: str, stage: str = "stage"):
     """Wrap a ``pa.Table -> pa.Table`` transform with per-record error
     tolerance. Failed rows append to ``dlq_dir`` (one file per failing
-    task, atomic rename); survivors pass through fn's normal output."""
+    batch, content-addressed name + atomic rename → idempotent under Ray
+    task retries); survivors pass through fn's normal output."""
     os.makedirs(dlq_dir, exist_ok=True)
 
     def wrapped(batch: pa.Table) -> pa.Table:
@@ -65,14 +66,39 @@ def with_dlq(fn, dlq_dir: str, stage: str = "stage"):
                 "error": pa.array(errs, pa.string()),
                 "stage": pa.array([stage] * len(rows), pa.string()),
             })
-            path = os.path.join(dlq_dir, f"part-{uuid.uuid4().hex}.parquet")
+            # File name is a pure function of the dead rows: a Ray task
+            # retry / speculative re-execution of the same batch rewrites
+            # the SAME file (identical bytes, atomic replace) instead of
+            # dead-lettering the rows twice — the sink stays idempotent.
+            tag = hashlib.sha256(
+                ("\x1e".join(rows) + "\x1f" + "\x1e".join(errs)
+                 + "\x1f" + stage).encode()
+            ).hexdigest()[:32]
+            path = os.path.join(dlq_dir, f"part-{tag}.parquet")
             pq.write_table(t, path + ".tmp")
             os.replace(path + ".tmp", path)
         if goods:
+            # Remember fn's output schema so a later all-fail batch on this
+            # worker can still return a correctly-shaped empty table.
+            wrapped._out_schema = goods[0].schema
             return pa.concat_tables(goods)
-        # every row failed: the output schema must still be fn's — apply
-        # to the empty slice (transforms produce their schema on 0 rows)
-        return fn(batch.slice(0, 0))
+        # Every row failed: the output must still carry fn's schema. Prefer
+        # the schema recorded from a prior success; otherwise try fn on the
+        # empty slice — some transforms can't handle 0-row input, so guard
+        # it and fall back to an empty table of the recorded schema.
+        if wrapped._out_schema is not None:
+            return wrapped._out_schema.empty_table()
+        try:
+            return fn(batch.slice(0, 0))
+        except Exception as e:  # noqa: BLE001 — same contract as the bisect
+            raise RuntimeError(
+                f"DLQ stage '{stage}': every row of the first batch failed "
+                "and fn cannot produce a 0-row output to define the schema; "
+                "pass a batch with at least one good row first or make fn "
+                f"0-row-safe (underlying error: {e})"
+            ) from e
+
+    wrapped._out_schema = None
 
     wrapped.__name__ = wrapped.__qualname__ = f"dlq[{getattr(fn, '__name__', 'fn')}]"
     return wrapped

@@ -468,6 +468,17 @@ def test_export_shards_resume(ray_session, tmp_path):
     assert open(os.path.join(out, "shard=2", "data.parquet"), "rb").read() \
         == files[2]
 
+    # destroy one shard's DATA file but keep its manifest -> the manifest
+    # alone is not trusted: the shard re-executes (and read_shards never
+    # surfaces the unverified shard while the data file is gone)
+    os.remove(os.path.join(out, "shard=1", "data.parquet"))
+    assert read_shards(out).count() == 100 - first[1]["n_rows"]
+    fourth = run()
+    assert not fourth[1]["skipped"]
+    assert all(fourth[k]["skipped"] for k in (0, 2, 3))
+    assert open(os.path.join(out, "shard=1", "data.parquet"), "rb").read() \
+        == files[1]
+
     back = read_shards(out)
     assert back.count() == 100
 
@@ -493,6 +504,29 @@ def test_bloom_prefilter_no_false_negatives(ray_session):
     ).all(), "false negative!"
     fp = bloom_maybe_contains(pa.array(absent), bm, bits=1 << 16).mean()
     assert fp < 0.15, f"fp rate {fp}"
+
+    # non-string columns: hash_pandas_object ignores hash_key for numeric
+    # dtypes, so the two hash streams must be made independent by the
+    # string-cast path — no false negatives AND a sane fp rate
+    nums = ray.data.from_arrow(
+        pa.table({"v": pa.array(list(range(2000)), pa.int64())})
+    ).repartition(3)
+    bmn = bloom_build(nums, "v", bits=1 << 16, k=4)
+    assert bloom_maybe_contains(
+        pa.array(list(range(2000)), pa.int64()), bmn, bits=1 << 16
+    ).all()
+    fpn = bloom_maybe_contains(
+        pa.array(list(range(10_000, 12_000)), pa.int64()), bmn, bits=1 << 16
+    ).mean()
+    assert fpn < 0.15, f"numeric fp rate {fpn}"
+
+    # malformed sizing is rejected, not silently truncated
+    with pytest.raises(ValueError, match="multiple of 8"):
+        bloom_build(nums, "v", bits=1001)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        bloom_maybe_contains(pa.array([1]), bmn, bits=1001)
+    with pytest.raises(ValueError, match="bitmap holds"):
+        bloom_maybe_contains(pa.array([1]), bmn[:10], bits=1 << 16)
 
 
 def test_hll_approx_distinct_bounds(ray_session):

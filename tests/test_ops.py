@@ -528,3 +528,91 @@ def test_dlq_isolates_poison_rows(ray_session, tmp_path):
     assert empty_out.num_rows == 0
     assert empty_out.column_names == ["x2"]
     assert read_dlq(dlq2).num_rows == 2
+
+    # retry idempotence: re-running the same batch (a Ray task retry)
+    # rewrites the SAME content-addressed file — no duplicate dead letters
+    wrapped(t2)
+    assert read_dlq(dlq2).num_rows == 2
+
+    # a transform that cannot handle 0-row input: after one good batch the
+    # wrapper reuses the recorded schema instead of calling fn(empty)
+    def strict_no_empty(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            raise RuntimeError("cannot run on empty input")
+        return strict(b)
+
+    dlq3 = str(tmp_path / "dlq3")
+    w3 = with_dlq(strict_no_empty, dlq3, stage="double")
+    assert w3(pa.table({"x": pa.array([2], pa.int64())})).num_rows == 1
+    empty3 = w3(pa.table({"x": pa.array([-9], pa.int64())}))
+    assert empty3.num_rows == 0 and empty3.column_names == ["x2"]
+    # with NO prior success the guarded fallback raises a clear error
+    w4 = with_dlq(strict_no_empty, str(tmp_path / "dlq4"), stage="double")
+    with pytest.raises(RuntimeError, match="0-row"):
+        w4(pa.table({"x": pa.array([-9], pa.int64())}))
+
+
+def test_similarity_join_hot_gram_prefix_filter(ray_session):
+    """A boilerplate gram shared by EVERY doc must not blow up candidate
+    generation: the (is_hot, gram) prefix order ranks it last in each doc,
+    so docs with |x| > 1/t never emit it as a blocking gram — candidates
+    stay O(n) — while exact verification keeps the output identical to the
+    unfiltered all-grams join (one planted near-dup pair must survive)."""
+    import ray.data
+
+    from connect_smts_ray.ops.similarity import (
+        ngram_similarity_join,
+        prefix_gram_table,
+    )
+
+    # 120 left / 120 right docs; all share the boilerplate sentence, each
+    # has a unique tail → no cross pairs except the one planted near-dup.
+    boiler = "common header present in every document here"
+    n_docs = 120
+
+    def mk(side, start_id):
+        rows = []
+        for i in range(n_docs):
+            uniq = " ".join(f"{side}tok{i}w{j}" for j in range(12))
+            rows.append((start_id + i, f"{boiler} {uniq}"))
+        return rows
+
+    lrows, rrows = mk("l", 0), mk("r", 10_000)
+    # planted near-dup: right doc 10_000 reuses left doc 0's text verbatim
+    rrows[0] = (10_000, lrows[0][1])
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+
+    left = ray.data.from_arrow(tbl(lrows)).repartition(4)
+    right = ray.data.from_arrow(tbl(rrows)).repartition(4)
+
+    out = ngram_similarity_join(left, right, n=3, threshold=0.5,
+                                max_df=16).take_all()
+    assert [(r["lid"], r["rid"]) for r in out] == [(0, 10_000)]
+    assert out[0]["jaccard"] == 1.0
+
+    # pinned candidate bound: with every boilerplate gram hot, no doc's
+    # prefix contains ANY hot gram (|x| ≫ 1/t), so the per-doc prefix is
+    # made of unique-tail grams only → total candidate rows are O(n), not
+    # n²: assert directly on the blocking table.
+    batch = tbl(lrows)
+    from connect_smts_ray.ops.corpus import doc_ngram_windows
+    all_grams = doc_ngram_windows(batch, 3, "doc_id", "text")
+    df = all_grams.group_by("gram", use_threads=False).aggregate(
+        [([], "count_all")]
+    )
+    hot = df.filter(
+        pa.compute.greater(df.column("count_all"), pa.scalar(16))
+    ).column("gram").combine_chunks()
+    assert len(hot) > 0, "test corpus must actually have hot grams"
+    pfx = prefix_gram_table(batch, 3, "doc_id", "text", hot, 0.5)
+    hot_in_prefix = pa.compute.is_in(pfx.column("gram"), value_set=hot)
+    assert pa.compute.sum(
+        pa.compute.cast(hot_in_prefix, pa.int64())
+    ).as_py() == 0, "hot grams leaked into blocking prefixes"
+    # and every unique-tail prefix gram has df == 1 → candidates ≤ n
+    assert pfx.num_rows <= all_grams.num_rows

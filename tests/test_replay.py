@@ -430,6 +430,7 @@ def test_vacuum_retention(ray_session, tmp_path, sf_dir):
 
     head_before = sha(final_state(cfg))
     asof4_before = sha(final_state(cfg, as_of=4))
+    asof3_before = sha(final_state(cfg, as_of=3))
 
     changed = vacuum(store, retain_epochs=2)
     assert changed, "nothing vacuumed"
@@ -441,6 +442,9 @@ def test_vacuum_retention(ray_session, tmp_path, sf_dir):
 
     assert sha(final_state(cfg)) == head_before
     assert sha(final_state(cfg, as_of=4)) == asof4_before
+    # as_of == the anchor's cover (the horizon itself) is exactly the
+    # anchor base — still reconstructible after vacuum.
+    assert sha(final_state(cfg, as_of=3)) == asof3_before
     with pytest.raises(ValueError, match="vacuum horizon"):
         final_state(cfg, as_of=2)
 
