@@ -40,6 +40,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from connect_smts_ray.ops.similarity import vectors_to_numpy
+
 _WORD_RE = re.compile(r"\w+")
 
 _MERSENNE = (1 << 61) - 1
@@ -302,7 +304,12 @@ class MinHasher:
 def _collect_list(col: str):
     """Vectorized list-gather aggregate: per group, the column's values.
     A map_groups equivalent costs a Python call + table build per group —
-    measured 4× slower over the ~16·n_docs LSH buckets."""
+    measured 4× slower over the ~16·n_docs LSH buckets.
+
+    MEMORY CONTRACT: callers must route oversized buckets elsewhere first
+    (``_split_big_buckets``) so every gathered list stays ≤ the family's
+    cap — a pathological 10⁸-member bucket would otherwise build one
+    multi-GB Python list inside a single reduce task."""
     from ray.data.aggregate import AggregateFn
 
     return AggregateFn(
@@ -311,6 +318,122 @@ def _collect_list(col: str):
         name=f"list({col})",
         accumulate_block=lambda a, block: a + block.column(col).to_pylist(),
     )
+
+
+def _fused_keys(batch: pa.Table, key_cols) -> pa.Array:
+    """One string per row fusing the bucket-key columns (``v1|v2|``) —
+    the broadcast-membership handle of the big-bucket split. String casts
+    of int32/int64/string render identically to Python f-strings, so the
+    driver-side map built from ``take_all`` rows uses the same keys."""
+    parts = []
+    for c in key_cols:
+        parts.append(pc.cast(batch.column(c), pa.string()))
+        parts.append(pa.array(["|"] * batch.num_rows, pa.string()))
+    if batch.num_rows == 0:
+        return pa.array([], pa.string())
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def _fuse_key_vals(vals) -> str:
+    return "".join(f"{v}|" for v in vals)
+
+
+def _split_big_buckets(sig, key_cols, id_col: str, cap: int):
+    """Bound the per-reduce-task memory of LSH bucket gathering.
+
+    Returns ``(sig_materialized, hubs)`` where ``hubs`` maps the fused key
+    of every bucket with MORE than ``cap`` members to its hub (min id).
+    Callers then (a) gather-and-explode only the rows of small buckets —
+    every ``_collect_list`` list is ≤ cap — and (b) handle big-bucket rows
+    STREAMING per batch against the broadcast hub (a min-id star, exactly
+    the fallback the gather path used for > cap buckets, so emitted pairs
+    are unchanged; components restore transitivity through the hub).
+
+    Cost: one Count/Min aggregate over the signature table (O(1) state
+    per group — never a list). Driver/broadcast size: ≤ sig_rows / cap
+    entries by construction (at 16 bands × 10⁹ docs and cap=1024 that is
+    ≤ 1.6·10⁷ hub entries ≈ hundreds of MB worst case — raise ``cap`` if
+    the hub map is the constraint; the two bounds trade directly)."""
+    from ray.data.aggregate import Count, Min
+
+    sig = sig.materialize()  # consumed twice: info aggregate + explode
+    info = sig.groupby(list(key_cols)).aggregate(Count(), Min(id_col))
+
+    def only_big(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("count()"), pa.scalar(cap)))
+
+    big_rows = info.map_batches(only_big, batch_format="pyarrow").take_all()
+    hubs = {
+        _fuse_key_vals([r[k] for k in key_cols]): int(r[f"min({id_col})"])
+        for r in big_rows
+    }
+    return sig, hubs
+
+
+def _drop_big_bucket_rows(sig, key_cols, keys_ref):
+    """Filter a signature Dataset down to small-bucket rows (fused key
+    NOT in the broadcast big-key array) — the gather path's input."""
+    import ray
+
+    def keep_small(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        fused = _fused_keys(b, key_cols)
+        hit = pc.is_in(fused, value_set=ray.get(keys_ref))
+        return b.filter(pc.invert(pc.fill_null(hit, False)))
+
+    return sig.map_batches(keep_small, batch_format="pyarrow")
+
+
+def _big_bucket_rows(b: pa.Table, key_cols, keys_arr, hubs: dict):
+    """(filtered batch, fused keys, hub ids) for the big-bucket rows of a
+    batch — the shared head of every streaming star path."""
+    import pandas as pd
+
+    if b.num_rows == 0:
+        return None
+    fused = _fused_keys(b, key_cols)
+    hit = pc.fill_null(pc.is_in(fused, value_set=keys_arr), False)
+    t = b.filter(hit)
+    if t.num_rows == 0:
+        return None
+    f2 = _fused_keys(t, key_cols)
+    hub_ids = pd.Series(f2.to_pylist()).map(hubs).to_numpy(dtype=np.int64)
+    return t, f2, hub_ids
+
+
+def _fetch_hub_payloads(sig, key_cols, id_col: str, payload_col: str,
+                        keys_ref, hubs_ref) -> dict:
+    """{fused key: payload value at the hub row} for every big bucket —
+    one projected streaming pass over the materialized signature table
+    (only exact hub rows reach the driver: one row per big bucket)."""
+    import ray
+
+    def pick(b: pa.Table) -> pa.Table:
+        got = _big_bucket_rows(b, key_cols, ray.get(keys_ref),
+                               ray.get(hubs_ref))
+        empty = pa.table({
+            "k": pa.array([], pa.string()),
+            "payload": pa.array([], b.schema.field(payload_col).type),
+        })
+        if got is None:
+            return empty
+        t, f2, hub_ids = got
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        m = ids == hub_ids
+        if not m.any():
+            return empty
+        sel = pa.array(m)
+        return pa.table({
+            "k": f2.filter(sel) if isinstance(f2, pa.ChunkedArray)
+            else pc.filter(f2, sel),
+            "payload": t.column(payload_col).filter(sel),
+        })
+
+    return {
+        r["k"]: r["payload"]
+        for r in sig.map_batches(pick, batch_format="pyarrow").take_all()
+    }
 
 
 def _signature_stage(ds, cls, ctor_kwargs, concurrency=None):
@@ -362,13 +485,47 @@ def minhash_candidates(ds, cfg: MinHashConfig = MinHashConfig(),
     """documents → candidate pairs (Dataset[id_a, id_b]; may repeat across
     bands — ``components.dedup_pairs`` distincts them with a grouped
     shuffle over the id-pair table only). Buckets larger than ``pair_cap``
-    emit a min-id star instead of all pairs (bounded per-bucket work)."""
+    emit a min-id star instead of all pairs — and those rows NEVER pass
+    through the list gather: ``_split_big_buckets`` finds them with an
+    O(1)-state Count/Min aggregate and the star streams per batch against
+    the broadcast hub, so per-reduce-task memory is bounded by ``pair_cap``
+    regardless of bucket size (r3 left a 10⁸-member bucket building one
+    Python list in a single task). Emitted pairs are identical either way."""
+    import ray
+
+    keys = ["band", "band_hash"]
     sig = _signature_stage(
         ds, MinHasher,
         {"cfg": cfg, "text_col": text_col, "id_col": id_col},
         concurrency=concurrency,
     )
-    buckets = sig.groupby(["band", "band_hash"]).aggregate(_collect_list("doc_id"))
+    sig, hubs = _split_big_buckets(sig, keys, id_col="doc_id", cap=pair_cap)
+    small = sig
+    star_ds = None
+    if hubs:
+        keys_ref = ray.put(pa.array(list(hubs.keys()), pa.string()))
+        hubs_ref = ray.put(hubs)
+        small = _drop_big_bucket_rows(sig, keys, keys_ref)
+
+        def star_pairs(b: pa.Table) -> pa.Table:
+            got = _big_bucket_rows(b, keys, ray.get(keys_ref),
+                                   ray.get(hubs_ref))
+            if got is None:
+                return pa.table({
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                })
+            t, _f2, hub_ids = got
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = ids != hub_ids
+            return pa.table({
+                "id_a": pa.array(hub_ids[m]),
+                "id_b": pa.array(ids[m].astype(np.int64)),
+            })
+
+        star_ds = sig.map_batches(star_pairs, batch_format="pyarrow")
+
+    buckets = small.groupby(keys).aggregate(_collect_list("doc_id"))
 
     def explode_pairs(batch: pa.Table) -> pa.Table:
         a_parts, b_parts = [], []
@@ -389,7 +546,8 @@ def minhash_candidates(ds, cfg: MinHashConfig = MinHashConfig(),
             "id_b": pa.array(np.concatenate(b_parts)),
         })
 
-    return buckets.map_batches(explode_pairs, batch_format="pyarrow")
+    pairs = buckets.map_batches(explode_pairs, batch_format="pyarrow")
+    return pairs if star_ds is None else pairs.union(star_ds)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -457,7 +615,8 @@ def union_find_components(pairs) -> dict:
 
 def minhash_dedup(ds, cfg: MinHashConfig = MinHashConfig(),
                   text_col: str = "text", id_col: str = "doc_id",
-                  verify_jaccard: bool = True, num_partitions: int = 16):
+                  verify_jaccard: bool = True, num_partitions: int = 16,
+                  pair_cap: int = 1024):
     """Full near-dup pipeline, fully distributed. Returns (survivors
     Dataset, labels Dataset[doc_id, component]).
 
@@ -476,7 +635,8 @@ def minhash_dedup(ds, cfg: MinHashConfig = MinHashConfig(),
     )
 
     cand = dedup_pairs(
-        minhash_candidates(ds, cfg, text_col, id_col), num_partitions
+        minhash_candidates(ds, cfg, text_col, id_col, pair_cap=pair_cap),
+        num_partitions,
     )
 
     if verify_jaccard:
@@ -605,12 +765,52 @@ def simhash_dedup(ds, max_hamming: int = 3,
         drop_duplicates,
     )
 
+    import ray
+
+    keys = ["band", "bucket"]
     sigs = _signature_stage(
         ds, SimHasher,
         {"text_col": text_col, "id_col": id_col},
         concurrency=concurrency,
     )
-    buckets = sigs.groupby(["band", "bucket"]).aggregate(
+    sigs, hubs = _split_big_buckets(sigs, keys, id_col=id_col, cap=pair_cap)
+    small = sigs
+    star_ds = None
+    if hubs:
+        keys_ref = ray.put(pa.array(list(hubs.keys()), pa.string()))
+        hubs_ref = ray.put(hubs)
+        hub_sims = _fetch_hub_payloads(sigs, keys, id_col, "simhash",
+                                       keys_ref, hubs_ref)
+        hub_sims_ref = ray.put(hub_sims)
+        small = _drop_big_bucket_rows(sigs, keys, keys_ref)
+
+        def star_verified(b: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+            })
+            got = _big_bucket_rows(b, keys, ray.get(keys_ref),
+                                   ray.get(hubs_ref))
+            if got is None:
+                return empty
+            t, f2, hub_ids = got
+            import pandas as pd
+            hs = ray.get(hub_sims_ref)
+            hub_sim = pd.Series(f2.to_pylist()).map(hs) \
+                .to_numpy(dtype=np.uint64)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            sims = t.column("simhash").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            ham = _popcount64(np.bitwise_xor(sims, hub_sim))
+            m = (ids != hub_ids) & (ham <= max_hamming)
+            return pa.table({
+                "id_a": pa.array(hub_ids[m]),
+                "id_b": pa.array(ids[m].astype(np.int64)),
+            })
+
+        star_ds = sigs.map_batches(star_verified, batch_format="pyarrow")
+
+    buckets = small.groupby(keys).aggregate(
         _collect_list(id_col), _collect_list("simhash")
     )
 
@@ -649,10 +849,10 @@ def simhash_dedup(ds, max_hamming: int = 3,
             "id_b": pa.array(np.concatenate(b_parts)),
         })
 
-    pair_ds = dedup_pairs(
-        buckets.map_batches(verified_pairs, batch_format="pyarrow"),
-        num_partitions,
-    )
+    raw_pairs = buckets.map_batches(verified_pairs, batch_format="pyarrow")
+    if star_ds is not None:
+        raw_pairs = raw_pairs.union(star_ds)
+    pair_ds = dedup_pairs(raw_pairs, num_partitions)
     labels = connected_components(pair_ds, num_partitions)
     survivors = drop_duplicates(ds, labels, id_col, num_partitions)
     return survivors, labels
@@ -707,7 +907,8 @@ def _emit_bucket_pairs(ids, unit, threshold, cap, rng_seed, depth,
 def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     seed: int = 29, n_tables: int = 4,
-                    bucket_cap: int = 4096, num_partitions: int = 16):
+                    bucket_cap: int = 4096, num_partitions: int = 16,
+                    gather_cap: int = 65536):
     """Near-dup over an embedding column, fully distributed: bucket by the
     sign pattern of ``n_planes`` random hyperplanes in ``n_tables``
     independent tables (recall for cosine c per table is (1-θ/π)^n_planes;
@@ -715,7 +916,16 @@ def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
     ``n_tables``), verify cosine within buckets with per-task work capped
     at ``bucket_cap``² (oversized buckets split recursively with extra
     hyperplanes — see ``_emit_bucket_pairs``), then min-label components +
-    anti-join. Returns (survivors Dataset, labels Dataset)."""
+    anti-join. Returns (survivors Dataset, labels Dataset).
+
+    Memory bound: buckets larger than ``gather_cap`` never reach the list
+    gather — they stream per batch as a verified min-id star against the
+    broadcast hub vector (``_split_big_buckets``), capping the reduce-task
+    gather at ``gather_cap`` rows × vector bytes. For a > gather_cap
+    bucket this trades the recursive-split's extra recall for the star
+    (mutually-similar giga-clusters — the realistic cause — link the same
+    component either way); buckets in (bucket_cap, gather_cap] keep the
+    exact recursive behavior."""
     import ray
 
     from connect_smts_ray.ops.components import (
@@ -733,7 +943,7 @@ def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
 
     def explode_buckets(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vectors_to_numpy(batch.column(vec_col))
         parts = []
         for t in range(n_tables):
             signs = (vecs @ pl[t]) > 0
@@ -746,8 +956,52 @@ def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
             }))
         return pa.concat_tables(parts)
 
+    keys = ["table_id", "lsh_bucket"]
     bucketed = ds.map_batches(explode_buckets, batch_format="pyarrow")
-    buckets = bucketed.groupby(["table_id", "lsh_bucket"]).aggregate(
+    bucketed, hubs = _split_big_buckets(bucketed, keys, id_col=id_col,
+                                        cap=gather_cap)
+    small = bucketed
+    star_ds = None
+    if hubs:
+        keys_ref = ray.put(pa.array(list(hubs.keys()), pa.string()))
+        hubs_ref = ray.put(hubs)
+        hub_vecs = _fetch_hub_payloads(bucketed, keys, id_col, vec_col,
+                                       keys_ref, hubs_ref)
+        hub_units = {}
+        for k, v in hub_vecs.items():
+            u = np.asarray(v, dtype=np.float64)
+            nrm = np.linalg.norm(u)
+            hub_units[k] = u / (nrm if nrm else 1.0)
+        hub_units_ref = ray.put(hub_units)
+        small = _drop_big_bucket_rows(bucketed, keys, keys_ref)
+
+        def star_verified(b: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+            })
+            got = _big_bucket_rows(b, keys, ray.get(keys_ref),
+                                   ray.get(hubs_ref))
+            if got is None:
+                return empty
+            t, f2, hub_ids = got
+            hu = ray.get(hub_units_ref)
+            vecs = vectors_to_numpy(t.column(vec_col))
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            units = vecs / norms
+            hmat = np.stack([hu[k] for k in f2.to_pylist()])
+            sims = np.einsum("ij,ij->i", units, hmat)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            m = (ids != hub_ids) & (sims >= threshold)
+            return pa.table({
+                "id_a": pa.array(hub_ids[m]),
+                "id_b": pa.array(ids[m].astype(np.int64)),
+            })
+
+        star_ds = bucketed.map_batches(star_verified, batch_format="pyarrow")
+
+    buckets = small.groupby(keys).aggregate(
         _collect_list(id_col), _collect_list(vec_col)
     )
 
@@ -771,10 +1025,10 @@ def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
             "id_b": pa.array(b, type=pa.int64()),
         })
 
-    pair_ds = dedup_pairs(
-        buckets.map_batches(bucket_pairs, batch_format="pyarrow"),
-        num_partitions,
-    )
+    raw_pairs = buckets.map_batches(bucket_pairs, batch_format="pyarrow")
+    if star_ds is not None:
+        raw_pairs = raw_pairs.union(star_ds)
+    pair_ds = dedup_pairs(raw_pairs, num_partitions)
     labels = connected_components(pair_ds, num_partitions)
     survivors = drop_duplicates(ds, labels, id_col, num_partitions)
     return survivors, labels

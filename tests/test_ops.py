@@ -616,3 +616,96 @@ def test_similarity_join_hot_gram_prefix_filter(ray_session):
     ).as_py() == 0, "hot grams leaked into blocking prefixes"
     # and every unique-tail prefix gram has df == 1 → candidates ≤ n
     assert pfx.num_rows <= all_grams.num_rows
+
+
+def test_lsh_big_bucket_streaming_star_identical_survivors(ray_session):
+    """A bucket whose membership dwarfs pair_cap (every duplicate doc
+    collides in EVERY band) must never pass through the list gather: the
+    big-bucket split streams it as a min-id star. Pinned property: the
+    survivor set is IDENTICAL to the pure-gather run (huge cap), for
+    minhash, simhash and embedding alike, and the split actually triggers
+    (hubs found for the duplicated buckets)."""
+    import ray.data
+
+    from connect_smts_ray.ops.dedup import (
+        MinHashConfig,
+        MinHasher,
+        _signature_stage,
+        _split_big_buckets,
+        embedding_dedup,
+        minhash_dedup,
+        simhash_dedup,
+    )
+
+    n_dup, n_uniq = 200, 60
+    texts = ["identical boilerplate content repeated verbatim in every "
+             "duplicate row of this synthetic corpus"] * n_dup
+    texts += [
+        " ".join(f"unique{i}token{j}" for j in range(14))
+        for i in range(n_uniq)
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    want_ids = [0] + list(range(n_dup, n_dup + n_uniq))
+
+    cfg = MinHashConfig(num_perm=64, bands=16, jaccard_threshold=0.5)
+
+    # the split must actually find the duplicated buckets at the small cap
+    sig = _signature_stage(ds, MinHasher,
+                           {"cfg": cfg, "text_col": "text",
+                            "id_col": "doc_id"})
+    _, hubs = _split_big_buckets(sig, ["band", "band_hash"], "doc_id",
+                                 cap=32)
+    assert len(hubs) >= cfg.bands  # every band's dup bucket is big
+    assert set(hubs.values()) == {0}  # hub is the min id
+
+    for cap in (32, 10_000):
+        surv, _ = minhash_dedup(ds, cfg, pair_cap=cap)
+        assert sorted(r["doc_id"] for r in surv.take_all()) == want_ids, cap
+
+    for cap in (32, 10_000):
+        surv, _ = simhash_dedup(ds, max_hamming=3, pair_cap=cap)
+        got = sorted(r["doc_id"] for r in surv.take_all())
+        assert got == want_ids, ("simhash", cap)
+
+    # embedding: 150 identical vectors + unique ones
+    rng = np.random.RandomState(17)
+    vecs = rng.normal(size=(200, 12))
+    vecs[:150] = vecs[0]
+    et = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    eds = ray.data.from_arrow(et).repartition(5)
+    for gcap in (32, 100_000):
+        surv, _ = embedding_dedup(eds, threshold=0.999, n_planes=8,
+                                  gather_cap=gcap)
+        got = sorted(r["vec_id"] for r in surv.take_all())
+        assert got[0] == 0 and 1 not in got and len(got) == 51, ("emb", gcap)
+
+
+def test_vectors_to_numpy_zero_copy_paths():
+    """Buffer-reshape extraction equals the to_pylist path for every
+    layout the engine sees: list<f32>, list<f64>, fixed_size_list, sliced
+    and chunked arrays; ragged input falls back without corruption."""
+    from connect_smts_ray.ops.similarity import vectors_to_numpy
+
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [7.0, 8.0, 9.0]]
+    for typ in (pa.list_(pa.float32()), pa.list_(pa.float64()),
+                pa.list_(pa.float64(), 3)):
+        arr = pa.array(rows, type=typ)
+        np.testing.assert_allclose(
+            vectors_to_numpy(arr), np.asarray(rows), rtol=1e-6)
+        # slice (non-zero offset) and chunked layouts
+        np.testing.assert_allclose(
+            vectors_to_numpy(arr.slice(1)), np.asarray(rows[1:]), rtol=1e-6)
+        ch = pa.chunked_array([arr.slice(0, 1), arr.slice(1)])
+        np.testing.assert_allclose(
+            vectors_to_numpy(ch), np.asarray(rows), rtol=1e-6)
+    ragged = pa.array([[1.0], [2.0, 3.0]], type=pa.list_(pa.float64()))
+    out = vectors_to_numpy(ragged, dtype=object)
+    assert list(out[0]) == [1.0] and list(out[1]) == [2.0, 3.0]
