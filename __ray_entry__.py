@@ -642,6 +642,36 @@ def q_media_bmp_stats(sf_dir: str):
     )
 
 
+def q_media_png_stats(sf_dir: str):
+    """REAL PNG decode end-to-end: synthesize an 8-bit truecolor PNG per
+    document (pixel values a pure int function of doc_id/x/y/channel; the
+    encoder cycles through all five scanline filters row by row), run it
+    through the real zlib-inflate + unfilter decoder, and emit bit-exact
+    per-channel pixel sums the SQL oracle recomputes from the formula."""
+    from connect_smts_ray.ops.multimodal import DecodePng, encode_png
+
+    def to_png(b: pa.Table) -> pa.Table:
+        payloads = []
+        for d in b.column("doc_id").to_pylist():
+            w, h = 5 + d % 6, 4 + d % 3
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]  # RGB order
+            rgb = ((d + 7 * x + 13 * y + 31 * c) % 256).astype(np.uint8)
+            payloads.append(encode_png(rgb))
+        return pa.table({
+            "media_id": b.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(to_png, batch_format="pyarrow")
+    return ds.map_batches(
+        DecodePng, batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1, batch_size=512,
+    )
+
+
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 neighbors for the first 8 vectors."""
     import pyarrow.parquet as pq
@@ -2063,6 +2093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "sanitize_names": q_sanitize_names,
         "schema_serde": q_schema_serde,
+        # -- new in r4: real PNG codec (never driver-checked) --------------
+        "media_png_stats": q_media_png_stats,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2836,6 +2868,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((doc_id + 7*x + 13*y + 62) % 256) AS BIGINT) AS sum_r,
                    CAST(sum((doc_id + 7*x + 13*y + 31) % 256) AS BIGINT) AS sum_g,
                    CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        """,
+        "media_png_stats": """
+            WITH px AS (
+              SELECT d.doc_id, gx.x, gy.y
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 4 + d.doc_id % 6)) AS x) gx,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 3 + d.doc_id % 3)) AS y) gy
+            )
+            SELECT doc_id AS media_id,
+                   CAST(5 + doc_id % 6 AS BIGINT) AS width,
+                   CAST(4 + doc_id % 3 AS BIGINT) AS height,
+                   CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_r,
+                   CAST(sum((doc_id + 7*x + 13*y + 31) % 256) AS BIGINT) AS sum_g,
+                   CAST(sum((doc_id + 7*x + 13*y + 62) % 256) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id
         """,
         "window_events": """

@@ -13,6 +13,11 @@ Codec status (this container ships no PIL/ffmpeg/torchaudio):
 - ``image/bmp``  — REAL decoder: ``decode_bmp`` parses the
   BITMAPFILEHEADER/BITMAPINFOHEADER, handles 4-byte row padding and
   bottom-up row order, and returns an (h, w, 3) RGB uint8 array.
+- ``image/png``  — REAL codec on stdlib zlib: ``encode_png`` /
+  ``decode_png`` handle chunk CRCs, multi-IDAT streams, and ALL five
+  scanline filters (the encoder cycles through them row by row, so the
+  decoder's unfilter paths are exercised on every round-trip). 8-bit
+  truecolor non-interlaced; other color types raise.
 - video          — still stubbed (no container/codec parser is feasible
   without ffmpeg); ``FrameSample`` keeps the deterministic byte-slice
   stand-in behind ``fake=True`` and raises otherwise.
@@ -168,6 +173,139 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Pack an (h, w, 3) uint8 RGB array into a REAL PNG: 8-bit truecolor
+    (color type 2), zlib-compressed scanlines, CRC-checked chunks. Each
+    row uses filter type ``y % 5`` — deliberately cycling through ALL five
+    spec filters (None/Sub/Up/Average/Paeth) so any decoder consuming our
+    output must implement the full filter set (and ours is exercised by
+    every round-trip test). Forward filtering references the RAW previous
+    row/pixel, so it vectorizes per row."""
+    import zlib
+
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    raw = rgb.reshape(h, w * 3).astype(np.int16)
+    prior = np.zeros(w * 3, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int16), prior[:-3]])
+        ft = y % 5
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = cur - left
+        elif ft == 2:
+            f = cur - prior
+        elif ft == 3:
+            f = cur - (left + prior) // 2
+        else:  # Paeth — vectorized predictor over the raw neighbors
+            p = left + prior - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc_ = np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left,
+                np.where(pb <= pc_, prior, upleft),
+            )
+            f = cur - pred
+        lines.append(bytes([ft]) + (f % 256).astype(np.uint8).tobytes())
+        prior = cur
+    idat = zlib.compress(b"".join(lines), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG parser: chunk walk with CRC verification, multi-IDAT
+    concatenation, zlib inflate, and full scanline unfiltering (all five
+    filter types). Supports 8-bit truecolor (color type 2),
+    non-interlaced — the PNG subset our encoder emits and typical raster
+    exports use; anything else raises. Returns an (h, w, 3) uint8 array.
+
+    Unfiltering: None/Up vectorize whole-row; Sub is a per-lane cumsum
+    (recon[x] = f[x] + recon[x-3] decomposes into 3 independent byte
+    lanes); Average/Paeth are inherently sequential along x (each pixel
+    needs the RECONSTRUCTED left neighbor) and run as per-byte loops."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} "
+            f"interlace={interlace} (8-bit truecolor non-interlaced only)"
+        )
+    stride = w * 3
+    flat = zlib.decompress(b"".join(idat))
+    if len(flat) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    rows = np.frombuffer(flat, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        f = rows[y, 1:].astype(np.int64)
+        prior = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ft == 0:
+            recon = f
+        elif ft == 1:  # Sub: per-lane cumsum mod 256
+            recon = f.copy()
+            for lane in range(3):
+                recon[lane::3] = np.cumsum(f[lane::3]) % 256
+        elif ft == 2:
+            recon = (f + prior) % 256
+        elif ft == 3:
+            recon = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = recon[x - 3] if x >= 3 else 0
+                recon[x] = (f[x] + (left + prior[x]) // 2) % 256
+        elif ft == 4:
+            recon = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = recon[x - 3] if x >= 3 else 0
+                ul = prior[x - 3] if x >= 3 else 0
+                recon[x] = (f[x] + _paeth(int(left), int(prior[x]),
+                                          int(ul))) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = recon.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
 class DecodeWav:
     """Actor stage: WAV payload column → per-row integer audio stats
     (n_samples, sample_rate, sum, sum of squares, zero crossings).
@@ -225,6 +363,32 @@ class DecodeBmp:
         })
 
 
+class DecodePng:
+    """Actor stage: PNG payload column → per-row integer image stats
+    (width, height, per-channel pixel sums) — the PNG twin of DecodeBmp,
+    going through the real inflate + unfilter path."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("width", "height", "sum_r", "sum_g", "sum_b")}
+        for p in batch.column("payload").to_pylist():
+            if p is None:
+                for k in out:
+                    out[k].append(None)
+                continue
+            img = decode_png(p).astype(np.int64)
+            h, w, _ = img.shape
+            sums = img.sum(axis=(0, 1))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sum_r"].append(int(sums[0]))
+            out["sum_g"].append(int(sums[1]))
+            out["sum_b"].append(int(sums[2]))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+        })
+
+
 @dataclass(frozen=True)
 class DecodeConfig:
     feature_dim: int = 32
@@ -259,13 +423,14 @@ class DecodeMedia:
                 s = np.pad(s, (0, d - len(s)))
                 n = d
             return s[:n].reshape(d, -1).mean(axis=1) / 32768.0
-        if mime == "image/bmp":
-            gray = decode_bmp(payload).astype(np.float32).mean(axis=2)
+        if mime in ("image/bmp", "image/png"):
+            dec = decode_bmp if mime == "image/bmp" else decode_png
+            gray = dec(payload).astype(np.float32).mean(axis=2)
             hist, _ = np.histogram(gray, bins=d, range=(0.0, 256.0))
             return hist.astype(np.float32) / max(gray.size, 1)
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment (wav/bmp are real; "
-            "video and compressed images need ffmpeg/PIL)"
+            f"no codec for {mime!r} in this environment (wav/bmp/png are "
+            "real; video and jpeg need ffmpeg/PIL)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

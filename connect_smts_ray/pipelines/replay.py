@@ -183,9 +183,12 @@ def _payload_to_string(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
+def build_event_stream(cfg: ReplayConfig, epoch=None,
+                       source_path: str | None = None) -> "ray.data.Dataset":
     """corpus → binlog events (optionally restricted to one epoch's lsn
-    range) → decrypted, routed, expanded, flattened lake-ready rows."""
+    range) → decrypted, routed, expanded, flattened lake-ready rows.
+    ``source_path`` overrides the corpus file (micro-batch ingestion reads
+    one arriving file at a time; default is the sf_dir documents table)."""
     # Task granularity note: batch_size=None everywhere below makes one task
     # per input BLOCK. This matters because the synth stage amplifies rows
     # events_per_key×: a row-count batch_size would bundle tasks by
@@ -195,8 +198,11 @@ def build_event_stream(cfg: ReplayConfig, epoch=None) -> "ray.data.Dataset":
     # scale Ray's dynamic block splitting caps them at target_max_block_size.
     import pyarrow.parquet as _pq
 
-    n_corpus = _pq.read_metadata(f"{cfg.sf_dir}/documents.parquet").num_rows
-    ds = read_corpus(cfg.sf_dir, num_blocks=cfg.effective_read_blocks(n_corpus))
+    from connect_smts_ray.sources.corpus import read_corpus_file
+
+    src = source_path or f"{cfg.sf_dir}/documents.parquet"
+    n_corpus = _pq.read_metadata(src).num_rows
+    ds = read_corpus_file(src, num_blocks=cfg.effective_read_blocks(n_corpus))
     binlog_cfg = cfg.binlog()
     # Epoch slices are generated, not filtered: synthesize_events(lsn_range)
     # emits only the epoch's lsn span (every column is a pure function of
@@ -289,3 +295,98 @@ def final_state(cfg: ReplayConfig, as_of: int | None = None) -> pa.Table:
     """Lake state at the head, or time-traveled to the end of epoch
     ``as_of`` (exact: the delta log keeps every epoch's bytes)."""
     return read_lake(cfg.upsert(), as_of=as_of)
+
+
+# ---------------------------------------------------------------------------
+# Micro-batch ingestion driver (Kafka Connect's runtime role)
+# ---------------------------------------------------------------------------
+
+def _ledger_path(cfg: ReplayConfig) -> str:
+    import os
+
+    return os.path.join(cfg.lake_dir, "_INGEST_LEDGER.json")
+
+
+def _read_ledger(cfg: ReplayConfig) -> dict:
+    import json
+
+    try:
+        with open(_ledger_path(cfg)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"files": {}}
+
+
+def _write_ledger(cfg: ReplayConfig, ledger: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(cfg.lake_dir, exist_ok=True)
+    tmp = _ledger_path(cfg) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f, sort_keys=True)
+    os.replace(tmp, _ledger_path(cfg))  # rename = the batch's commit point
+
+
+def run_until(cfg: ReplayConfig, watch_dir: str,
+              max_batches: int | None = None, poll_interval: float = 0.25,
+              idle_polls: int = 0, fresh: bool = False) -> list:
+    """Continuous / micro-batch ingestion: tail ``watch_dir`` for corpus
+    parquet files and ingest each NEW file as its own upsert epoch — the
+    long-running-runtime role Kafka Connect plays around the reference's
+    SMTs, expressed as a resume-aware driver loop over the exactly-once
+    sink.
+
+    Exactly-once under crashes, with NO coordination beyond the lake:
+
+    - one file per epoch, files ingested in sorted-name order, so the
+      file→epoch assignment is a pure function of the ledger — a crashed
+      batch re-runs with the SAME epoch number, where already-committed
+      (partition, epoch) manifests turn the rerun into per-partition
+      no-ops (the resume machinery of ``replay`` itself);
+    - the ingestion ledger (``_INGEST_LEDGER.json``, tmp+rename) commits
+      AFTER the epoch's upsert: the crash window between upsert-commit and
+      ledger-commit re-ingests idempotently, never skips;
+    - epoch numbers continue from the ledger across process restarts, so
+      a restarted tailer appends instead of colliding.
+
+    Stops once ``max_batches`` files have been ingested THIS call, or after
+    ``idle_polls`` consecutive empty scans (0 → drain what's there and
+    return; raise it for a long-running tail). Returns the per-batch
+    lineage tables. Final state equals a single-shot replay over the union
+    corpus — LWW is per-key and each key's full event grid lands in one
+    epoch (pinned by test_run_until_tail_reconverges; keys must not
+    straddle files, the per-key analog of Kafka's partition ordering)."""
+    import os
+    import time
+
+    if fresh:
+        shutil.rmtree(cfg.lake_dir, ignore_errors=True)
+    lineage = []
+    ingested = 0
+    idle = 0
+    while True:
+        ledger = _read_ledger(cfg)
+        new = sorted(
+            f for f in os.listdir(watch_dir)
+            if f.endswith(".parquet") and f not in ledger["files"]
+        )
+        if not new:
+            if idle >= idle_polls:
+                return lineage
+            idle += 1
+            time.sleep(poll_interval)
+            continue
+        idle = 0
+        for fname in new:
+            epoch = max(ledger["files"].values(), default=-1) + 1
+            ds = build_event_stream(
+                cfg, epoch=None, source_path=os.path.join(watch_dir, fname)
+            )
+            lin = run_upsert(ds, cfg.upsert(), epoch=epoch)
+            lineage.append(lin.to_pandas())
+            ledger["files"][fname] = epoch
+            _write_ledger(cfg, ledger)
+            ingested += 1
+            if max_batches is not None and ingested >= max_batches:
+                return lineage

@@ -61,6 +61,13 @@ def _documents_to_corpus(batch: pa.Table) -> pa.Table:
 
 def read_corpus(sf_dir: str, num_blocks: int | None = None) -> "ray.data.Dataset":
     """Corpus dataset derived from ``{sf_dir}/documents.parquet``.
+    See ``read_corpus_file`` for the num_blocks contract."""
+    return read_corpus_file(f"{sf_dir}/documents.parquet", num_blocks)
+
+
+def read_corpus_file(path: str, num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Corpus dataset from one documents-shaped parquet file — the unit the
+    micro-batch ingestion driver (pipelines.replay.run_until) tails.
 
     ``num_blocks`` forces the read to split into that many blocks — essential
     on small inputs where a single Parquet file would otherwise produce ONE
@@ -90,7 +97,7 @@ def read_corpus(sf_dir: str, num_blocks: int | None = None) -> "ray.data.Dataset
     from connect_smts_ray.core.arrow import read_parquet_clean
 
     ds = read_parquet_clean(
-        f"{sf_dir}/documents.parquet",
+        path,
         columns=["doc_id", "text", "lang", "source"],
         **kwargs,
     )

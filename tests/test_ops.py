@@ -709,3 +709,38 @@ def test_vectors_to_numpy_zero_copy_paths():
     ragged = pa.array([[1.0], [2.0, 3.0]], type=pa.list_(pa.float64()))
     out = vectors_to_numpy(ragged, dtype=object)
     assert list(out[0]) == [1.0] and list(out[1]) == [2.0, 3.0]
+
+
+def test_png_codec_roundtrip_and_validation():
+    """Real PNG codec: bit-exact round-trip across shapes (the encoder
+    cycles all five scanline filters, so every unfilter path runs), CRC
+    corruption and unsupported color types raise."""
+    import struct
+    import zlib
+
+    from connect_smts_ray.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(41)
+    for h, w in [(1, 1), (2, 3), (5, 5), (7, 11), (16, 4), (6, 1)]:
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_png(encode_png(img)) == img).all(), (h, w)
+    grad = (np.arange(9 * 13 * 3).reshape(9, 13, 3) % 256).astype(np.uint8)
+    assert (decode_png(encode_png(grad)) == grad).all()
+
+    blob = bytearray(encode_png(grad))
+    blob[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM123456")
+
+    # unsupported color type (grayscale) must raise, not mis-decode
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    gray = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(gray)

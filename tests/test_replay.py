@@ -450,3 +450,72 @@ def test_vacuum_retention(ray_session, tmp_path, sf_dir):
 
     assert vacuum(store, retain_epochs=2) == {}  # idempotent no-op
     assert sha(final_state(cfg)) == head_before
+
+
+def test_run_until_tail_reconverges(ray_session, tmp_path, sf_dir):
+    """Micro-batch ingestion driver: corpus files appended between calls
+    reconverge to the same sha256 state as a single-shot replay over the
+    union corpus; a simulated crash in the upsert→ledger window re-ingests
+    idempotently; epoch numbers continue across calls via the ledger."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from connect_smts_ray.pipelines.replay import _ledger_path, run_until
+
+    # split the sf corpus into three arrival files
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    watch = tmp_path / "incoming"
+    os.makedirs(watch)
+    n = docs.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pq.write_table(docs.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       str(watch / f"arrival_{i}.parquet"))
+
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_tail"),
+        events_per_key=6, num_partitions=4, epochs=1,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+
+    # arrival 0 only, then the rest appear before the second call
+    os.rename(watch / "arrival_1.parquet", tmp_path / "a1.hold")
+    os.rename(watch / "arrival_2.parquet", tmp_path / "a2.hold")
+    lin1 = run_until(cfg, str(watch), fresh=True)
+    assert len(lin1) == 1
+    os.rename(tmp_path / "a1.hold", watch / "arrival_1.parquet")
+    os.rename(tmp_path / "a2.hold", watch / "arrival_2.parquet")
+    lin2 = run_until(cfg, str(watch))
+    assert len(lin2) == 2
+
+    ledger = json.load(open(_ledger_path(cfg)))
+    assert ledger["files"] == {
+        "arrival_0.parquet": 0, "arrival_1.parquet": 1,
+        "arrival_2.parquet": 2,
+    }
+
+    # single-shot oracle over the union corpus
+    single = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_single"),
+        events_per_key=6, num_partitions=4, epochs=1,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(single, fresh=True)
+    assert state_digest(final_state(cfg)) == state_digest(final_state(single))
+
+    # crash window: upsert committed but ledger write lost → the file
+    # re-ingests under the SAME epoch and every partition no-ops
+    del ledger["files"]["arrival_2.parquet"]
+    tmp = _ledger_path(cfg) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, _ledger_path(cfg))
+    lin3 = run_until(cfg, str(watch))
+    assert len(lin3) == 1
+    assert bool(lin3[0]["skipped"].all())
+    assert state_digest(final_state(cfg)) == state_digest(final_state(single))
+
+    # nothing new → drain-and-return with no batches
+    assert run_until(cfg, str(watch)) == []
