@@ -672,6 +672,16 @@ def q_media_png_stats(sf_dir: str):
     )
 
 
+def q_funnel_steps(sf_dir: str):
+    """Sequential funnel (view → click → purchase): per user, greedy
+    earliest-first chain matching with strictly-increasing timestamps —
+    K grouped reductions, no per-user scan; output is one row per step."""
+    from connect_smts_ray.ops.relational import funnel_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 neighbors for the first 8 vectors."""
     import pyarrow.parquet as pq
@@ -2044,11 +2054,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Registry order is deliberate: the driver oracles the FIRST 50 entries
     # only (CORRECTNESS_r03 window). The 30 queries added in r3 — from
     # incremental_dedup through regex_extract — had never been driver-checked,
-    # so they lead here; the 20 slots that remain in the window go to the
-    # flagship CDC/replay family and headline dedup/ANN ops. The 30 queries
-    # pushed past the window all have three rounds of green driver history
-    # (CORRECTNESS_r01..r03) and stay covered by tests/test_oracle_parity.py,
-    # which runs the identical rows+schema+hash protocol over ALL entries.
+    # so they lead here; the remaining window slots go to the r4-new
+    # media_png_stats and the flagship CDC/replay + headline dedup/ANN ops.
+    # The 31 queries pushed past the window all have up to three rounds of
+    # green driver history (CORRECTNESS_r01..r03) and stay covered by
+    # tests/test_oracle_parity.py, which runs the identical
+    # rows+schema+hash protocol over ALL entries.
     return {
         # -- never driver-checked before r4 (30) --------------------------
         "incremental_dedup": q_incremental_dedup,
@@ -2093,8 +2104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "sanitize_names": q_sanitize_names,
         "schema_serde": q_schema_serde,
-        # -- new in r4: real PNG codec (never driver-checked) --------------
+        # -- new in r4 (never driver-checked) ------------------------------
         "media_png_stats": q_media_png_stats,
+        "funnel_steps": q_funnel_steps,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2869,6 +2881,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((doc_id + 7*x + 13*y + 31) % 256) AS BIGINT) AS sum_g,
                    CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id
+        """,
+        "funnel_steps": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+            )
+            SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step_type,
+                   (SELECT count(*) FROM s0) AS n_users
+            UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+            UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+            ORDER BY step_index
         """,
         "media_png_stats": """
             WITH px AS (

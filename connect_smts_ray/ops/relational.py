@@ -887,3 +887,74 @@ def value_histogram(ds, value_col: str, bin_width_cents: int = 500,
         }),
         batch_format="pyarrow",
     )
+
+
+def funnel_counts(ds, steps, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  num_partitions: int = 16) -> pa.Table:
+    """Sequential funnel analysis: per user, greedy earliest-first matching
+    of the ordered ``steps`` event types — each next step must occur
+    STRICTLY after the previous step's matched timestamp — and one output
+    row per step with the number of users whose chain reaches it.
+
+    Greedy min-chaining is exact for funnel EXISTENCE (matching the
+    earliest candidate never forecloses a later step), which turns the
+    whole funnel into K grouped reductions with no per-user Python and no
+    ordered scan:
+
+        t_0[u] = min ts over u's step-0 events
+        t_i[u] = min ts over u's step-i events with ts > t_{i-1}[u]
+                 (reduce-side join on user → filter → grouped min)
+
+    Each pass shuffles only that step's (user, ts) rows; the result is K
+    rows built from K scalar counts — nothing else reaches the driver.
+    SQL mirror: K chained min()-CTEs (see the funnel_steps oracle).
+    """
+    from ray.data.aggregate import Min
+
+    from connect_smts_ray.ops.components import hash_join
+
+    def step_events(step_type):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.equal(b.column(type_col), pa.scalar(step_type))
+            t = b.filter(pc.fill_null(keep, False))
+            return pa.table({
+                user_col: t.column(user_col),
+                "__ts": pc.cast(t.column(ts_col), pa.int64()),
+            })
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    prev = None  # Dataset (user_col, __prev)
+    n_users = []
+    for step_type in steps:
+        ev = step_events(step_type)
+        if prev is not None:
+            joined = hash_join(
+                ev, prev, left_on=user_col, right_on=user_col, how="inner",
+                num_partitions=num_partitions,
+                left_schema=pa.schema([(user_col, pa.int64()),
+                                       ("__ts", pa.int64())]),
+                right_schema=pa.schema([(user_col, pa.int64()),
+                                        ("__prev", pa.int64())]),
+            )
+            ev = joined.map_batches(
+                lambda b: b.filter(
+                    pc.greater(b.column("__ts"), b.column("__prev"))
+                ).select([user_col, "__ts"]),
+                batch_format="pyarrow",
+            )
+        cur = ev.groupby(user_col).aggregate(Min("__ts")).map_batches(
+            lambda b: pa.table({
+                user_col: b.column(user_col),
+                "__prev": pc.cast(b.column("min(__ts)"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).materialize()  # consumed twice: count + next pass's join
+        n_users.append(cur.count())
+        prev = cur
+
+    return pa.table({
+        "step_index": pa.array(range(len(steps)), pa.int64()),
+        "step_type": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(n_users, pa.int64()),
+    })

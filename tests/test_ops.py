@@ -744,3 +744,38 @@ def test_png_codec_roundtrip_and_validation():
             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(gray)
+
+
+def test_funnel_counts_strict_ordering(ray_session):
+    """Greedy earliest-first funnel: steps must occur in strictly
+    increasing timestamp order; out-of-order or missing steps stop the
+    chain; the earliest match is always taken (never foreclosing later
+    steps)."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import funnel_counts
+
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: purchase BEFORE its click → reaches click, not purchase
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        # user 3: view only
+        (3, "view", 5),
+        # user 4: click without view → never enters the funnel
+        (4, "click", 1), (4, "purchase", 2),
+        # user 5: greedy earliest view (t=1) still allows click at t=2
+        # (a later view at t=100 would have missed it)
+        (5, "view", 1), (5, "click", 2), (5, "view", 100),
+        # user 6: tie timestamps — strict > means same-ts click not counted
+        (6, "view", 50), (6, "click", 50),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = funnel_counts(ray.data.from_arrow(t).repartition(3),
+                        ["view", "click", "purchase"])
+    got = {r["step_type"]: r["n_users"] for r in out.to_pylist()}
+    assert got == {"view": 5, "click": 3, "purchase": 1}
