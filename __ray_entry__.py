@@ -672,6 +672,71 @@ def q_media_png_stats(sf_dir: str):
     )
 
 
+def _synth_y4m_batch(b: pa.Table) -> pa.Table:
+    """Deterministic Y4M fixture: per doc d, a mono clip of F = 2 + d%3
+    frames at (4 + d%4) × (3 + d%3) with luma[f,y,x] =
+    (d + 5f + 7x + 13y) % 256 — a pure int formula DuckDB regenerates."""
+    from connect_smts_ray.ops.multimodal import encode_y4m
+
+    payloads = []
+    for d in b.column("doc_id").to_pylist():
+        w, h, n = 4 + d % 4, 3 + d % 3, 2 + d % 3
+        f = np.arange(n, dtype=np.int64)[:, None, None]
+        y = np.arange(h, dtype=np.int64)[None, :, None]
+        x = np.arange(w, dtype=np.int64)[None, None, :]
+        luma = ((d + 5 * f + 7 * x + 13 * y) % 256).astype(np.uint8)
+        payloads.append(encode_y4m(luma))
+    return pa.table({
+        "media_id": b.column("doc_id"),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+
+
+def q_media_y4m_stats(sf_dir: str):
+    """REAL video decode: synthesize a YUV4MPEG2 clip per document, parse
+    it with the real Y4M decoder (header tokens, FRAME markers, plane
+    geometry — ``ops/multimodal.py: decode_y4m``) and emit bit-exact
+    integer luma stats over all frames."""
+    from connect_smts_ray.ops.multimodal import DecodeY4m
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(_synth_y4m_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        DecodeY4m, batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1, batch_size=512,
+    )
+
+
+def q_media_y4m_frames(sf_dir: str):
+    """REAL video frame sampling: 2 evenly-spaced frames per clip via
+    random-access Y4M decode (orig frame k = (i*F)//2 — skipped frames
+    are never materialized), then a per-frame luma sum the SQL oracle
+    recomputes from the fixture formula."""
+    from connect_smts_ray.ops.multimodal import FrameSample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(_synth_y4m_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"n_frames": 2, "fake": False},
+        batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1, batch_size=512,
+    )
+
+    def luma_sum(b: pa.Table) -> pa.Table:
+        sums = [
+            int(np.frombuffer(f, dtype=np.uint8).astype(np.int64).sum())
+            for f in b.column("frame").to_pylist()
+        ]
+        return pa.table({
+            "media_id": b.column("media_id"),
+            "frame_index": b.column("frame_index"),
+            "orig_frame": b.column("orig_frame"),
+            "frame_sum": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(luma_sum, batch_format="pyarrow")
+
+
 def q_funnel_steps(sf_dir: str):
     """Sequential funnel (view → click → purchase): per user, greedy
     earliest-first chain matching with strictly-increasing timestamps —
@@ -2107,6 +2172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in r4 (never driver-checked) ------------------------------
         "media_png_stats": q_media_png_stats,
         "funnel_steps": q_funnel_steps,
+        "media_y4m_stats": q_media_y4m_stats,
+        "media_y4m_frames": q_media_y4m_frames,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2902,6 +2969,56 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
             UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
             ORDER BY step_index
+        """,
+        # Real-Y4M-decoder oracles: luma value for doc d, frame f, pixel
+        # (x, y) is (d + 5f + 7x + 13y) % 256 over F = 2 + d%3 frames of
+        # (4 + d%4) × (3 + d%3); the Ray side packs that into a genuine
+        # YUV4MPEG2 stream and re-reads it with the real parser, so
+        # equality proves header/FRAME-marker/plane-geometry handling.
+        "media_y4m_stats": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     (d.doc_id + 5*gf.f + 7*gx.x + 13*gy.y) % 256 AS v
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 1 + d.doc_id % 3)) AS f) gf,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 3 + d.doc_id % 4)) AS x) gx,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 2 + d.doc_id % 3)) AS y) gy
+            )
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 4 AS BIGINT) AS width,
+                   CAST(3 + doc_id % 3 AS BIGINT) AS height,
+                   CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+                   CAST(sum(v) AS BIGINT) AS sum_luma,
+                   CAST(sum(v * v) AS BIGINT) AS sum_luma_sq
+            FROM px GROUP BY doc_id
+        """,
+        # Evenly-spaced sampling rule: sampled slot i (0,1) maps to
+        # original frame k = (i * F) // 2 — integer floor division, the
+        # same arithmetic FrameSample uses for random access.
+        "media_y4m_frames": """
+            WITH samp AS (
+              SELECT d.doc_id, gi.i,
+                     (gi.i * (2 + d.doc_id % 3)) // 2 AS k
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(0, 1)) AS i) gi
+            ),
+            px AS (
+              SELECT s.doc_id, s.i, s.k,
+                     (s.doc_id + 5*s.k + 7*gx.x + 13*gy.y) % 256 AS v
+              FROM samp s,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 3 + s.doc_id % 4)) AS x) gx,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 2 + s.doc_id % 3)) AS y) gy
+            )
+            SELECT doc_id AS media_id,
+                   CAST(i AS INTEGER) AS frame_index,
+                   CAST(k AS INTEGER) AS orig_frame,
+                   CAST(sum(v) AS BIGINT) AS frame_sum
+            FROM px GROUP BY doc_id, i, k
         """,
         "media_png_stats": """
             WITH px AS (

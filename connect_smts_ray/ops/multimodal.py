@@ -18,9 +18,18 @@ Codec status (this container ships no PIL/ffmpeg/torchaudio):
   scanline filters (the encoder cycles through them row by row, so the
   decoder's unfilter paths are exercised on every round-trip). 8-bit
   truecolor non-interlaced; other color types raise.
-- video          — still stubbed (no container/codec parser is feasible
-  without ffmpeg); ``FrameSample`` keeps the deterministic byte-slice
-  stand-in behind ``fake=True`` and raises otherwise.
+- ``video/x-y4m`` — REAL codec: ``encode_y4m`` / ``decode_y4m`` speak
+  YUV4MPEG2 (the uncompressed interchange format mjpegtools/ffmpeg use):
+  tokenized stream header (W/H/F/I/A/C), per-frame ``FRAME`` markers with
+  optional parameters, and raw planes for C444 / C420 (2×2 chroma
+  subsampling) / Cmono. ``decode_y4m_frame`` gives O(1) random access to
+  frame k (frames are fixed-size once the header is parsed), which is
+  what makes distributed frame *sampling* cheap: a sampler never inflates
+  the frames it skips. Compressed containers (mp4/h264) still need
+  ffmpeg and raise.
+- ``FrameSample`` samples REAL evenly-spaced Y4M frames when
+  ``fake=False``; the deterministic byte-slice stand-in stays available
+  behind ``fake=True`` for opaque containers.
 
 Batch-size note: binary payloads dominate block size — run these stages
 with a small ``batch_size`` (e.g. 64–256) and let ``target_max_block_size``
@@ -306,6 +315,184 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------------------
+# Real video codec: YUV4MPEG2 ("Y4M") — uncompressed interchange format
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _y4m_plane_sizes(w: int, h: int, colorspace: str) -> list[tuple[int, int]]:
+    """(width, height) of each plane per frame for the supported spaces."""
+    if colorspace.startswith("C420"):  # C420, C420jpeg, C420mpeg2, C420paldv
+        return [(w, h), (w // 2, h // 2), (w // 2, h // 2)]
+    if colorspace == "C444":
+        return [(w, h), (w, h), (w, h)]
+    if colorspace == "Cmono":
+        return [(w, h)]
+    raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+
+
+def encode_y4m(
+    frames: np.ndarray,
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str | None = None,
+) -> bytes:
+    """Pack frames into a spec-conformant YUV4MPEG2 stream.
+
+    ``frames`` is ``(n, h, w)`` uint8 (mono → ``Cmono``) or ``(n, h, w, 3)``
+    uint8 YUV (→ ``C444``). Each frame is emitted as a ``FRAME\\n`` marker
+    followed by the raw planes (Y, then U/V when present)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        colorspace = colorspace or "Cmono"
+        if colorspace != "Cmono":
+            raise ValueError("mono frames require Cmono")
+    elif frames.ndim == 4 and frames.shape[3] == 3:
+        colorspace = colorspace or "C444"
+        if colorspace != "C444":
+            raise ValueError("(n,h,w,3) frames require C444")
+    else:
+        raise ValueError(f"bad frame array shape {frames.shape}")
+    n, h, w = frames.shape[:3]
+    header = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    ).encode()
+    parts = [header]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        if colorspace == "Cmono":
+            parts.append(frames[f].tobytes())
+        else:  # C444: planar, not interleaved
+            parts.append(np.ascontiguousarray(
+                frames[f].transpose(2, 0, 1)).tobytes())
+    return b"".join(parts)
+
+
+def _y4m_parse_header(payload: bytes) -> tuple[dict, int]:
+    """Parse the stream header line → (params dict, offset past newline)."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    params: dict = {"C": "C420jpeg"}  # spec default when no C tag
+    for tok in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode()
+        if tag == "W":
+            params["W"] = int(val)
+        elif tag == "H":
+            params["H"] = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            params["F"] = (int(num), int(den))
+        elif tag == "C":
+            params["C"] = "C" + val
+        else:  # I/A/X — parsed, not needed for decode
+            params[tag] = val
+    if "W" not in params or "H" not in params:
+        raise ValueError("Y4M header missing W/H")
+    return params, nl + 1
+
+
+def _y4m_frame_offsets(payload: bytes, pos: int, frame_size: int) -> list[int]:
+    """Walk FRAME markers → list of plane-data offsets. Each marker is
+    ``FRAME[ params]\\n``; frame data is fixed-size so the walk is O(n)
+    header scans, no plane copies."""
+    offsets = []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        nl = payload.find(b"\n", pos + 5)
+        if nl < 0:
+            raise ValueError("truncated FRAME header")
+        data_at = nl + 1
+        if data_at + frame_size > len(payload):
+            raise ValueError("truncated Y4M frame data")
+        offsets.append(data_at)
+        pos = data_at + frame_size
+    return offsets
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """REAL YUV4MPEG2 parser. Returns ``{"width", "height", "fps",
+    "colorspace", "n_frames", "frames"}`` where ``frames`` is a list of
+    per-frame plane tuples (each plane a 2-D uint8 array, zero-copy views
+    into the payload buffer)."""
+    params, pos = _y4m_parse_header(payload)
+    w, h, cs = params["W"], params["H"], params["C"]
+    planes = _y4m_plane_sizes(w, h, cs)
+    frame_size = sum(pw * ph for pw, ph in planes)
+    offsets = _y4m_frame_offsets(payload, pos, frame_size)
+    frames = []
+    for off in offsets:
+        frame, cur = [], off
+        for pw, ph in planes:
+            plane = np.frombuffer(payload, dtype=np.uint8,
+                                  count=pw * ph, offset=cur).reshape(ph, pw)
+            frame.append(plane)
+            cur += pw * ph
+        frames.append(tuple(frame))
+    return {
+        "width": w, "height": h, "fps": params.get("F", (25, 1)),
+        "colorspace": cs, "n_frames": len(offsets), "frames": frames,
+    }
+
+
+def decode_y4m_frame(payload: bytes, k: int) -> tuple[np.ndarray, ...]:
+    """Random-access decode of frame ``k`` — walks only the fixed-size
+    FRAME headers (no plane reads for skipped frames), so sampling s of n
+    frames costs O(n) marker scans + O(s) plane views, not O(n) decodes."""
+    params, pos = _y4m_parse_header(payload)
+    w, h, cs = params["W"], params["H"], params["C"]
+    planes = _y4m_plane_sizes(w, h, cs)
+    frame_size = sum(pw * ph for pw, ph in planes)
+    idx = 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        nl = payload.find(b"\n", pos + 5)
+        data_at = nl + 1
+        if idx == k:
+            out, cur = [], data_at
+            for pw, ph in planes:
+                out.append(np.frombuffer(
+                    payload, dtype=np.uint8, count=pw * ph, offset=cur
+                ).reshape(ph, pw))
+                cur += pw * ph
+            return tuple(out)
+        idx += 1
+        pos = data_at + frame_size
+    raise IndexError(f"frame {k} out of range ({idx} frames)")
+
+
+class DecodeY4m:
+    """Actor stage: Y4M payload column → per-row integer video stats
+    (width, height, n_frames, luma sum / sum-of-squares over ALL frames).
+    Integer outputs keep the stats bit-exact for the SQL oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in (
+            "width", "height", "n_frames", "sum_luma", "sum_luma_sq",
+        )}
+        for p in batch.column("payload").to_pylist():
+            if p is None:
+                for k in out:
+                    out[k].append(None)
+                continue
+            d = decode_y4m(p)
+            luma = np.stack([f[0] for f in d["frames"]]).astype(np.int64)
+            out["width"].append(d["width"])
+            out["height"].append(d["height"])
+            out["n_frames"].append(d["n_frames"])
+            out["sum_luma"].append(int(luma.sum()))
+            out["sum_luma_sq"].append(int((luma * luma).sum()))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+        })
+
+
 class DecodeWav:
     """Actor stage: WAV payload column → per-row integer audio stats
     (n_samples, sample_rate, sum, sum of squares, zero crossings).
@@ -400,10 +587,12 @@ class DecodeMedia:
 
     Non-fake path dispatches by the ``mime`` column to the REAL codecs
     above: ``audio/wav`` → mean-pooled |PCM| envelope (feature_dim bins),
-    ``image/bmp`` → feature_dim-bin grayscale histogram. Anything else
-    (video, png/jpeg — no parser without external libs) raises
-    ``NotImplementedError``. ``fake=True`` keeps the blake2b stand-in for
-    payloads with no parseable container (plumbing tests/benches).
+    ``image/bmp`` / ``image/png`` → feature_dim-bin grayscale histogram,
+    ``video/x-y4m`` → feature_dim-bin luma histogram over all frames.
+    Compressed containers (mp4/h264, jpeg — no parser without external
+    libs) raise ``NotImplementedError``. ``fake=True`` keeps the blake2b
+    stand-in for payloads with no parseable container (plumbing
+    tests/benches).
     """
 
     def __init__(self, config: DecodeConfig = DecodeConfig()):
@@ -428,9 +617,15 @@ class DecodeMedia:
             gray = dec(payload).astype(np.float32).mean(axis=2)
             hist, _ = np.histogram(gray, bins=d, range=(0.0, 256.0))
             return hist.astype(np.float32) / max(gray.size, 1)
+        if mime == "video/x-y4m":
+            luma = np.concatenate([
+                f[0].ravel() for f in decode_y4m(payload)["frames"]
+            ])
+            hist, _ = np.histogram(luma, bins=d, range=(0.0, 256.0))
+            return hist.astype(np.float32) / max(luma.size, 1)
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment (wav/bmp/png are "
-            "real; video and jpeg need ffmpeg/PIL)"
+            f"no codec for {mime!r} in this environment (wav/bmp/png/y4m "
+            "are real; compressed video and jpeg need ffmpeg/PIL)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -454,33 +649,59 @@ class DecodeMedia:
 
 
 class FrameSample:
-    """Actor stage: sample ``n_frames`` pseudo-frames per video payload —
-    emits one row per frame (flat_map-shaped output). STUB: frame bytes are
-    deterministic slices of the payload."""
+    """Actor stage: sample ``n_frames`` frames per video payload — emits
+    one row per frame (flat_map-shaped output).
+
+    ``fake=False`` (REAL): payloads are YUV4MPEG2; samples evenly-spaced
+    frames ``orig = floor(i * F / n)`` for ``i in 0..n-1`` (clamped to F
+    when the clip is shorter), emitting the raw luma plane bytes plus the
+    original frame number. Random access via ``decode_y4m_frame`` means
+    skipped frames are never materialized — the property that matters
+    when the payload is minutes of video and the sampler wants 4 frames.
+
+    ``fake=True``: deterministic byte-slice stand-in for opaque
+    containers (mp4/h264) this environment cannot parse."""
 
     def __init__(self, n_frames: int = 4, fake: bool = True):
         self.n_frames = n_frames
         self.fake = fake
 
+    def _rows_fake(self, mid, p, ids, fidx, orig, frames):
+        step = max(1, len(p) // self.n_frames)
+        for f in range(self.n_frames):
+            ids.append(mid)
+            fidx.append(f)
+            orig.append(f)
+            frames.append(p[f * step : (f + 1) * step])
+
+    def _rows_real(self, mid, p, ids, fidx, orig, frames):
+        params, pos = _y4m_parse_header(p)
+        planes = _y4m_plane_sizes(params["W"], params["H"], params["C"])
+        frame_size = sum(pw * ph for pw, ph in planes)
+        total = len(_y4m_frame_offsets(p, pos, frame_size))
+        n = min(self.n_frames, total)
+        for i in range(n):
+            k = (i * total) // n
+            ids.append(mid)
+            fidx.append(i)
+            orig.append(k)
+            frames.append(decode_y4m_frame(p, k)[0].tobytes())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("No video codec in this environment.")
-        ids, frames, fidx = [], [], []
+        ids, fidx, orig, frames = [], [], [], []
+        emit = self._rows_fake if self.fake else self._rows_real
         for mid, p in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
             if p is None:
                 continue
-            step = max(1, len(p) // self.n_frames)
-            for f in range(self.n_frames):
-                ids.append(mid)
-                fidx.append(f)
-                frames.append(p[f * step : (f + 1) * step])
+            emit(mid, p, ids, fidx, orig, frames)
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
                 "frame_index": pa.array(fidx, type=pa.int32()),
+                "orig_frame": pa.array(orig, type=pa.int32()),
                 "frame": pa.array(frames, type=pa.binary()),
             }
         )

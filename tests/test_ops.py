@@ -746,6 +746,92 @@ def test_png_codec_roundtrip_and_validation():
         decode_png(gray)
 
 
+def test_y4m_codec_roundtrip_and_random_access():
+    """Real YUV4MPEG2 codec: mono and C444 round-trips are bit-exact,
+    decode_y4m_frame(k) matches full-decode frame k without touching the
+    others, C420 plane geometry parses, and malformed streams raise."""
+    from connect_smts_ray.ops.multimodal import (
+        decode_y4m,
+        decode_y4m_frame,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(43)
+    # mono round-trip across shapes
+    for n, h, w in [(1, 1, 1), (3, 4, 5), (5, 2, 7)]:
+        frames = rng.randint(0, 256, size=(n, h, w)).astype(np.uint8)
+        d = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, n)
+        assert d["colorspace"] == "Cmono" and d["fps"] == (30, 1)
+        for f in range(n):
+            assert (d["frames"][f][0] == frames[f]).all()
+            assert (decode_y4m_frame(encode_y4m(frames), f)[0]
+                    == frames[f]).all()
+
+    # C444 round-trip: three full-size planes in Y,U,V order
+    yuv = rng.randint(0, 256, size=(2, 3, 4, 3)).astype(np.uint8)
+    d = decode_y4m(encode_y4m(yuv))
+    assert d["colorspace"] == "C444" and len(d["frames"][0]) == 3
+    for f in range(2):
+        for p in range(3):
+            assert (d["frames"][f][p] == yuv[f, :, :, p]).all()
+
+    # C420: hand-built stream (encoder is mono/444-only); subsampled
+    # chroma planes must parse with quarter-size geometry
+    y = bytes(range(16))          # 4x4 luma
+    u, v = bytes([7] * 4), bytes([9] * 4)  # 2x2 chroma
+    payload = (b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n"
+               + b"FRAME\n" + y + u + v)
+    d = decode_y4m(payload)
+    assert d["frames"][0][0].shape == (4, 4)
+    assert d["frames"][0][1].shape == (2, 2)
+    assert d["frames"][0][2].shape == (2, 2)
+    assert d["frames"][0][1][0, 0] == 7 and d["frames"][0][2][1, 1] == 9
+
+    # per-frame parameters after the FRAME marker are tolerated
+    payload2 = (b"YUV4MPEG2 W2 H1 Cmono\n"
+                + b"FRAME Xtag=1\n" + bytes([5, 6])
+                + b"FRAME\n" + bytes([7, 8]))
+    d2 = decode_y4m(payload2)
+    assert d2["n_frames"] == 2 and (d2["frames"][1][0] == [[7, 8]]).all()
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF1234WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n" + bytes(8))
+    with pytest.raises(IndexError):
+        decode_y4m_frame(encode_y4m(rng.randint(
+            0, 256, size=(2, 2, 2)).astype(np.uint8)), 5)
+
+
+def test_frame_sample_real_y4m(ray_session):
+    """FrameSample(fake=False) samples evenly-spaced REAL frames: with
+    n_frames=2 over a 4-frame clip it picks orig frames 0 and 2, and the
+    emitted bytes are the exact luma planes."""
+    import ray.data
+
+    from connect_smts_ray.ops.multimodal import FrameSample, encode_y4m
+
+    frames = (np.arange(4 * 2 * 3).reshape(4, 2, 3) % 256).astype(np.uint8)
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([encode_y4m(frames)], pa.binary()),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        FrameSample, fn_constructor_kwargs={"n_frames": 2, "fake": False},
+        batch_format="pyarrow", concurrency=1, num_cpus=0.5,
+    ).take_all()
+    assert [(r["frame_index"], r["orig_frame"]) for r in out] == \
+        [(0, 0), (1, 2)]
+    assert out[0]["frame"] == frames[0].tobytes()
+    assert out[1]["frame"] == frames[2].tobytes()
+
+    # clip shorter than requested sample count: one row per real frame
+    short = FrameSample(n_frames=8, fake=False)(t)
+    assert short.num_rows == 4
+    assert short.column("orig_frame").to_pylist() == [0, 1, 2, 3]
+
+
 def test_funnel_counts_strict_ordering(ray_session):
     """Greedy earliest-first funnel: steps must occur in strictly
     increasing timestamp order; out-of-order or missing steps stop the
