@@ -147,6 +147,32 @@ def q_cdc_replay(sf_dir: str):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
+def q_cdc_snapshot_tail(sf_dir: str):
+    """Debezium-style bootstrap: consistent table SNAPSHOT at lsn 3
+    (read from the source table — no log before the snapshot point is
+    synthesized, modeling a purged binlog), then the event TAIL (lsn 3..6)
+    through the full transform chain. Final state must equal a
+    full-history replay, so the oracle is the same pure-SQL LWW
+    reconstruction cdc_replay uses."""
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        final_state,
+        snapshot_then_tail,
+    )
+
+    lake = tempfile.mkdtemp(prefix="csr_lake_snap_")
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=lake, events_per_key=6, num_partitions=8,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    snapshot_then_tail(cfg, snapshot_lsn=3, fresh=True)
+    out = final_state(cfg)
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.select(
+        ["repo", "path", "commit", "lang", "content", "version", "commit_lsn"]
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
 def q_expand_json_events(sf_dir: str):
     """ExpandJson over events.props (io.debezium.data.Json analog) →
     flattened typed column."""
@@ -2174,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_steps": q_funnel_steps,
         "media_y4m_stats": q_media_y4m_stats,
         "media_y4m_frames": q_media_y4m_frames,
+        "cdc_snapshot_tail": q_cdc_snapshot_tail,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2671,6 +2698,9 @@ def oracle_sql() -> dict[str, str]:
         # tag — reconstructs in DuckDB SQL (crypto cancels: encrypt∘decrypt
         # = id, pinned separately by encrypt_roundtrip + golden JWE tests).
         "cdc_replay": _replay_final_state_sql(events_per_key=6, seed=42),
+        # snapshot-then-tail reconverges to the identical final state, so
+        # the full-history LWW reconstruction is its oracle too
+        "cdc_snapshot_tail": _replay_final_state_sql(events_per_key=6, seed=42),
         # The resumed replay must converge to the SAME final state as the
         # single-shot one (manifest no-op replays) — identical oracle.
         "cdc_replay_resume": _replay_final_state_sql(events_per_key=6, seed=42),

@@ -184,11 +184,14 @@ def _payload_to_string(batch: pa.Table) -> pa.Table:
 
 
 def build_event_stream(cfg: ReplayConfig, epoch=None,
-                       source_path: str | None = None) -> "ray.data.Dataset":
+                       source_path: str | None = None,
+                       lsn_range: tuple | None = None) -> "ray.data.Dataset":
     """corpus → binlog events (optionally restricted to one epoch's lsn
     range) → decrypted, routed, expanded, flattened lake-ready rows.
     ``source_path`` overrides the corpus file (micro-batch ingestion reads
-    one arriving file at a time; default is the sf_dir documents table)."""
+    one arriving file at a time; default is the sf_dir documents table).
+    ``lsn_range`` overrides the epoch-derived slice (snapshot_then_tail
+    streams only the post-snapshot suffix)."""
     # Task granularity note: batch_size=None everywhere below makes one task
     # per input BLOCK. This matters because the synth stage amplifies rows
     # events_per_key×: a row-count batch_size would bundle tasks by
@@ -209,7 +212,8 @@ def build_event_stream(cfg: ReplayConfig, epoch=None,
     # the event index, so the slice is byte-identical to filtering the full
     # stream) — an E-epoch replay synthesizes each event once total instead
     # of E times (VERDICT r02 #4; equality pinned in tests/test_replay.py).
-    lsn_range = cfg.epoch_lsn_range(epoch) if epoch is not None else None
+    if lsn_range is None:
+        lsn_range = cfg.epoch_lsn_range(epoch) if epoch is not None else None
     ds = ds.map_batches(
         lambda b: synthesize_events(b, binlog_cfg, lsn_range=lsn_range),
         batch_format="pyarrow",
@@ -288,6 +292,48 @@ def replay(cfg: ReplayConfig, fresh: bool = False) -> list:
         ds = build_event_stream(cfg, epoch=epoch if cfg.epochs > 1 else None)
         lin = run_upsert(ds, cfg.upsert(), epoch=epoch)
         lineage.append(lin.to_pandas())
+    return lineage
+
+
+def snapshot_then_tail(cfg: ReplayConfig, snapshot_lsn: int,
+                       fresh: bool = False) -> list:
+    """Debezium-style bootstrap: consistent initial SNAPSHOT of the source
+    table at ``snapshot_lsn`` (epoch 0), then the binlog TAIL of events
+    with ``commit_lsn >= snapshot_lsn`` (epoch 1) — reconverging to the
+    exact same final state as a full-history replay, without needing any
+    log before the snapshot point (the "binlog was purged" reality every
+    real CDC deployment bootstraps from).
+
+    Why it reconverges (pinned in tests/test_replay.py): snapshot rows
+    carry their winner's lsn < snapshot_lsn, so every tail event for the
+    same key beats them under LWW; a key whose overall winner predates the
+    snapshot receives only dropped tombstones in the tail, and its
+    snapshot row — already the final state — survives untouched.
+
+    Both phases commit through the same (partition, epoch) manifests, so
+    the bootstrap is exactly-once and resumable: a crashed/duplicated
+    snapshot or tail re-run is a per-partition no-op."""
+    if fresh:
+        shutil.rmtree(cfg.lake_dir, ignore_errors=True)
+    import pyarrow.parquet as _pq
+
+    from connect_smts_ray.sources.binlog import synthesize_snapshot
+    from connect_smts_ray.sources.corpus import read_corpus_file
+
+    src = f"{cfg.sf_dir}/documents.parquet"
+    n_corpus = _pq.read_metadata(src).num_rows
+    snap = read_corpus_file(src, num_blocks=cfg.effective_read_blocks(n_corpus))
+    binlog_cfg = cfg.binlog()
+    snap = snap.map_batches(
+        lambda b: synthesize_snapshot(b, binlog_cfg, snapshot_lsn),
+        batch_format="pyarrow", batch_size=None,
+    )
+    lineage = [run_upsert(snap, cfg.upsert(), epoch=0).to_pandas()]
+    if snapshot_lsn < cfg.events_per_key:
+        tail = build_event_stream(
+            cfg, lsn_range=(snapshot_lsn, cfg.events_per_key)
+        )
+        lineage.append(run_upsert(tail, cfg.upsert(), epoch=1).to_pandas())
     return lineage
 
 

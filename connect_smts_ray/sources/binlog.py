@@ -183,6 +183,85 @@ def synthesize_events(batch: pa.Table, cfg: BinlogConfig,
     )
 
 
+def synthesize_snapshot(batch: pa.Table, cfg: BinlogConfig,
+                        snapshot_lsn: int) -> pa.Table:
+    """Source-TABLE state at ``snapshot_lsn``, emitted directly as
+    lake-shaped rows — the Debezium initial-snapshot phase. A snapshot
+    reads the table, not the log, so bootstrap works even when the binlog
+    before ``snapshot_lsn`` is purged; the tail then streams only events
+    with ``commit_lsn >= snapshot_lsn`` (pipelines/replay.py:
+    snapshot_then_tail).
+
+    State at L = LWW over events with ``commit_lsn < L``: per key the
+    winner is the max-lsn non-tombstone event ('t' never mutates the
+    table); a winning delete means the key is absent from the snapshot.
+    Snapshot rows carry the WINNER's ``commit_lsn``/``source_offset``
+    (what Debezium's snapshot offset records), so any tail event for the
+    same key — all at lsn ≥ L > winner — beats it under the sink's LWW
+    merge, and replaying the tail twice stays idempotent.
+
+    Vectorized like ``synthesize_events``: the op-code grid is pure numpy
+    over (rows × L); only the surviving rows' content re-derivation is a
+    per-key Python step (one call per LIVE key, not per event).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    L = min(max(snapshot_lsn, 0), cfg.events_per_key)
+    lake_schema = pa.schema([
+        ("repo", pa.string()), ("path", pa.string()),
+        ("commit_lsn", pa.int64()), ("source_offset", pa.int64()),
+        ("is_tombstone", pa.bool_()), ("commit", pa.string()),
+        ("lang", pa.string()), ("content", pa.string()),
+        ("version", pa.int32()),
+    ])
+    if n == 0 or L == 0:  # empty table before the first insert
+        return lake_schema.empty_table()
+
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    ks = np.fromiter(
+        (key_seed(r, p, cfg.seed) for r, p in zip(repos, paths)),
+        dtype=np.uint64, count=n,
+    )
+    i_row = np.arange(L, dtype=np.uint64)
+    rand = (
+        ks[:, None] * np.uint64(2654435761) + i_row[None, :] * np.uint64(40503)
+    ) & np.uint64(0xFFFFFFFF)
+    bucket = (rand % np.uint64(100)).astype(np.int16)
+    code = np.where(bucket < 70, 1, np.where(bucket < 85, 2, 3)).astype(np.int8)
+    code[:, 0] = 0  # event 0 is always the insert
+
+    mutating = code <= 2  # c/u/d touch the table; 't' does not
+    win = (L - 1) - np.argmax(mutating[:, ::-1], axis=1)
+    wcode = code[np.arange(n), win]
+    live = wcode != 2  # winning delete → absent from the snapshot
+
+    idx = np.nonzero(live)[0]
+    win_l = win[idx].astype(np.int64)
+    version = np.where(wcode[idx] == 0, 0, win_l).astype(np.int64)
+    soff = ((ks[idx].astype(np.int64) & 0x7FFFFFFFFFFF) << 16) | win_l
+
+    contents = batch.column("content").take(pa.array(idx)).to_pylist()
+    snap_content = [
+        content_version(c, repos[r], paths[r], int(v))
+        for c, r, v in zip(contents, idx, version)
+    ]
+    take = pa.array(idx)
+    return pa.table({
+        "repo": pc.cast(batch.column("repo").take(take), pa.string()),
+        "path": pc.cast(batch.column("path").take(take), pa.string()),
+        "commit_lsn": pa.array(win_l, type=pa.int64()),
+        "source_offset": pa.array(soff, type=pa.int64()),
+        "is_tombstone": pa.array(np.zeros(len(idx), dtype=bool)),
+        "commit": pc.cast(batch.column("commit").take(take), pa.string()),
+        "lang": pc.cast(batch.column("lang").take(take), pa.string()),
+        "content": pa.array(snap_content, type=pa.string()),
+        "version": pa.array(version.astype(np.int32), type=pa.int32()),
+    })
+
+
 class SynthesizeBinlog:
     """map_batches callable: corpus → event stream."""
 

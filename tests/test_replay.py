@@ -519,3 +519,70 @@ def test_run_until_tail_reconverges(ray_session, tmp_path, sf_dir):
 
     # nothing new → drain-and-return with no batches
     assert run_until(cfg, str(watch)) == []
+
+
+def test_snapshot_then_tail_reconverges(ray_session, tmp_path, sf_dir):
+    """Debezium-style bootstrap: initial table snapshot at LSN L, then the
+    binlog tail (events with lsn >= L) — sha256-identical to a full-history
+    replay for L at the boundaries and mid-stream; tail re-run no-ops."""
+    from connect_smts_ray.pipelines.replay import snapshot_then_tail
+    from connect_smts_ray.sinks.upsert import run_upsert
+
+    single = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_full"),
+        events_per_key=6, num_partitions=4,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(single, fresh=True)
+    want = state_digest(final_state(single))
+
+    for lsn in (0, 3, 6):  # no snapshot / mid-stream / snapshot-only
+        cfg = ReplayConfig(
+            sf_dir=sf_dir, lake_dir=str(tmp_path / f"lake_snap{lsn}"),
+            events_per_key=6, num_partitions=4,
+            expand_concurrency=2, crypto_concurrency=2,
+        )
+        lineage = snapshot_then_tail(cfg, snapshot_lsn=lsn, fresh=True)
+        assert state_digest(final_state(cfg)) == want, f"L={lsn}"
+        assert len(lineage) == (1 if lsn == 6 else 2)
+
+    # exactly-once: re-running the tail epoch is a per-partition no-op
+    cfg3 = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=str(tmp_path / "lake_snap3"),
+        events_per_key=6, num_partitions=4,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    tail = build_event_stream(cfg3, lsn_range=(3, 6))
+    lin = run_upsert(tail, cfg3.upsert(), epoch=1).to_pandas()
+    assert bool(lin["skipped"].all())
+    assert state_digest(final_state(cfg3)) == want
+
+
+def test_synthesize_snapshot_matches_prefix_oracle(sf_dir):
+    """The vectorized snapshot generator equals the pure-Python LWW oracle
+    restricted to events with lsn < L, for every L."""
+    from connect_smts_ray.sources.binlog import synthesize_snapshot
+
+    corpus = corpus_table(sf_dir).slice(0, 40)
+    K = 6
+    for L in range(0, K + 1):
+        snap = synthesize_snapshot(corpus, BinlogConfig(events_per_key=K), L)
+        want = (
+            expected_final_state(corpus, BinlogConfig(events_per_key=L))
+            if L else {}
+        )
+        got = {
+            (r, p): (c, lsn, v)
+            for r, p, c, lsn, v in zip(
+                snap.column("repo").to_pylist(),
+                snap.column("path").to_pylist(),
+                snap.column("content").to_pylist(),
+                snap.column("commit_lsn").to_pylist(),
+                snap.column("version").to_pylist(),
+            )
+        }
+        assert got == {
+            k: (v["content"], v["commit_lsn"], v["version"])
+            for k, v in want.items()
+        }, f"L={L}"
+        assert not snap.column("is_tombstone").to_pylist().count(True)
