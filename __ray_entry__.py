@@ -763,6 +763,42 @@ def q_media_y4m_frames(sf_dir: str):
     return ds.map_batches(luma_sum, batch_format="pyarrow")
 
 
+def q_pagerank_orders(sf_dir: str):
+    """Distributed fixed-point PageRank (3 rounds) over the order→part
+    bipartite-ish digraph derived from lineitem (keys folded mod 500 so
+    the graph has real in/out-degree structure). Integer mass units make
+    the ranks bit-exact against the chained-CTE SQL oracle."""
+    from connect_smts_ray.ops.graph import pagerank
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        src = b.column("l_orderkey").combine_chunks().to_numpy() % 500
+        dst = b.column("l_partkey").combine_chunks().to_numpy() % 500
+        # fused key for the pair-distinct groupby downstream
+        return pa.table({
+            "pair": pa.array(src * 500 + dst, type=pa.int64()),
+        })
+
+    edges = (
+        ds.map_batches(to_edges, batch_format="pyarrow")
+        .groupby("pair").count()
+        .map_batches(
+            lambda b: pa.table({
+                "src": pa.array(
+                    b.column("pair").combine_chunks().to_numpy() // 500,
+                    type=pa.int64()),
+                "dst": pa.array(
+                    b.column("pair").combine_chunks().to_numpy() % 500,
+                    type=pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    out = pagerank(edges, iterations=3)
+    return out.sort("node")
+
+
 def q_funnel_steps(sf_dir: str):
     """Sequential funnel (view → click → purchase): per user, greedy
     earliest-first chain matching with strictly-increasing timestamps —
@@ -2201,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_y4m_stats": q_media_y4m_stats,
         "media_y4m_frames": q_media_y4m_frames,
         "cdc_snapshot_tail": q_cdc_snapshot_tail,
+        "pagerank_orders": q_pagerank_orders,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2999,6 +3036,58 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
             UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
             ORDER BY step_index
+        """,
+        # Fixed-point PageRank oracle: 3 chained rounds of the exact
+        # integer recurrence the engine runs (init 10^9 mass units,
+        # damping 85/100, floor division everywhere — no float sums, so
+        # reduction order cannot matter on either side).
+        "pagerank_orders": """
+            WITH edges AS (
+              SELECT DISTINCT l_orderkey % 500 AS src,
+                              l_partkey % 500 AS dst
+              FROM lineitem
+            ),
+            nodes AS (
+              SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges
+            ),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+            s1 AS (
+              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
+              FROM edges e JOIN outdeg o USING (src)
+                   JOIN r0 r ON r.node = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n.node,
+                     CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                          AS BIGINT) AS pr
+              FROM nodes n LEFT JOIN s1 s USING (node)
+            ),
+            s2 AS (
+              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
+              FROM edges e JOIN outdeg o USING (src)
+                   JOIN r1 r ON r.node = e.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT n.node,
+                     CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                          AS BIGINT) AS pr
+              FROM nodes n LEFT JOIN s2 s USING (node)
+            ),
+            s3 AS (
+              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
+              FROM edges e JOIN outdeg o USING (src)
+                   JOIN r2 r ON r.node = e.src
+              GROUP BY e.dst
+            )
+            SELECT n.node,
+                   CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                        AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN s3 s USING (node)
+            ORDER BY n.node
         """,
         # Real-Y4M-decoder oracles: luma value for doc d, frame f, pixel
         # (x, y) is (d + 5f + 7x + 13y) % 256 over F = 2 + d%3 frames of

@@ -832,6 +832,45 @@ def test_frame_sample_real_y4m(ray_session):
     assert short.column("orig_frame").to_pylist() == [0, 1, 2, 3]
 
 
+def test_pagerank_fixed_point(ray_session):
+    """Distributed PageRank equals a pure-Python fixed-point oracle on a
+    small digraph (multi-edges counted, dangling leak, no-in-edge nodes
+    kept at base), and is invariant to block layout."""
+    import ray.data
+
+    from connect_smts_ray.ops.graph import pagerank
+
+    # 0 is dangling-in (no in-edges), 4 is dangling-out (no out-edges),
+    # (1,2) is a multi-edge
+    edges = [(0, 1), (1, 2), (1, 2), (2, 3), (3, 1), (3, 4)]
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })
+
+    init, d_num, d_den, K = 10**9, 85, 100, 4
+    base = (d_den - d_num) * init // d_den
+    nodes = {n for e in edges for n in e}
+    deg: dict = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    r = {n: init for n in nodes}
+    for _ in range(K):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {n: base + (d_num * s[n]) // d_den for n in nodes}
+
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            row["node"]: row["pr"]
+            for row in pagerank(ds, iterations=K).take_all()
+        }
+        assert got == r, f"blocks={blocks}"
+    assert r[0] == base  # no in-edges → pure base after round 1
+
+
 def test_funnel_counts_strict_ordering(ray_session):
     """Greedy earliest-first funnel: steps must occur in strictly
     increasing timestamp order; out-of-order or missing steps stop the
