@@ -799,6 +799,35 @@ def q_pagerank_orders(sf_dir: str):
     return out.sort("node")
 
 
+def q_triangle_counts(sf_dir: str):
+    """Exact per-node triangle counts (degree-ordered orientation,
+    O(m^1.5) wedge bound) over the sparse co-occurrence graph derived
+    from low-quantity lineitem rows. All joins reduce-side; see
+    ops/graph.py:triangle_counts for the scale contract."""
+    from connect_smts_ray.ops.graph import triangle_counts
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_quantity"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_quantity"), 2))
+        return pa.table({
+            "src": pc.cast(
+                pc.subtract(
+                    b.column("l_orderkey"),
+                    pc.multiply(pc.divide(b.column("l_orderkey"), 500), 500),
+                ), pa.int64()),
+            "dst": pc.cast(
+                pc.subtract(
+                    b.column("l_partkey"),
+                    pc.multiply(pc.divide(b.column("l_partkey"), 500), 500),
+                ), pa.int64()),
+        })
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow")
+    return triangle_counts(edges).sort("node")
+
+
 def q_funnel_steps(sf_dir: str):
     """Sequential funnel (view → click → purchase): per user, greedy
     earliest-first chain matching with strictly-increasing timestamps —
@@ -2238,6 +2267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_y4m_frames": q_media_y4m_frames,
         "cdc_snapshot_tail": q_cdc_snapshot_tail,
         "pagerank_orders": q_pagerank_orders,
+        "triangle_counts": q_triangle_counts,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -3088,6 +3118,38 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pr
             FROM nodes n LEFT JOIN s3 s USING (node)
             ORDER BY n.node
+        """,
+        # Triangle oracle: id-ordered enumeration (e1.lo=e2.lo, e1.hi<e2.hi,
+        # closed by (e1.hi, e2.hi)) finds each triangle exactly once — the
+        # engine's degree-ordered orientation is an equivalent exact
+        # enumeration, so per-node counts must match bit-for-bit.
+        "triangle_counts": """
+            WITH raw AS (
+              SELECT least(l_orderkey % 500, l_partkey % 500) AS lo,
+                     greatest(l_orderkey % 500, l_partkey % 500) AS hi
+              FROM lineitem
+              WHERE l_quantity <= 2
+                AND l_orderkey % 500 <> l_partkey % 500
+            ),
+            e AS (SELECT DISTINCT lo, hi FROM raw),
+            tri AS (
+              SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM e e1
+              JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+              JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+            ),
+            nodes AS (SELECT lo AS n FROM e UNION SELECT hi FROM e),
+            cnt AS (
+              SELECT n, count(*) AS c FROM (
+                SELECT a AS n FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+              ) GROUP BY n
+            )
+            SELECT nodes.n AS node,
+                   CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
+            FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
+            ORDER BY node
         """,
         # Real-Y4M-decoder oracles: luma value for doc d, frame f, pixel
         # (x, y) is (d + 5f + 7x + 13y) % 256 over F = 2 + d%3 frames of

@@ -904,3 +904,70 @@ def test_funnel_counts_strict_ordering(ray_session):
                         ["view", "click", "purchase"])
     got = {r["step_type"]: r["n_users"] for r in out.to_pylist()}
     assert got == {"view": 5, "click": 3, "purchase": 1}
+
+
+def test_triangle_counts_exact(ray_session):
+    """Degree-ordered triangle counting equals a brute-force oracle on a
+    random graph (multi-edges/reversed-dups/self-loops in the raw input),
+    is block-layout invariant, and keeps zero-triangle nodes."""
+    import itertools
+    import random
+
+    import ray.data
+
+    from connect_smts_ray.ops.graph import triangle_counts
+
+    random.seed(11)
+    n = 30
+    edges = set()
+    while len(edges) < 90:
+        a, b = random.randrange(n), random.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    raw = (list(edges)
+           + [(b, a) for a, b in list(edges)[:20]]  # reversed dups
+           + [(3, 3), (9, 9)])                       # self-loops
+    t = pa.table({"src": pa.array([e[0] for e in raw], pa.int64()),
+                  "dst": pa.array([e[1] for e in raw], pa.int64())})
+
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {i: 0 for i in {x for e in edges for x in e}}
+    for a, b, c in itertools.combinations(sorted(want), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {r["node"]: r["triangles"]
+               for r in triangle_counts(ds).take_all()}
+        assert got == want, f"blocks={blocks}"
+
+
+def test_triangle_counts_star_hub(ray_session):
+    """A pure star (hub with many spokes) has zero triangles; adding one
+    spoke-spoke edge creates exactly one — orientation must not double- or
+    zero-count around the high-degree hub."""
+    import ray.data
+
+    from connect_smts_ray.ops.graph import triangle_counts
+
+    spokes = list(range(1, 41))
+    star = [(0, s) for s in spokes]
+    t = pa.table({"src": pa.array([e[0] for e in star], pa.int64()),
+                  "dst": pa.array([e[1] for e in star], pa.int64())})
+    got = {r["node"]: r["triangles"]
+           for r in triangle_counts(ray.data.from_arrow(t)).take_all()}
+    assert got == {i: 0 for i in range(41)}
+
+    t2 = pa.table({"src": pa.array([e[0] for e in star] + [1], pa.int64()),
+                   "dst": pa.array([e[1] for e in star] + [2], pa.int64())})
+    got2 = {r["node"]: r["triangles"]
+            for r in triangle_counts(ray.data.from_arrow(t2)).take_all()}
+    want = {i: 0 for i in range(41)}
+    want[0] = want[1] = want[2] = 1
+    assert got2 == want
