@@ -828,6 +828,147 @@ def q_triangle_counts(sf_dir: str):
     return triangle_counts(edges).sort("node")
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-style six-table join (region → nation → supplier/customer
+    → orders → lineitem): revenue per nation where customer and supplier
+    share the nation, one order-date year, one region. The dimension
+    chain (region, nation, supplier, customer-after-filter, orders-after-
+    filter) broadcasts via auto_join — ray.put once, merged per batch —
+    so the only data that ever moves is pruned lineitem columns; at fact-
+    on-fact scale auto_join flips the same call sites to the partitioned
+    hash exchange. Revenue summed in integer basis points (associative →
+    bit-exact vs the SQL oracle at any parallelism)."""
+    import pandas as pd
+
+    from connect_smts_ray.ops.relational import auto_join
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_datetime64())
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_datetime64())
+
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "n_regionkey": b.filter(
+                    pc.equal(b.column("r_name"), pa.scalar("ASIA"))
+                ).column("r_regionkey"),
+            }),
+            batch_format="pyarrow",
+        )
+    nation = _read(
+        sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    asian_nations = auto_join(nation, region, on="n_regionkey").map_batches(
+        lambda b: b.select(["n_nationkey", "n_name"]),
+        batch_format="pyarrow",
+    )
+
+    supplier = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    asian_sup = auto_join(
+        supplier,
+        asian_nations.map_batches(
+            lambda b: pa.table({"s_nationkey": b.column("n_nationkey"),
+                                "n_name": b.column("n_name")}),
+            batch_format="pyarrow"),
+        on="s_nationkey",
+    ).map_batches(
+        lambda b: pa.table({"l_suppkey": b.column("s_suppkey"),
+                            "s_nationkey": b.column("s_nationkey"),
+                            "n_name": b.column("n_name")}),
+        batch_format="pyarrow",
+    )
+
+    customer = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    asian_cust = auto_join(
+        customer,
+        asian_nations.map_batches(
+            lambda b: pa.table({"c_nationkey": b.column("n_nationkey")}),
+            batch_format="pyarrow"),
+        on="c_nationkey",
+    ).map_batches(
+        lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                            "c_nationkey": b.column("c_nationkey")}),
+        batch_format="pyarrow",
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), lo),
+            pc.less(b.column("o_orderdate"), hi),
+        )),
+        batch_format="pyarrow",
+    )
+    orders = auto_join(orders, asian_cust, on="o_custkey").map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
+                            "c_nationkey": b.column("c_nationkey")}),
+        batch_format="pyarrow",
+    )
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = auto_join(line, orders, on="l_orderkey")
+    joined = auto_join(joined, asian_sup, on="l_suppkey").map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_nationkey"),
+                                    b.column("s_nationkey"))),
+        batch_format="pyarrow",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["rev_bp"] = _fixed_point(
+            df["l_extendedprice"] * (1 - df["l_discount"]), 10000
+        )
+        g = df.groupby("n_name", sort=False, dropna=False).agg(
+            rev_bp=("rev_bp", "sum")
+        ).reset_index()
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name").aggregate(Sum("rev_bp"))
+        .map_batches(
+            lambda b: pa.table({
+                "n_name": b.column("n_name"),
+                "revenue": pc.divide(
+                    pc.cast(b.column("sum(rev_bp)"), pa.float64()),
+                    pa.scalar(10000.0)),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort("revenue", descending=True)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix over events: users bucketed by
+    first-seen epoch-week, counted per (cohort, week-offset) cell.
+    Combiner-first throughout — see ops/relational.py:cohort_retention."""
+    from connect_smts_ray.ops.relational import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = cohort_retention(ds, user_col="user_id", ts_col="ts")
+    return out.sort(["cohort_period", "period_offset"])
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition (bigram) counts, ordered by
+    (ts, event_id) — Markov-chain estimation over clickstreams. One
+    groupby(user) shuffle; see ops/relational.py:transition_counts."""
+    from connect_smts_ray.ops.relational import transition_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    out = transition_counts(ds, key_col="user_id", ts_col="ts",
+                            tiebreak_col="event_id", type_col="event_type")
+    return out.sort(["from_type", "to_type"])
+
+
 def q_funnel_steps(sf_dir: str):
     """Sequential funnel (view → click → purchase): per user, greedy
     earliest-first chain matching with strictly-increasing timestamps —
@@ -2268,6 +2409,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_tail": q_cdc_snapshot_tail,
         "pagerank_orders": q_pagerank_orders,
         "triangle_counts": q_triangle_counts,
+        "local_supplier_volume": q_local_supplier_volume,
+        "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -3150,6 +3294,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
             FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
             ORDER BY node
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) / 10000.0 AS revenue
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        # Retention oracle: period = floor(us-since-epoch / week). epoch()
+        # returns seconds with fraction; multiplying to microseconds before
+        # the floor keeps the two sides' bucket edges identical.
+        "cohort_retention": """
+            WITH pw AS (
+              SELECT DISTINCT user_id,
+                CAST(floor(epoch(ts) * 1000000 / 604800000000) AS BIGINT)
+                  AS period
+              FROM events
+            ),
+            c AS (
+              SELECT user_id, min(period) AS cohort_period
+              FROM pw GROUP BY user_id
+            )
+            SELECT c.cohort_period,
+                   pw.period - c.cohort_period AS period_offset,
+                   count(*) AS n_users
+            FROM pw JOIN c USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events
+            )
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         # Real-Y4M-decoder oracles: luma value for doc d, frame f, pixel
         # (x, y) is (d + 5f + 7x + 13y) % 256 over F = 2 + d%3 frames of

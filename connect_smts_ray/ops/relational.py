@@ -958,3 +958,140 @@ def funnel_counts(ds, steps, user_col: str = "user_id",
         "step_type": pa.array(list(steps), pa.string()),
         "n_users": pa.array(n_users, pa.int64()),
     })
+
+
+def cohort_retention(ds, user_col: str, ts_col: str,
+                     period_us: int = 7 * 86_400_000_000,
+                     num_partitions: int = 16):
+    """Cohort retention matrix: users bucketed by first-seen period, then
+    counted per (cohort, periods-since-cohort) activity cell — the classic
+    product-analytics retention triangle, combiner-first end to end.
+
+    Shape at scale: raw events collapse to distinct (user, period) pairs
+    INSIDE each map task before any shuffle (a user active 10⁴ times in a
+    week still ships one pair), the global dedup + per-user min are
+    groupbys over pairs (≤ users × periods rows, orders of magnitude
+    below event count), and the cohort join is the engine's reduce-side
+    ``hash_join`` keyed on user. The driver only ever sees the final
+    matrix (cohorts × offsets rows).
+
+    Output: (cohort_period BIGINT, period_offset BIGINT, n_users BIGINT),
+    where period = floor(ts_us / period_us) — mirror with
+    ``floor(epoch(ts) / (period_us/1e6))`` in SQL.
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from connect_smts_ray.ops.components import hash_join
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        us = _ts_us_int64(b.column(ts_col))
+        period = pc.divide(us, pa.scalar(period_us, pa.int64()))
+        t = pa.table({"user": pc.cast(b.column(user_col), pa.int64()),
+                      "period": period})
+        return t.group_by(["user", "period"], use_threads=False).aggregate([])
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user", "period"]).count()
+        .map_batches(lambda b: b.drop_columns(["count()"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )  # globally-distinct (user, period)
+    pair_schema = pa.schema([("user", pa.int64()), ("period", pa.int64())])
+
+    cohort = pairs.groupby("user").aggregate(Min("period")).map_batches(
+        lambda b: pa.table({"user": b.column("user"),
+                            "cohort": b.column("min(period)")}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        pairs, cohort, left_on="user", right_on="user",
+        num_partitions=num_partitions,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("user", pa.int64()),
+                                ("cohort", pa.int64())]),
+    )
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "cohort_period": b.column("cohort"),
+            "period_offset": pc.subtract(b.column("period"),
+                                         b.column("cohort")),
+        })
+        g = t.group_by(["cohort_period", "period_offset"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return pa.table({
+            "cohort_period": g.column("cohort_period"),
+            "period_offset": g.column("period_offset"),
+            "n_users": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    return (
+        joined.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cohort_period", "period_offset"]).aggregate(Sum("n_users"))
+        .map_batches(
+            lambda b: pa.table({
+                "cohort_period": b.column("cohort_period"),
+                "period_offset": b.column("period_offset"),
+                "n_users": b.column("sum(n_users)"),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def transition_counts(ds, key_col: str, ts_col: str, tiebreak_col: str,
+                      type_col: str):
+    """First-order transition (bigram) counts over per-entity event
+    sequences: for each key, order events by (ts, tiebreak) and count
+    consecutive ``type → type`` pairs across ALL keys — the Markov-chain
+    estimation pass of clickstream/session analytics.
+
+    One ``groupby(key)`` shuffle; inside each group a vectorized lexsort
+    + slice produces the bigrams and an Arrow group_by collapses them to
+    per-group partial counts, so a key with 10⁶ events emits at most
+    |types|² rows. Final global groupby sums partials. Same per-entity
+    partitioning contract as ``ordered_group_windows`` (one key's history
+    per task; salt pathological keys upstream).
+
+    Output: (from_type STRING, to_type STRING, n BIGINT) — mirror with
+    SQL ``lag(type) OVER (PARTITION BY key ORDER BY ts, tiebreak)``.
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
+        tie = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts))
+        types = group.column(type_col).take(pa.array(order)).combine_chunks()
+        n = len(types)
+        if n < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"from_type": types.slice(0, n - 1),
+                      "to_type": types.slice(1, n - 1)})
+        g = t.group_by(["from_type", "to_type"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return pa.table({
+            "from_type": g.column("from_type"),
+            "to_type": g.column("to_type"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    return (
+        ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"]).aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table({
+                "from_type": b.column("from_type"),
+                "to_type": b.column("to_type"),
+                "n": b.column("sum(n)"),
+            }),
+            batch_format="pyarrow",
+        )
+    )

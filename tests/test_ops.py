@@ -971,3 +971,58 @@ def test_triangle_counts_star_hub(ray_session):
     want = {i: 0 for i in range(41)}
     want[0] = want[1] = want[2] = 1
     assert got2 == want
+
+
+def test_cohort_retention_matrix(ray_session):
+    """Retention cells equal a hand-computed matrix; repeat activity in a
+    period counts once; layout-invariant."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import cohort_retention
+
+    P = 100  # period_us
+    # user 1: periods 0,0,1,3 -> cohort 0, offsets {0,1,3}
+    # user 2: periods 1,2     -> cohort 1, offsets {0,1}
+    # user 3: period 3        -> cohort 3, offset {0}
+    rows = [(1, 5), (1, 90), (1, 150), (1, 399),
+            (2, 101), (2, 250), (3, 399)]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    want = {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+            (1, 0): 1, (1, 1): 1, (3, 0): 1}
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = cohort_retention(ds, user_col="u", ts_col="ts", period_us=P)
+        got = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+               for r in out.take_all()}
+        assert got == want, f"blocks={blocks}"
+
+
+def test_transition_counts_ordering(ray_session):
+    """Bigrams are per-key, ordered by (ts, tiebreak); ties break on the
+    tiebreak column; single-event keys contribute nothing."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import transition_counts
+
+    rows = [
+        (1, 10, 0, "a"), (1, 20, 1, "b"), (1, 20, 2, "a"),  # a→b→a (tie)
+        (2, 5, 3, "b"), (2, 6, 4, "b"),                      # b→b
+        (3, 7, 5, "c"),                                      # no bigram
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "eid": pa.array([r[2] for r in rows], pa.int64()),
+        "et": pa.array([r[3] for r in rows], pa.string()),
+    })
+    want = {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = transition_counts(ds, key_col="u", ts_col="ts",
+                                tiebreak_col="eid", type_col="et")
+        got = {(r["from_type"], r["to_type"]): r["n"]
+               for r in out.take_all()}
+        assert got == want, f"blocks={blocks}"
