@@ -945,6 +945,44 @@ def q_local_supplier_volume(sf_dir: str):
     return out.sort("revenue", descending=True)
 
 
+def q_cms_heavy_hitters(sf_dir: str):
+    """Heavy hitters via a distributed Count-Min sketch: exact corpus
+    word counts (combiner-first groupby) side-by-side with the CMS
+    estimate from one merged depth×width sketch (fixed 4×16×8 B per
+    block to the driver, values never move). Narrow width on purpose so
+    collisions occur and the oracle must reproduce the sketch's exact
+    overcounts, not just the truth."""
+    from connect_smts_ray.ops.corpus import word_counts
+    from connect_smts_ray.ops.relational import topk
+    from connect_smts_ray.ops.sketch import cms_build, cms_estimate
+
+    DEPTH, WIDTH = 4, 16
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        # the corpus tokenizer convention ([a-z0-9]+ on lowered text)
+        from connect_smts_ray.ops.corpus import _explode_words
+        _, w = _explode_words(b, "doc_id", "text")
+        return pa.table({"word": w})
+
+    tokens = ds.map_batches(explode, batch_format="pyarrow")
+    cms = cms_build(tokens, "word", depth=DEPTH, width=WIDTH)
+
+    wc = word_counts(ds, text_col="text", id_col="doc_id")
+    top = topk(wc, by="count", k=20, descending=True,
+               tiebreak=("word", True))
+
+    def attach_est(b: pa.Table) -> pa.Table:
+        words = b.column("word").to_pylist()
+        return pa.table({
+            "word": b.column("word"),
+            "count": b.column("count"),
+            "cms_est": pa.array(cms_estimate(cms, words), pa.int64()),
+        })
+
+    return top.map_batches(attach_est, batch_format="pyarrow")
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix over events: users bucketed by
     first-seen epoch-week, counted per (cohort, week-offset) cell.
@@ -2411,6 +2449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q_triangle_counts,
         "local_supplier_volume": q_local_supplier_volume,
         "cohort_retention": q_cohort_retention,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "event_transitions": q_event_transitions,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
@@ -3332,6 +3371,43 @@ def oracle_sql() -> dict[str, str]:
             FROM pw JOIN c USING (user_id)
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # CMS oracle: the SQL rebuilds the SAME sketch — cell(d, w) =
+        # count of tokens with md5_number_lower('cms'||d||'|'||word) % 16
+        # == w — and takes the min over depth rows, so collisions (width
+        # 16 is deliberately narrow) overcount identically on both sides.
+        "cms_heavy_hitters": """
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS word
+              FROM documents
+            ),
+            d AS (SELECT unnest(range(4)) AS d),
+            cells AS (
+              SELECT d.d,
+                     md5_number_lower(concat('cms', d.d, '|', w.word)) % 16
+                       AS cell,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM w CROSS JOIN d
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS count
+              FROM w GROUP BY word
+            ),
+            est AS (
+              SELECT e.word, min(c.c) AS cms_est
+              FROM exact e
+              CROSS JOIN d
+              JOIN cells c ON c.d = d.d
+               AND c.cell =
+                   md5_number_lower(concat('cms', d.d, '|', e.word)) % 16
+              GROUP BY e.word
+            )
+            SELECT e.word, e.count, est.cms_est
+            FROM exact e JOIN est USING (word)
+            ORDER BY e.count DESC, e.word
+            LIMIT 20
         """,
         "event_transitions": """
             WITH seq AS (

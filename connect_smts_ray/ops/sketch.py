@@ -73,3 +73,64 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for row in parts:
         merged = hll_merge(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+# -- Count-Min sketch ------------------------------------------------------
+
+def _cms_cells(words: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(n, depth) int64 cell indices: md5(f"cms{d}|{word}") bytes 8..16
+    little-endian (DuckDB ``md5_number_lower``) mod width. Hash the
+    DISTINCT words of a batch only — callers pre-collapse with a local
+    group_by, so Zipf keeps this loop off the token stream."""
+    import hashlib
+
+    out = np.empty((len(words), depth), dtype=np.int64)
+    for d in range(depth):
+        pre = f"cms{d}|".encode()
+        for i, w in enumerate(words):
+            h = int.from_bytes(
+                hashlib.md5(pre + str(w).encode()).digest()[8:], "little")
+            out[i, d] = h % width
+    return out
+
+
+def cms_build(ds, col: str, depth: int = 4, width: int = 1024) -> np.ndarray:
+    """Distributed Count-Min sketch (Cormode & Muthukrishnan 2005) over a
+    column: per block, values collapse to (distinct, count) via a local
+    Arrow group_by, each distinct value increments one cell per depth row,
+    and ONE fixed-size (depth × width × 8 B) partial crosses to the driver
+    per block — never the values. Cell merge is elementwise int64 sum
+    (associative + commutative → identical sketch at any parallelism).
+
+    Estimates are deterministic given (depth, width): every cell count is
+    an exact sum, so the sketch — including its overcounts — is
+    bit-reproducible and SQL-mirrorable (md5_number_lower cell addressing).
+    """
+
+    def block_cells(batch: pa.Table) -> pa.Table:
+        cells = np.zeros((depth, width), dtype=np.int64)
+        if batch.num_rows:
+            g = batch.select([col]).group_by(
+                col, use_threads=False).aggregate([([], "count_all")])
+            words = np.asarray(g.column(col).to_pylist())
+            counts = g.column("count_all").to_numpy().astype(np.int64)
+            idx = _cms_cells(words, depth, width)
+            for d in range(depth):
+                np.add.at(cells[d], idx[:, d], counts)
+        return pa.table({"cells": pa.array([cells.tobytes()], pa.binary())})
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for row in ds.map_batches(block_cells, batch_format="pyarrow").take_all():
+        merged += np.frombuffer(
+            row["cells"], dtype=np.int64).reshape(depth, width)
+    return merged
+
+
+def cms_estimate(cms: np.ndarray, values) -> np.ndarray:
+    """Point estimates (min over depth rows) for an array of values."""
+    depth, width = cms.shape
+    vals = np.asarray(list(values))
+    idx = _cms_cells(vals, depth, width)
+    ests = np.min(
+        np.stack([cms[d][idx[:, d]] for d in range(depth)], axis=1), axis=1)
+    return ests.astype(np.int64)

@@ -1026,3 +1026,32 @@ def test_transition_counts_ordering(ray_session):
         got = {(r["from_type"], r["to_type"]): r["n"]
                for r in out.take_all()}
         assert got == want, f"blocks={blocks}"
+
+
+def test_cms_sketch_properties(ray_session):
+    """Count-Min estimates are layout-invariant (exact cell sums merge
+    associatively), never undercount, and are exact when width >> vocab."""
+    import ray.data
+
+    from connect_smts_ray.ops.sketch import cms_build, cms_estimate
+
+    words = (["apple"] * 50 + ["banana"] * 30 + ["cherry"] * 7
+             + ["date"] * 3 + ["elderberry"] * 1)
+    t = pa.table({"w": pa.array(words, pa.string())})
+    truth = {"apple": 50, "banana": 30, "cherry": 7,
+             "date": 3, "elderberry": 1}
+    keys = sorted(truth)
+
+    sketches = []
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        cms = cms_build(ds, "w", depth=4, width=8)
+        sketches.append(cms.tobytes())
+        est = dict(zip(keys, cms_estimate(cms, keys)))
+        assert all(est[k] >= truth[k] for k in keys)  # CMS never undercounts
+        assert sum(cms[0]) == len(words)  # each row sums to the stream size
+    assert sketches[0] == sketches[1]  # block layout cannot change the sketch
+
+    wide = cms_build(ray.data.from_arrow(t), "w", depth=4, width=4096)
+    est = dict(zip(keys, cms_estimate(wide, keys)))
+    assert est == truth  # no collisions at 4096 cells for 5 words
