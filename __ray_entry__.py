@@ -945,6 +945,68 @@ def q_local_supplier_volume(sf_dir: str):
     return out.sort("revenue", descending=True)
 
 
+def q_skew_join_events(sf_dir: str):
+    """Salted skew join under deliberate power-law pressure: every folded
+    key (user_id % 25) is hot at this threshold, so the whole probe side
+    takes the salt-and-replicate path — output must still be row-identical
+    to a plain join (the SQL oracle). Revenue summed in integer cents."""
+    from connect_smts_ray.ops.components import skew_join
+
+    events = _read(sf_dir, "events", columns=["user_id", "value"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "k": pc.cast(
+                    pc.subtract(
+                        b.column("user_id"),
+                        pc.multiply(
+                            pc.divide(b.column("user_id"), 25), 25)),
+                    pa.int64()),
+                "value": b.column("value"),
+            }),
+            batch_format="pyarrow",
+        )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]) \
+        .map_batches(
+            lambda b: pa.table({"nk": pc.cast(b.column("n_nationkey"),
+                                              pa.int64()),
+                                "n_name": b.column("n_name")}),
+            batch_format="pyarrow",
+        )
+    joined = skew_join(
+        events, nation, left_on="k", right_on="nk",
+        hot_threshold=50, num_salts=8,
+        left_schema=pa.schema([("k", pa.int64()), ("value", pa.float64())]),
+        right_schema=pa.schema([("nk", pa.int64()),
+                                ("n_name", pa.string())]),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["value_cents"] = _fixed_point(df["value"], 100)
+        g = df.groupby("n_name", sort=False, dropna=False).agg(
+            value_cents=("value_cents", "sum"), n=("value_cents", "size")
+        ).reset_index()
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name").aggregate(Sum("value_cents"), Sum("n"))
+        .map_batches(
+            lambda b: pa.table({
+                "n_name": b.column("n_name"),
+                "total_value": pc.divide(
+                    pc.cast(b.column("sum(value_cents)"), pa.float64()),
+                    pa.scalar(100.0)),
+                "n": b.column("sum(n)"),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("n_name")
+    )
+
+
 def q_cms_heavy_hitters(sf_dir: str):
     """Heavy hitters via a distributed Count-Min sketch: exact corpus
     word counts (combiner-first groupby) side-by-side with the CMS
@@ -2450,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": q_local_supplier_volume,
         "cohort_retention": q_cohort_retention,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "skew_join_events": q_skew_join_events,
         "event_transitions": q_event_transitions,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
@@ -3371,6 +3434,16 @@ def oracle_sql() -> dict[str, str]:
             FROM pw JOIN c USING (user_id)
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "skew_join_events": """
+            SELECT n.n_name,
+                   sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0
+                     AS total_value,
+                   count(*) AS n
+            FROM events e
+            JOIN nation n ON e.user_id % 25 = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
         """,
         # CMS oracle: the SQL rebuilds the SAME sketch — cell(d, w) =
         # count of tokens with md5_number_lower('cms'||d||'|'||word) % 16

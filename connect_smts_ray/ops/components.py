@@ -552,3 +552,113 @@ def hash_join_multi(left, right, left_on, right_on, how: str = "inner",
     return joined.map_batches(
         lambda b: b.drop_columns(["__mkey"]), batch_format="pyarrow"
     )
+
+
+def skew_join(left, right, left_on: str, right_on: str, how: str = "inner",
+              num_partitions: int = 16, num_salts: int = 8,
+              hot_threshold: int = 100_000, max_hot_keys: int = 1024,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """``hash_join`` hardened against power-law PROBE keys.
+
+    Plain reduce-side joins send every row of a hot key — all 10⁹
+    lineitems of the one viral order — to ONE reducer; that task's heap
+    and wall-time become the job's. This wrapper (the standard salted
+    replicate):
+
+    1. finds hot left keys with a combiner-first count (per-block
+       partials → groupby sum → filter ≥ ``hot_threshold``) — only the
+       few hot keys ever reach the driver, capped at ``max_hot_keys``
+       (beyond the cap the largest keys keep salt 0: correct, unsalted);
+    2. salts hot left rows ``row_position % num_salts`` (deterministic —
+       no RNG, so reruns and retries bucket identically) while cold rows
+       take salt 0;
+    3. REPLICATES right rows of hot keys once per salt (cold: salt 0),
+       so each left row still sees the full right match set exactly once;
+    4. joins on the fused (key, salt) composite via ``hash_join_multi``.
+
+    A hot key now lands on ``num_salts`` reducers; output is row-identical
+    to ``hash_join`` for every ``how`` it supports (replicas only ever
+    match their own salt). Replication cost: |right rows of hot keys| ×
+    (num_salts − 1) — bounded because build sides of skewed joins are
+    dimension-like; flip sides if the BUILD side is the skewed one.
+    """
+    if left_schema is None:
+        left_schema = _to_arrow_schema(left.schema())
+    if right_schema is None:
+        right_schema = _to_arrow_schema(right.schema())
+
+    # 1. combiner-first hot-key census on the probe side
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select([left_on]).group_by(
+            left_on, use_threads=False).aggregate([([], "count_all")])
+        return pa.table({
+            "k": g.column(left_on),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    counts = left.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("k").sum("n")
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("sum(n)"),
+                                            pa.scalar(hot_threshold,
+                                                      pa.int64()))),
+        batch_format="pyarrow",
+    ).take(max_hot_keys)
+    hot_keys = {r["k"] for r in hot}
+    if not hot_keys:
+        return hash_join(left, right, left_on=left_on, right_on=right_on,
+                         how=how, num_partitions=num_partitions,
+                         left_schema=left_schema, right_schema=right_schema)
+    import ray
+    hot_ref = ray.put(hot_keys)
+
+    key_type = (left_schema.field(left_on).type
+                if left_schema is not None else pa.int64())
+
+    def salt_left(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        keys = b.column(left_on)
+        is_hot = pc.is_in(
+            keys, value_set=pa.array(list(hs), type=key_type))
+        salt = np.where(
+            pc.fill_null(is_hot, False).to_numpy(zero_copy_only=False),
+            np.arange(b.num_rows, dtype=np.int64) % num_salts, 0)
+        return b.append_column(
+            pa.field("__salt", pa.int64()), pa.array(salt, pa.int64()))
+
+    def replicate_right(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(
+                pa.field("__salt", pa.int64()), pa.array([], pa.int64()))
+        hs = ray.get(hot_ref)
+        keys = b.column(right_on)
+        is_hot = pc.fill_null(pc.is_in(
+            keys, value_set=pa.array(list(hs), type=key_type)),
+            False).to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        reps = np.where(is_hot, num_salts, 1).astype(np.int64)
+        take_idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        # salt sequence 0..reps−1 within each row's replica run
+        ends = np.cumsum(reps)
+        starts = ends - reps
+        salts = np.arange(int(ends[-1]), dtype=np.int64) - \
+            np.repeat(starts, reps)
+        out = b.take(pa.array(take_idx))
+        return out.append_column(
+            pa.field("__salt", pa.int64()), pa.array(salts, pa.int64()))
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow")
+    rsalted = right.map_batches(replicate_right, batch_format="pyarrow")
+    lsch = pa.schema(list(left_schema) + [pa.field("__salt", pa.int64())]) \
+        if left_schema is not None else None
+    rsch = pa.schema(list(right_schema) + [pa.field("__salt", pa.int64())]) \
+        if right_schema is not None else None
+    joined = hash_join_multi(
+        lsalted, rsalted, left_on=[left_on, "__salt"],
+        right_on=[right_on, "__salt"], how=how,
+        num_partitions=num_partitions,
+        left_schema=lsch, right_schema=rsch,
+    )
+    return joined.map_batches(
+        lambda b: b.drop_columns(["__salt"]), batch_format="pyarrow")

@@ -1055,3 +1055,56 @@ def test_cms_sketch_properties(ray_session):
     wide = cms_build(ray.data.from_arrow(t), "w", depth=4, width=4096)
     est = dict(zip(keys, cms_estimate(wide, keys)))
     assert est == truth  # no collisions at 4096 cells for 5 words
+
+
+def test_skew_join_matches_hash_join(ray_session):
+    """Salted skew join is row-identical to the plain reduce-side join on
+    a power-law key distribution, for inner/left_outer/left_anti, at
+    multiple block layouts; cold inputs (no hot keys) take the plain
+    path untouched."""
+    import collections
+
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join, skew_join
+
+    # key 7 is pathologically hot on the probe side
+    lkeys = [7] * 400 + [1, 2, 3] * 30 + [99] * 5
+    lt = pa.table({
+        "k": pa.array(lkeys, pa.int64()),
+        "lv": pa.array(range(len(lkeys)), pa.int64()),
+    })
+    rkeys = [7, 7, 1, 2, 4]
+    rt = pa.table({
+        "rk": pa.array(rkeys, pa.int64()),
+        "rv": pa.array([70, 71, 10, 20, 40], pa.int64()),
+    })
+    lsch = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rsch = pa.schema([("rk", pa.int64()), ("rv", pa.int64())])
+
+    def rows(ds):
+        return collections.Counter(
+            tuple(sorted(r.items())) for r in ds.take_all())
+
+    for how in ("inner", "left_outer", "left_anti"):
+        for blocks in (1, 4):
+            left = ray.data.from_arrow(lt).repartition(blocks)
+            right = ray.data.from_arrow(rt).repartition(blocks)
+            want = rows(hash_join(
+                left, right, left_on="k", right_on="rk", how=how,
+                left_schema=lsch, right_schema=rsch))
+            got = rows(skew_join(
+                left, right, left_on="k", right_on="rk", how=how,
+                num_salts=4, hot_threshold=100,
+                left_schema=lsch, right_schema=rsch))
+            assert got == want, f"{how} blocks={blocks}"
+
+    # no key reaches the threshold -> identical to plain hash_join too
+    left = ray.data.from_arrow(lt)
+    right = ray.data.from_arrow(rt)
+    got = rows(skew_join(left, right, left_on="k", right_on="rk",
+                         hot_threshold=10**9,
+                         left_schema=lsch, right_schema=rsch))
+    want = rows(hash_join(left, right, left_on="k", right_on="rk",
+                          left_schema=lsch, right_schema=rsch))
+    assert got == want
