@@ -945,6 +945,38 @@ def q_local_supplier_volume(sf_dir: str):
     return out.sort("revenue", descending=True)
 
 
+def q_table_diff_orders(sf_dir: str):
+    """Snapshot reconciliation: diff two deterministic projections of
+    orders ("old" excludes keys ≡0 mod 7; "new" excludes keys ≡0 mod 5
+    and bumps totalprice by 1 for keys ≡0 mod 3) into added / removed /
+    changed rows — the anti-entropy check a CDC lake runs against its
+    source. One bucket shuffle; see ops/relational.py:table_diff."""
+    from connect_smts_ray.ops.relational import table_diff
+
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def mod(col, m):
+        return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+    old = base.map_batches(
+        lambda b: b.filter(pc.not_equal(mod(b.column("o_orderkey"), 7), 0)),
+        batch_format="pyarrow",
+    )
+    new = base.map_batches(
+        lambda b: (lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_totalprice": pc.if_else(
+                pc.equal(mod(t.column("o_orderkey"), 3), 0),
+                pc.add(t.column("o_totalprice"), pa.scalar(1.0)),
+                t.column("o_totalprice")),
+        }))(b.filter(pc.not_equal(mod(b.column("o_orderkey"), 5), 0))),
+        batch_format="pyarrow",
+    )
+    out = table_diff(old, new, key_cols=["o_orderkey"],
+                     value_cols=["o_totalprice"])
+    return out.sort("o_orderkey")
+
+
 def q_skew_join_events(sf_dir: str):
     """Salted skew join under deliberate power-law pressure: every folded
     key (user_id % 25) is hot at this threshold, so the whole probe side
@@ -2513,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "skew_join_events": q_skew_join_events,
+        "table_diff_orders": q_table_diff_orders,
         "event_transitions": q_event_transitions,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
@@ -3434,6 +3467,28 @@ def oracle_sql() -> dict[str, str]:
             FROM pw JOIN c USING (user_id)
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "table_diff_orders": """
+            WITH old AS (
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 7 <> 0
+            ),
+            new AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 5 <> 0
+            )
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type,
+                   o.o_totalprice AS old_o_totalprice,
+                   n.o_totalprice AS new_o_totalprice
+            FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+            WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+            ORDER BY o_orderkey
         """,
         "skew_join_events": """
             SELECT n.n_name,

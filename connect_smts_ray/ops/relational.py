@@ -1095,3 +1095,90 @@ def transition_counts(ds, key_col: str, ts_col: str, tiebreak_col: str,
             batch_format="pyarrow",
         )
     )
+
+
+def table_diff(old, new, key_cols, value_cols, num_partitions: int = 16):
+    """Snapshot reconciliation — the anti-entropy pass of a CDC engine:
+    diff two versions of a keyed table into ``added`` / ``removed`` /
+    ``changed`` rows (unchanged keys are dropped). The inverse check of
+    the LWW sink: replaying a binlog SHOULD make ``table_diff(lake,
+    source)`` empty, and when it isn't, this op pinpoints the drift.
+
+    Shape: both sides tag + fuse key columns, ONE hash-bucket shuffle
+    co-locates each key's (≤ 2) rows, and each bucket diffs with a
+    vectorized pandas outer-merge — one Python call per BUCKET, never per
+    key. Output carries both images (``old_<col>`` / ``new_<col>``,
+    typed-null where the side is absent). NULL values compare equal to
+    NULL (SQL ``IS DISTINCT FROM`` semantics).
+
+    Both sides must be key-unique (it diffs STATES, not logs) — collapse
+    with an LWW/dedup pass first if needed.
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    import ray.data
+
+    from connect_smts_ray.ops.components import (_bucket_of,
+                                                 fuse_key_columns)
+
+    key_cols, value_cols = list(key_cols), list(value_cols)
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            b = fuse_key_columns(b.select(key_cols + value_cols), key_cols,
+                                 out_col="__dkey")
+            b = b.append_column(
+                pa.field("__side", pa.int8()),
+                pa.nulls(b.num_rows, pa.int8()).fill_null(side))
+            return b.append_column(
+                pa.field("__jbucket", pa.int32()),
+                _bucket_of(b.column("__dkey"), num_partitions))
+        return f
+
+    unioned = (
+        old.map_batches(tag(0), batch_format="pyarrow")
+        .union(new.map_batches(tag(1), batch_format="pyarrow"))
+        .repartition(num_partitions)
+    )
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        omask = pc.equal(g.column("__side"), pa.scalar(0, pa.int8()))
+        ot = g.filter(omask)
+        nt = g.filter(pc.invert(omask))
+        odf = ot.select(["__dkey"]).to_pandas()
+        odf["oi"] = np.arange(len(odf), dtype=np.int64)
+        ndf = nt.select(["__dkey"]).to_pandas()
+        ndf["ni"] = np.arange(len(ndf), dtype=np.int64)
+        m = odf.merge(ndf, on="__dkey", how="outer")
+        oi = pa.array(pd.array(m["oi"], dtype="Int64"))
+        ni = pa.array(pd.array(m["ni"], dtype="Int64"))
+        og = ot.take(oi)   # null index -> typed-null row
+        ng = nt.take(ni)
+
+        in_old = pc.is_valid(oi)
+        in_new = pc.is_valid(ni)
+        changed = pa.nulls(len(m), pa.bool_()).fill_null(False)
+        for c in value_cols:
+            ov, nv = og.column(c), ng.column(c)
+            ne = pc.fill_null(pc.not_equal(ov, nv), False)
+            null_mismatch = pc.xor(pc.is_valid(ov), pc.is_valid(nv))
+            changed = pc.or_(changed, pc.or_(ne, null_mismatch))
+        ctype = pc.if_else(
+            pc.and_(in_old, in_new),
+            pc.if_else(changed, pa.scalar("changed", pa.string()),
+                       pa.scalar(None, pa.string())),
+            pc.if_else(in_new, pa.scalar("added", pa.string()),
+                       pa.scalar("removed", pa.string())),
+        )
+        cols = {}
+        for c in key_cols:
+            cols[c] = pc.if_else(in_old, og.column(c), ng.column(c))
+        cols["change_type"] = ctype
+        for c in value_cols:
+            cols[f"old_{c}"] = og.column(c)
+            cols[f"new_{c}"] = ng.column(c)
+        out = pa.table(cols)
+        return out.filter(pc.is_valid(out.column("change_type")))
+
+    return unioned.groupby("__jbucket").map_groups(
+        diff_bucket, batch_format="pyarrow")

@@ -1108,3 +1108,37 @@ def test_skew_join_matches_hash_join(ray_session):
     want = rows(hash_join(left, right, left_on="k", right_on="rk",
                           left_schema=lsch, right_schema=rsch))
     assert got == want
+
+
+def test_table_diff_semantics(ray_session):
+    """added/removed/changed classification with IS DISTINCT FROM null
+    semantics (null==null is unchanged; null vs value is changed);
+    unchanged keys dropped; layout-invariant."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import table_diff
+
+    old = pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([10.0, 20.0, None, 40.0, None], pa.float64()),
+    })
+    new = pa.table({
+        "k": pa.array([2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array([20.0, 30.0, None, 50.0, 60.0], pa.float64()),
+    })
+    # k=1 removed; k=2 unchanged (dropped); k=3 null→30 and k=4 40→null
+    # and k=5 null→50 all changed (null is distinct from a value); k=6 added
+    want = {
+        1: ("removed", 10.0, None),
+        3: ("changed", None, 30.0),
+        4: ("changed", 40.0, None),
+        5: ("changed", None, 50.0),
+        6: ("added", None, 60.0),
+    }
+    for blocks in (1, 3):
+        o = ray.data.from_arrow(old).repartition(blocks)
+        n = ray.data.from_arrow(new).repartition(blocks)
+        rows = table_diff(o, n, key_cols=["k"], value_cols=["v"]).take_all()
+        got = {r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+               for r in rows}
+        assert got == want, f"blocks={blocks}"
