@@ -945,6 +945,33 @@ def q_local_supplier_volume(sf_dir: str):
     return out.sort("revenue", descending=True)
 
 
+def q_attribution_events(sf_dir: str):
+    """Last-touch attribution: purchases credit the latest preceding
+    view/click of the same user within 1 hour (or '(none)'); value summed
+    in integer cents. One groupby(user) shuffle + searchsorted per group;
+    see ops/relational.py:last_touch_attribution."""
+    from connect_smts_ray.ops.relational import last_touch_attribution
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type", "value"])
+    out = last_touch_attribution(
+        ds, key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        type_col="event_type", value_col="value",
+        touch_types=("view", "click"), convert_type="purchase",
+        window_us=3_600_000_000,
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "touch_type": b.column("touch_type"),
+            "n_conversions": b.column("n_conversions"),
+            "total_value": pc.divide(
+                pc.cast(b.column("value_cents"), pa.float64()),
+                pa.scalar(100.0)),
+        }),
+        batch_format="pyarrow",
+    ).sort("touch_type")
+
+
 def q_table_diff_orders(sf_dir: str):
     """Snapshot reconciliation: diff two deterministic projections of
     orders ("old" excludes keys ≡0 mod 7; "new" excludes keys ≡0 mod 5
@@ -2546,6 +2573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "skew_join_events": q_skew_join_events,
         "table_diff_orders": q_table_diff_orders,
+        "attribution_events": q_attribution_events,
         "event_transitions": q_event_transitions,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
@@ -3467,6 +3495,46 @@ def oracle_sql() -> dict[str, str]:
             FROM pw JOIN c USING (user_id)
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # Attribution oracle: rank events per user, each purchase joins
+        # the max-rank touch strictly before it and within the hour
+        # (epoch_us keeps the window arithmetic integral on both sides).
+        "attribution_events": """
+            WITH ord AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                     value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn
+              FROM events
+            ),
+            conv AS (SELECT * FROM ord WHERE event_type = 'purchase'),
+            touch AS (
+              SELECT * FROM ord WHERE event_type IN ('view', 'click')
+            ),
+            lt AS (
+              SELECT c.event_id AS cid, max(t.rn) AS trn
+              FROM conv c
+              JOIN touch t ON t.user_id = c.user_id AND t.rn < c.rn
+                          AND c.ts_us - t.ts_us <= 3600000000
+              GROUP BY c.event_id
+            ),
+            credited AS (
+              SELECT COALESCE(t.event_type, '(none)') AS touch_type,
+                     c.value
+              FROM conv c
+              LEFT JOIN lt ON lt.cid = c.event_id
+              LEFT JOIN touch t
+                ON lt.trn IS NOT NULL AND t.user_id = c.user_id
+               AND t.rn = lt.trn
+            )
+            SELECT touch_type,
+                   count(*) AS n_conversions,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                     AS total_value
+            FROM credited
+            GROUP BY touch_type
+            ORDER BY touch_type
         """,
         "table_diff_orders": """
             WITH old AS (

@@ -1182,3 +1182,86 @@ def table_diff(old, new, key_cols, value_cols, num_partitions: int = 16):
 
     return unioned.groupby("__jbucket").map_groups(
         diff_bucket, batch_format="pyarrow")
+
+
+def last_touch_attribution(ds, key_col: str, ts_col: str, tiebreak_col: str,
+                           type_col: str, value_col: str,
+                           touch_types, convert_type: str,
+                           window_us: int):
+    """Last-touch marketing attribution: each conversion event credits its
+    value to the LATEST preceding touch event (any of ``touch_types``) of
+    the same key within ``window_us``; conversions with no in-window touch
+    credit ``'(none)'``. Output: (touch_type STRING, n_conversions BIGINT,
+    value_cents BIGINT) — value in integer cents so cross-key sums stay
+    associative.
+
+    One ``groupby(key)`` shuffle (the funnel/window per-entity contract);
+    inside a group: lexsort by (ts, tiebreak), ``np.searchsorted`` of
+    conversion positions into touch positions (the classic O(n log n)
+    last-preceding-event lookup — no per-event Python), then a local
+    group_by collapses to ≤ |touch_types|+1 partial rows per key before
+    the final tiny groupby sum.
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    from ray.data.aggregate import Sum
+
+    touch_types = list(touch_types)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        empty = pa.table({"touch_type": pa.array([], pa.string()),
+                          "n_conversions": pa.array([], pa.int64()),
+                          "value_cents": pa.array([], pa.int64())})
+        ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
+        tie = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts))
+        s = group.take(pa.array(order))
+        ts_s = ts[order]
+        types = np.asarray(s.column(type_col).to_pylist(), dtype=object)
+        is_conv = types == convert_type
+        if not is_conv.any():
+            return empty
+        is_touch = np.isin(types, touch_types)
+        conv_pos = np.flatnonzero(is_conv)
+        touch_pos = np.flatnonzero(is_touch)
+        vals = s.column(value_col).to_numpy(zero_copy_only=False)
+        scaled = vals[conv_pos] * 100
+        # half away from zero — DuckDB round(); np.round half-to-even differs
+        cents = (np.sign(scaled) *
+                 np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+        if len(touch_pos) == 0:
+            credited = np.full(len(conv_pos), "(none)", dtype=object)
+        else:
+            # index into touch_pos of the last touch strictly before each
+            # conversion position
+            j = np.searchsorted(touch_pos, conv_pos, side="left") - 1
+            has = j >= 0
+            cand = touch_pos[np.clip(j, 0, None)]
+            in_window = has & (ts_s[conv_pos] - ts_s[cand] <= window_us)
+            credited = np.where(in_window, types[cand], "(none)")
+        t = pa.table({
+            "touch_type": pa.array(list(credited), pa.string()),
+            "one": pa.nulls(len(conv_pos), pa.int64()).fill_null(1),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("touch_type", use_threads=False).aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({
+            "touch_type": g.column("touch_type"),
+            "n_conversions": pc.cast(g.column("one_sum"), pa.int64()),
+            "value_cents": pc.cast(g.column("cents_sum"), pa.int64()),
+        })
+
+    return (
+        ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+        .groupby("touch_type").aggregate(Sum("n_conversions"),
+                                         Sum("value_cents"))
+        .map_batches(
+            lambda b: pa.table({
+                "touch_type": b.column("touch_type"),
+                "n_conversions": b.column("sum(n_conversions)"),
+                "value_cents": b.column("sum(value_cents)"),
+            }),
+            batch_format="pyarrow",
+        )
+    )

@@ -1142,3 +1142,41 @@ def test_table_diff_semantics(ray_session):
         got = {r["k"]: (r["change_type"], r["old_v"], r["new_v"])
                for r in rows}
         assert got == want, f"blocks={blocks}"
+
+
+def test_last_touch_attribution(ray_session):
+    """Window expiry, strict precedence, latest-touch-wins, and '(none)'
+    fallback; layout-invariant."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import last_touch_attribution
+
+    # user 1: view@0, click@50, purchase@100 (credit click);
+    #         purchase@2000 (window 500 expired -> none)
+    # user 2: purchase@10 with no touches -> none
+    # user 3: click@5, view@6, purchase@7 -> view (latest wins)
+    rows = [
+        (1, 0, 0, "view", 0.0), (1, 50, 1, "click", 0.0),
+        (1, 100, 2, "purchase", 10.0), (1, 2000, 3, "purchase", 5.0),
+        (2, 10, 4, "purchase", 2.0),
+        (3, 5, 5, "click", 0.0), (3, 6, 6, "view", 0.0),
+        (3, 7, 7, "purchase", 1.5),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "eid": pa.array([r[2] for r in rows], pa.int64()),
+        "et": pa.array([r[3] for r in rows], pa.string()),
+        "v": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    want = {"click": (1, 1000), "view": (1, 150), "(none)": (2, 700)}
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = last_touch_attribution(
+            ds, key_col="u", ts_col="ts", tiebreak_col="eid",
+            type_col="et", value_col="v",
+            touch_types=("view", "click"), convert_type="purchase",
+            window_us=500)
+        got = {r["touch_type"]: (r["n_conversions"], r["value_cents"])
+               for r in out.take_all()}
+        assert got == want, f"blocks={blocks}"
