@@ -2379,6 +2379,21 @@ def q_rollup_events(sf_dir: str):
     return grouped_rollup(ds, ["event_type", "user_id"], "value_cents")
 
 
+def q_cube_events(sf_dir: str):
+    """CUBE (event_type, user_id): integer-cent sums + counts at all four
+    grouping sets in one combiner-first pass — rollup's lattice
+    completion (adds the user_id-only slice ROLLUP lacks)."""
+    from connect_smts_ray.ops.relational import grouped_cube
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.select(["event_type", "user_id", "value_cents"]),
+            batch_format="pyarrow",
+        )
+    return grouped_cube(ds, ["event_type", "user_id"], "value_cents")
+
+
 def q_pivot_user_events(sf_dir: str):
     """PIVOT event_type → one count column per type, per user —
     conditional aggregation, one grouped integer sum."""
@@ -2574,6 +2589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_events": q_skew_join_events,
         "table_diff_orders": q_table_diff_orders,
         "attribution_events": q_attribution_events,
+        "cube_events": q_cube_events,
         "event_transitions": q_event_transitions,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
@@ -4319,6 +4335,14 @@ def oracle_sql() -> dict[str, str]:
                        AS bin_start_cents,
                    CAST(count(*) AS BIGINT) AS n
             FROM c GROUP BY 1
+        """,
+        "cube_events": """
+            SELECT event_type, user_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_val
+            FROM events
+            GROUP BY CUBE (event_type, user_id)
         """,
         "rollup_events": """
             SELECT event_type, user_id,

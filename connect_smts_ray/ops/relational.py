@@ -1265,3 +1265,76 @@ def last_touch_attribution(ds, key_col: str, ts_col: str, tiebreak_col: str,
             batch_format="pyarrow",
         )
     )
+
+
+def grouped_cube(ds, key_cols, value_col: str):
+    """CUBE aggregation: integer sums + counts at EVERY key subset (all
+    2^K grouping sets) — ``grouped_rollup``'s prefix hierarchy widened to
+    the full lattice. Same engineering: per-block partials emit one row
+    per (subset, distinct key-combination) before the single groupby, and
+    aggregated key slots travel as typed sentinels plus a ``__gmask``
+    bitmask (bit i set = key i aggregated away) that both disambiguates
+    real ""/0 keys from sentinels and becomes the SQL NULL pattern in the
+    final map. Keep K small — the partial fan-out is 2^K rows per
+    distinct combination (K ≤ 4 in practice, like SQL CUBE).
+
+    Output: key_cols..., n_rows, sum_val (value sums must be integer for
+    associativity — the fixed-point contract shared with grouped_rollup).
+    """
+    key_cols = list(key_cols)
+    K = len(key_cols)
+
+    def _sentinel(typ):
+        return pa.scalar("", typ) if pa.types.is_string(typ) \
+            else pa.scalar(0, typ)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for mask in range(1 << K):
+            keys = [k for i, k in enumerate(key_cols)
+                    if not (mask >> i) & 1]
+            if keys:
+                g = batch.select(keys + [value_col]) \
+                    .group_by(keys, use_threads=False) \
+                    .aggregate([(value_col, "sum"), ([], "count_all")])
+                cols = {k: g.column(k) for k in keys}
+                n = g.num_rows
+                sums = pc.cast(g.column(f"{value_col}_sum"), pa.int64())
+                cnts = pc.cast(g.column("count_all"), pa.int64())
+            else:
+                n = 1
+                sums = pa.array(
+                    [pc.sum(batch.column(value_col)).as_py() or 0],
+                    pa.int64())
+                cnts = pa.array([batch.num_rows], pa.int64())
+                cols = {}
+            for i, k in enumerate(key_cols):
+                if (mask >> i) & 1:
+                    typ = batch.schema.field(k).type
+                    cols[k] = pa.array([_sentinel(typ).as_py()] * n, typ)
+            cols["__gmask"] = pa.array([mask] * n, pa.int64())
+            cols["sum_val"] = sums
+            cols["n_rows"] = cnts
+            outs.append(pa.table(
+                {k: cols[k]
+                 for k in key_cols + ["__gmask", "n_rows", "sum_val"]}
+            ))
+        return pa.concat_tables(outs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(key_cols + ["__gmask"]).sum(["n_rows", "sum_val"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        gmask = b.column("__gmask")
+        cols = {}
+        for i, k in enumerate(key_cols):
+            col = b.column(k)
+            aggregated = pc.not_equal(
+                pc.bit_wise_and(gmask, pa.scalar(1 << i, pa.int64())),
+                pa.scalar(0, pa.int64()))
+            cols[k] = pc.if_else(aggregated, pa.scalar(None, col.type), col)
+        cols["n_rows"] = pc.cast(b.column("sum(n_rows)"), pa.int64())
+        cols["sum_val"] = pc.cast(b.column("sum(sum_val)"), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

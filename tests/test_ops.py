@@ -1180,3 +1180,30 @@ def test_last_touch_attribution(ray_session):
         got = {r["touch_type"]: (r["n_conversions"], r["value_cents"])
                for r in out.take_all()}
         assert got == want, f"blocks={blocks}"
+
+
+def test_grouped_cube_lattice(ray_session):
+    """CUBE emits all 2^K grouping sets with correct sums, distinguishes
+    a REAL ""/0 key value from an aggregated (NULL) slot, and is
+    layout-invariant."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import grouped_cube
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "", "y"], pa.string()),  # "" is a REAL key
+        "b": pa.array([0, 1, 0, 1], pa.int64()),          # 0 is a REAL key
+        "v": pa.array([1, 2, 4, 8], pa.int64()),
+    })
+    want = {
+        # (a, b) -> (n, sum); None = aggregated
+        ("x", 0): (1, 1), ("x", 1): (1, 2), ("", 0): (1, 4), ("y", 1): (1, 8),
+        ("x", None): (2, 3), ("", None): (1, 4), ("y", None): (1, 8),
+        (None, 0): (2, 5), (None, 1): (2, 10),
+        (None, None): (4, 15),
+    }
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = grouped_cube(ds, ["a", "b"], "v").take_all()
+        got = {(r["a"], r["b"]): (r["n_rows"], r["sum_val"]) for r in rows}
+        assert got == want, f"blocks={blocks}"
