@@ -1935,6 +1935,49 @@ def q_jsonl_roundtrip(sf_dir: str):
     return result
 
 
+def q_avro_roundtrip(sf_dir: str):
+    """Avro container sink + source parity: events → integer-cent
+    projection → ``write_avro`` (deflate, one container per block, from
+    the hand-rolled spec codec in sources/avro.py) → ``read_avro`` →
+    grouped stats. The Kafka-ecosystem wire format, end to end."""
+    from connect_smts_ray.sources.avro import read_avro, write_avro
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.select(["event_id", "event_type", "value_cents"]),
+            batch_format="pyarrow",
+        )
+    out_dir = tempfile.mkdtemp(prefix="csr_avro_")
+    # consume the summary dataset — that's what drives the write
+    n_written = sum(r["n_rows"] for r in write_avro(ds, out_dir).take_all())
+    assert n_written > 0
+    back = read_avro(out_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type", use_threads=False).aggregate([
+            ("value_cents", "sum"), ("event_id", "count"),
+        ])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "cents": pc.cast(g.column("value_cents_sum"), pa.int64()),
+            "n_events": pc.cast(g.column("event_id_count"), pa.int64()),
+        })
+
+    partials = back.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("event_type").sum(["cents", "n_events"])
+    result = agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "sum_cents": pc.cast(b.column("sum(cents)"), pa.int64()),
+            "n_events": pc.cast(b.column("sum(n_events)"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
 def q_normalize_text(sf_dir: str):
     """Boilerplate cleaning over deterministically-dirtied text (HTML tags
     injected as a pure function of the text so the oracle can reproduce
@@ -2590,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff_orders": q_table_diff_orders,
         "attribution_events": q_attribution_events,
         "cube_events": q_cube_events,
+        "avro_roundtrip": q_avro_roundtrip,
         "event_transitions": q_event_transitions,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
@@ -4029,6 +4073,14 @@ def oracle_sql() -> dict[str, str]:
                        text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
                        AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "avro_roundtrip": """
+            SELECT event_type,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
         "jsonl_roundtrip": """
             SELECT event_type,
