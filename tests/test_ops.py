@@ -1207,3 +1207,35 @@ def test_grouped_cube_lattice(ray_session):
         rows = grouped_cube(ds, ["a", "b"], "v").take_all()
         got = {(r["a"], r["b"]): (r["n_rows"], r["sum_val"]) for r in rows}
         assert got == want, f"blocks={blocks}"
+
+
+def test_resize_image_nearest_neighbor(ray_session):
+    """ResizeImage down- and up-samples with the integer nearest-neighbor
+    map ((x*w_in)//out_w), re-encoding through the real BMP codec."""
+    import ray.data
+
+    from connect_smts_ray.ops.multimodal import (ResizeImage, decode_bmp,
+                                                 encode_bmp)
+
+    rng = np.random.RandomState(9)
+    imgs = [rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            for (h, w) in [(3, 4), (8, 2), (5, 5)]]
+    t = pa.table({
+        "media_id": pa.array(range(len(imgs)), pa.int64()),
+        "payload": pa.array([encode_bmp(i) for i in imgs], pa.binary()),
+    })
+    out_w, out_h = 6, 4
+    res = ray.data.from_arrow(t).map_batches(
+        ResizeImage, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    assert len(res) == len(imgs)
+    for r in res:
+        img_in = imgs[r["media_id"]]
+        h_in, w_in, _ = img_in.shape
+        xs = (np.arange(out_w) * w_in) // out_w
+        ys = (np.arange(out_h) * h_in) // out_h
+        want = img_in[np.ix_(ys, xs)]
+        got = decode_bmp(r["payload"])
+        assert got.shape == (out_h, out_w, 3)
+        assert np.array_equal(got, want), r["media_id"]
