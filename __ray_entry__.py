@@ -2602,16 +2602,17 @@ def q_regex_extract(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry order is deliberate: the driver oracles the FIRST 50 entries
-    # only (CORRECTNESS_r03 window). The 30 queries added in r3 — from
-    # incremental_dedup through regex_extract — had never been driver-checked,
-    # so they lead here; the remaining window slots go to the r4-new
-    # media_png_stats and the flagship CDC/replay + headline dedup/ANN ops.
-    # The 31 queries pushed past the window all have up to three rounds of
-    # green driver history (CORRECTNESS_r01..r03) and stay covered by
+    # only. Every query that has never had a driver-oracle row comes first —
+    # the 30 added in r3 (never checked in CORRECTNESS_r03's window) and the
+    # 17 added in r4 — then three flagship CDC rows as a regression canary.
+    # The 47 queries past the window all have up to three rounds of green
+    # driver history (CORRECTNESS_r01..r03) and stay covered by
     # tests/test_oracle_parity.py, which runs the identical
     # rows+schema+hash protocol over ALL entries.
     return {
-        # -- never driver-checked before r4 (30) --------------------------
+        # -- driver window (first 50): every query that has never had a
+        # -- driver-oracle row — r3's 30 + r4's 17 new ops — plus the
+        # -- three flagship CDC rows as a regression canary ------------
         "incremental_dedup": q_incremental_dedup,
         "curation_pipeline": q_curation_pipeline,
         "normalize_text": q_normalize_text,
@@ -2642,19 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_export": q_training_export,
         "outlier_filter": q_outlier_filter,
         "regex_extract": q_regex_extract,
-        # -- flagship CDC / replay family (driver-green r1-r3) ------------
-        "cdc_replay": q_cdc_replay,
-        "cdc_replay_resume": q_cdc_replay_resume,
-        "replay_lineage": q_replay_lineage,
-        "lww_upsert_events": q_lww_upsert_events,
-        "expand_json_events": q_expand_json_events,
-        "expand_json_evolution": q_expand_json_evolution,
-        "outbox_partition_number": q_outbox_partition_number,
-        "outbox_partition_key": q_outbox_partition_key,
-        "encrypt_roundtrip": q_encrypt_roundtrip,
-        "sanitize_names": q_sanitize_names,
-        "schema_serde": q_schema_serde,
-        # -- new in r4 (never driver-checked) ------------------------------
+        # -- r4-new operators (17) ------------------------------------
         "media_png_stats": q_media_png_stats,
         "funnel_steps": q_funnel_steps,
         "media_y4m_stats": q_media_y4m_stats,
@@ -2672,7 +2661,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip": q_avro_roundtrip,
         "media_resize_stats": q_media_resize_stats,
         "event_transitions": q_event_transitions,
-        # -- headline dedup / ANN (driver-green r1-r3) ---------------------
+        # -- flagship CDC canary (driver-green r1-r3) -------------------
+        "cdc_replay": q_cdc_replay,
+        "lww_upsert_events": q_lww_upsert_events,
+        "expand_json_events": q_expand_json_events,
+        # -- past the window: up to three rounds of green driver history
+        # -- (CORRECTNESS_r01..r03); still fully covered by the in-repo
+        # -- parity suite over ALL entries ------------------------------
+        "cdc_replay_resume": q_cdc_replay_resume,
+        "replay_lineage": q_replay_lineage,
+        "expand_json_evolution": q_expand_json_evolution,
+        "outbox_partition_number": q_outbox_partition_number,
+        "outbox_partition_key": q_outbox_partition_key,
+        "encrypt_roundtrip": q_encrypt_roundtrip,
+        "sanitize_names": q_sanitize_names,
+        "schema_serde": q_schema_serde,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -2682,10 +2685,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_clusters": q_embedding_clusters,
-        # ------------------------------------------------------------------
-        # Entries below fall outside the driver's 50-row oracle window;
-        # each was hash-green in CORRECTNESS_r01-r03 and remains covered by
-        # the full local parity suite.
         "sample_documents": q_sample_documents,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
