@@ -137,7 +137,10 @@ def run_bench() -> dict:
                      "asof_join_orders", "vocab_topk", "tfidf_top_terms",
                      "pack_sequences", "range_join_lineitem",
                      "embedding_clusters", "curation_pipeline",
-                     "token_rarity", "global_shuffle_rank"):
+                     "token_rarity", "global_shuffle_rank",
+                     "pagerank_orders", "triangle_counts",
+                     "local_supplier_volume", "cohort_retention",
+                     "skew_join_events"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

@@ -16,11 +16,16 @@ commutative, so the result is bit-identical at any parallelism — the
 same determinism contract the binlog/LWW pipeline keeps.
 
 Scale notes (100-TB regime):
-- per-round cost is 2 hash shuffles of |edges| + |nodes| rows — the
-  minimum for a rank-routing round without a persistent partitioner;
-  a co-partitioned implementation could cache the edge shuffle, which
-  Ray Data's stateless all-to-all does not express today (documented
-  partitioning assumption).
+- the per-round rank join goes through ``auto_join``: while the rank
+  table fits the broadcast limit (millions of nodes) the edge set never
+  shuffles — one ``ray.put`` of ranks per round, merged per batch; past
+  the limit the same call site flips to the partitioned hash exchange
+  (2 shuffles of |edges| + |nodes| rows, the minimum for a rank-routing
+  round without a persistent partitioner — a co-partitioned
+  implementation could cache the edge shuffle, which Ray Data's
+  stateless all-to-all does not express today).
+- contribution sums are combiner-first: each map task collapses its
+  block to ≤ |distinct dst| partial rows before the groupby shuffle.
 - int64 headroom: a single node's inbound sum is bounded by the total
   mass ``n_nodes × init``; keep ``damping[0] × n_nodes × init < 2^63``
   (at the default init=10^9 that is ~10^8 nodes; drop init to 10^6 for
@@ -40,7 +45,8 @@ from connect_smts_ray.ops.components import hash_join, hash_join_multi
 
 
 def pagerank(edges, iterations: int = 3, num_partitions: int = 16,
-             damping: tuple = (85, 100), init: int = 10**9):
+             damping: tuple = (85, 100), init: int = 10**9,
+             broadcast_limit: int = 2_000_000):
     """Edge Dataset[src:int64, dst:int64] → Dataset[node:int64, pr:int64].
 
     ``pr`` after K rounds of r'(u) = base + (d_num · Σ_{v→u} r(v)⌊/⌋deg(v))
@@ -50,6 +56,8 @@ def pagerank(edges, iterations: int = 3, num_partitions: int = 16,
     """
     import ray.data
     from ray.data.aggregate import Sum
+
+    from connect_smts_ray.ops.relational import auto_join
 
     d_num, d_den = damping
     base = ((d_den - d_num) * init) // d_den
@@ -62,9 +70,9 @@ def pagerank(edges, iterations: int = 3, num_partitions: int = 16,
     outdeg = edges.groupby("src").count()  # (src, count())
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     deg_schema = pa.schema([("src", pa.int64()), ("count()", pa.int64())])
-    edges_deg = hash_join(
-        edges, outdeg, left_on="src", right_on="src",
-        num_partitions=num_partitions,
+    edges_deg = auto_join(
+        edges, outdeg, on="src",
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
         left_schema=edge_schema, right_schema=deg_schema,
     ).materialize()
     edges_deg_schema = pa.schema(
@@ -100,20 +108,32 @@ def pagerank(edges, iterations: int = 3, num_partitions: int = 16,
     ranks_schema = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
 
     for _ in range(iterations):
-        joined = hash_join(
-            edges_deg, ranks, left_on="src", right_on="node",
-            num_partitions=num_partitions,
-            left_schema=edges_deg_schema, right_schema=ranks_schema,
-        )
-        contrib = joined.map_batches(
-            lambda b: pa.table({
-                "dst": b.column("dst"),
-                # floor division is exact in int64 — no reduction-order
-                # dependence anywhere in the round
-                "c": pc.divide(b.column("pr"), b.column("count()")),
-            }),
+        ranks_keyed = ranks.map_batches(
+            lambda b: pa.table({"src": b.column("node"),
+                                "pr": b.column("pr")}),
             batch_format="pyarrow",
         )
+        joined = auto_join(
+            edges_deg, ranks_keyed, on="src",
+            num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+            left_schema=edges_deg_schema,
+            right_schema=pa.schema([("src", pa.int64()),
+                                    ("pr", pa.int64())]),
+        )
+
+        def contrib_partial(b: pa.Table) -> pa.Table:
+            # floor division is exact in int64 — no reduction-order
+            # dependence anywhere in the round; collapse per-dst inside
+            # the task so the shuffle carries ≤ |distinct dst| rows/block
+            t = pa.table({
+                "dst": b.column("dst"),
+                "c": pc.divide(b.column("pr"), b.column("count()")),
+            })
+            g = t.group_by("dst", use_threads=False).aggregate([("c", "sum")])
+            return pa.table({"dst": g.column("dst"),
+                             "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+        contrib = joined.map_batches(contrib_partial, batch_format="pyarrow")
         sums = contrib.union(nodes).groupby("dst").aggregate(Sum("c"))
         ranks = sums.map_batches(
             lambda b: pa.table({
@@ -207,15 +227,19 @@ def triangle_counts(edges, num_partitions: int = 16):
         lambda b: pa.table({"hi": b.column("node"),
                             "deg_hi": b.column("count()")}),
         batch_format="pyarrow")
-    with_lo = hash_join(
-        simple, deg_lo, left_on="lo", right_on="lo",
+    from connect_smts_ray.ops.relational import auto_join
+
+    # degree side is |V| rows — auto_join broadcasts it below the limit
+    # (edges never shuffle for these) and hash-exchanges above
+    with_lo = auto_join(
+        simple, deg_lo, on="lo",
         num_partitions=num_partitions,
         left_schema=simple_schema,
         right_schema=pa.schema([("lo", pa.int64()),
                                 ("deg_lo", pa.int64())]),
     )
-    with_both = hash_join(
-        with_lo, deg_hi, left_on="hi", right_on="hi",
+    with_both = auto_join(
+        with_lo, deg_hi, on="hi",
         num_partitions=num_partitions,
         left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
                                ("deg_lo", pa.int64())]),
@@ -276,14 +300,19 @@ def triangle_counts(edges, num_partitions: int = 16):
     )
 
     def corners(b: pa.Table) -> pa.Table:
-        return pa.table({
+        t = pa.table({
             "node": pa.concat_arrays([
                 b.column("a").combine_chunks(),
                 b.column("b").combine_chunks(),
                 b.column("c").combine_chunks(),
             ]),
-            "t": pa.nulls(3 * b.num_rows, pa.int64()).fill_null(1),
         })
+        # combiner: a block's 3·rows corner stream collapses to its
+        # distinct nodes before the shuffle
+        g = t.group_by("node", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "t": pc.cast(g.column("count_all"), pa.int64())})
 
     zeros = deg.map_batches(
         lambda b: pa.table({
