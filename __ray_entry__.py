@@ -1145,6 +1145,20 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top.map_batches(attach_est, batch_format="pyarrow")
 
 
+def q_user_value_trend(sf_dir: str):
+    """Per-user OLS trend of event value (cents) over time: exact int64
+    moment sums (x centered on each user's min ts), one float division
+    at the end — bit-identical at any parallelism. See
+    ops/relational.py:grouped_ols_trend."""
+    from connect_smts_ray.ops.relational import grouped_ols_trend
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = ds.map_batches(_append_value_cents, batch_format="pyarrow")
+    out = grouped_ols_trend(ds, key_col="user_id", ts_col="ts",
+                            value_cents_col="value_cents")
+    return out.sort("user_id")
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix over events: users bucketed by
     first-seen epoch-week, counted per (cohort, week-offset) cell.
@@ -2665,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_events": q_cube_events,
         "avro_roundtrip": q_avro_roundtrip,
         "media_resize_stats": q_media_resize_stats,
+        "user_value_trend": q_user_value_trend,
         "event_transitions": q_event_transitions,
         # -- flagship CDC canary (driver-green r1-r3) -------------------
         "cdc_replay": q_cdc_replay,
@@ -3602,6 +3617,42 @@ def oracle_sql() -> dict[str, str]:
         # Retention oracle: period = floor(us-since-epoch / week). epoch()
         # returns seconds with fraction; multiplying to microseconds before
         # the floor keeps the two sides' bucket edges identical.
+        # OLS oracle: HUGEINT-exact moment sums in SQL, then the SAME
+        # single double divisions the engine performs (slope first, then
+        # intercept from it) — identical operand order, identical bits.
+        "user_value_trend": """
+            WITH b AS (
+              SELECT user_id AS k,
+                     epoch_us(ts) // 1000000 AS sec,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+            ),
+            m AS (SELECT k, min(sec) AS ts0 FROM b GROUP BY k),
+            s AS (
+              SELECT b.k,
+                     count(*) AS n,
+                     sum(b.sec - m.ts0) AS sx,
+                     sum(b.y) AS sy,
+                     sum((b.sec - m.ts0) * b.y) AS sxy,
+                     sum((b.sec - m.ts0) * (b.sec - m.ts0)) AS sxx
+              FROM b JOIN m USING (k) GROUP BY b.k
+            )
+            SELECT k AS user_id,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (CAST(sy AS DOUBLE)
+                              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                   END AS intercept
+            FROM s
+            ORDER BY user_id
+        """,
         "cohort_retention": """
             WITH pw AS (
               SELECT DISTINCT user_id,

@@ -1338,3 +1338,121 @@ def grouped_cube(ds, key_cols, value_col: str):
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_ols_trend(ds, key_col: str, ts_col: str, value_cents_col: str,
+                      num_partitions: int = 16):
+    """Per-key least-squares trend (slope + intercept of value vs time) —
+    the per-entity feature-engineering regression, computed EXACTLY from
+    integer moment sums so the result is bit-identical at any
+    parallelism.
+
+    Two combiner-first passes:
+    1. per-key min(ts) (per-block partial mins → tiny groupby), joined
+       back via ``auto_join`` (broadcast at dimension scale, hash
+       exchange above it);
+    2. per-block partial sums of (n, Σx, Σy, Σxy, Σx²) with
+       x = seconds since the key's min ts (int64) and y = integer cents
+       → one grouped sum.
+
+    Centering on min(ts) is what keeps int64 exact: raw epoch seconds
+    square to ~3e18 and overflow immediately, while a span-bounded x
+    keeps Σx² < 2^63 for ~10⁶ rows/key over a year (guard documented).
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) evaluated as ONE float
+    division of two exact int64s — deterministic on both engine and SQL
+    sides. Degenerate keys (n < 2 or zero x-variance) emit NULL slope.
+
+    Output: (key, n BIGINT, slope DOUBLE, intercept DOUBLE).
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    from ray.data.aggregate import Sum
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "k": b.column(key_col),
+            "ts0": pc.divide(_ts_us_int64(b.column(ts_col)),
+                             pa.scalar(1_000_000, pa.int64())),
+        })
+        g = t.group_by("k", use_threads=False).aggregate([("ts0", "min")])
+        return pa.table({"k": g.column("k"), "ts0": g.column("ts0_min")})
+
+    mins = (
+        ds.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("k").min("ts0")
+        .map_batches(
+            lambda b: pa.table({"k": b.column("k"),
+                                "ts0": b.column("min(ts0)")}),
+            batch_format="pyarrow")
+    )
+
+    keyed = ds.map_batches(
+        lambda b: pa.table({
+            "k": b.column(key_col),
+            "sec": pc.divide(_ts_us_int64(b.column(ts_col)),
+                             pa.scalar(1_000_000, pa.int64())),
+            "y": pc.cast(b.column(value_cents_col), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(keyed, mins, on="k",
+                       num_partitions=num_partitions)
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        x = pc.subtract(b.column("sec"), b.column("ts0"))
+        y = b.column("y")
+        t = pa.table({
+            "k": b.column("k"),
+            "n": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+            "sx": x,
+            "sy": y,
+            "sxy": pc.multiply(x, y),
+            "sxx": pc.multiply(x, x),
+            "ts0": b.column("ts0"),
+        })
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+             ("sxx", "sum"), ("ts0", "min")])
+        return pa.table({
+            "k": g.column("k"),
+            "n": pc.cast(g.column("n_sum"), pa.int64()),
+            "sx": pc.cast(g.column("sx_sum"), pa.int64()),
+            "sy": pc.cast(g.column("sy_sum"), pa.int64()),
+            "sxy": pc.cast(g.column("sxy_sum"), pa.int64()),
+            "sxx": pc.cast(g.column("sxx_sum"), pa.int64()),
+        })
+
+    sums = (
+        joined.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("n"), Sum("sx"), Sum("sy"),
+                                Sum("sxy"), Sum("sxx"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("sum(n)"), pa.int64())
+        sx = b.column("sum(sx)")
+        sy = b.column("sum(sy)")
+        sxy = b.column("sum(sxy)")
+        sxx = b.column("sum(sxx)")
+        num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+        den = pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx))
+        ok = pc.not_equal(den, pa.scalar(0, pa.int64()))
+        slope = pc.if_else(
+            ok,
+            pc.divide(pc.cast(num, pa.float64()),
+                      pc.cast(pc.if_else(ok, den,
+                                         pa.scalar(1, pa.int64())),
+                              pa.float64())),
+            pa.scalar(None, pa.float64()))
+        intercept = pc.if_else(
+            ok,
+            pc.divide(
+                pc.subtract(pc.cast(sy, pa.float64()),
+                            pc.multiply(slope,
+                                        pc.cast(sx, pa.float64()))),
+                pc.cast(n, pa.float64())),
+            pa.scalar(None, pa.float64()))
+        return pa.table({key_col: b.column("k"), "n": n,
+                         "slope": slope, "intercept": intercept})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

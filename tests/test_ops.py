@@ -1239,3 +1239,42 @@ def test_resize_image_nearest_neighbor(ray_session):
         got = decode_bmp(r["payload"])
         assert got.shape == (out_h, out_w, 3)
         assert np.array_equal(got, want), r["media_id"]
+
+
+def test_grouped_ols_trend_exact(ray_session):
+    """Per-key OLS slope/intercept equal a numpy polyfit oracle on exact
+    integer data; degenerate keys (n<2 or zero x-variance) give NULLs;
+    layout-invariant."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import grouped_ols_trend
+
+    rows = [
+        # key 1: y = 3x + 700 exactly over x in {0, 10, 20, 30}
+        (1, 0, 700), (1, 10, 730), (1, 20, 760), (1, 30, 790),
+        # key 2: noisy
+        (2, 0, 100), (2, 5, 180), (2, 12, 90), (2, 20, 260),
+        # key 3: single point -> NULL
+        (3, 7, 500),
+        # key 4: two points, same timestamp -> zero x-variance -> NULL
+        (4, 9, 10), (4, 9, 20),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+        "cents": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = {r["u"]: r for r in grouped_ols_trend(
+            ds, key_col="u", ts_col="ts",
+            value_cents_col="cents").take_all()}
+        assert out[1]["slope"] == pytest.approx(3.0) \
+            and out[1]["intercept"] == pytest.approx(700.0)
+        xs = np.array([0, 5, 12, 20.0])
+        ys = np.array([100, 180, 90, 260.0])
+        m, c = np.polyfit(xs, ys, 1)
+        assert out[2]["slope"] == pytest.approx(m)
+        assert out[2]["intercept"] == pytest.approx(c)
+        assert out[3]["slope"] is None and out[3]["intercept"] is None
+        assert out[4]["slope"] is None and out[4]["n"] == 2
