@@ -1145,6 +1145,56 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top.map_batches(attach_est, batch_format="pyarrow")
 
 
+def q_full_outer_activity(sf_dir: str):
+    """FULL OUTER join of two grouped aggregates — event activity per
+    user vs order count per customer on the shared key space: matched,
+    left-only, and right-only rows all survive with a coalesced key
+    (the reconciliation join shape table_diff builds on)."""
+    from connect_smts_ray.ops.components import hash_join
+    from ray.data.aggregate import Sum
+
+    events = _read(sf_dir, "events", columns=["user_id"])
+
+    def ev_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"k": g.column("user_id"),
+                         "n_events": pc.cast(g.column("count_all"),
+                                             pa.int64())})
+
+    ev = events.map_batches(ev_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n_events")) \
+        .map_batches(
+            lambda b: pa.table({"k": b.column("k"),
+                                "n_events": b.column("sum(n_events)")}),
+            batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"ck": g.column("o_custkey"),
+                         "n_orders": pc.cast(g.column("count_all"),
+                                             pa.int64())})
+
+    od = orders.map_batches(ord_partial, batch_format="pyarrow") \
+        .groupby("ck").aggregate(Sum("n_orders")) \
+        .map_batches(
+            lambda b: pa.table({"ck": b.column("ck"),
+                                "n_orders": b.column("sum(n_orders)")}),
+            batch_format="pyarrow")
+
+    out = hash_join(
+        ev, od, left_on="k", right_on="ck", how="full_outer",
+        left_schema=pa.schema([("k", pa.int64()),
+                               ("n_events", pa.int64())]),
+        right_schema=pa.schema([("ck", pa.int64()),
+                                ("n_orders", pa.int64())]),
+    )
+    return out.sort("k")
+
+
 def q_user_value_trend(sf_dir: str):
     """Per-user OLS trend of event value (cents) over time: exact int64
     moment sums (x centered on each user's min ts), one float division
@@ -2680,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip": q_avro_roundtrip,
         "media_resize_stats": q_media_resize_stats,
         "user_value_trend": q_user_value_trend,
+        "full_outer_activity": q_full_outer_activity,
         "event_transitions": q_event_transitions,
         # -- flagship CDC canary (driver-green r1-r3) -------------------
         "cdc_replay": q_cdc_replay,
@@ -3617,6 +3668,19 @@ def oracle_sql() -> dict[str, str]:
         # Retention oracle: period = floor(us-since-epoch / week). epoch()
         # returns seconds with fraction; multiplying to microseconds before
         # the floor keeps the two sides' bucket edges identical.
+        "full_outer_activity": """
+            WITH ev AS (
+              SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1
+            ),
+            od AS (
+              SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1
+            )
+            SELECT COALESCE(ev.k, od.ck) AS k, ev.n_events, od.n_orders
+            FROM ev FULL OUTER JOIN od ON ev.k = od.ck
+            ORDER BY k
+        """,
         # OLS oracle: HUGEINT-exact moment sums in SQL, then the SAME
         # single double divisions the engine performs (slope first, then
         # intercept from it) — identical operand order, identical bits.

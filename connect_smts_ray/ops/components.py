@@ -75,9 +75,12 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
               right_schema: pa.Schema | None = None):
     """Reduce-side hash join of two Datasets on single key columns.
 
-    Output columns: left's columns plus (for ``inner``/``left_outer``)
-    right's non-key columns; ``left_anti`` / ``left_semi`` keep left's
-    columns only. Non-key column names must be disjoint between the sides
+    Output columns: left's columns plus (for ``inner`` / ``left_outer``
+    / ``full_outer``) right's non-key columns; ``left_anti`` /
+    ``left_semi`` keep left's columns only. ``full_outer`` coalesces the
+    key (right-only rows carry their key in the left key column) and
+    keeps null-key rows from BOTH sides unmatched, SQL-style; for a
+    right_outer, flip the sides. Non-key column names must be disjoint between the sides
     (pre-rename). One shuffle (both sides hash-bucket on the key); each
     bucket joins with the vectorized Arrow join kernel (anti/semi use an
     ``is_in`` membership mask instead — acero rejects list-typed non-key
@@ -88,7 +91,8 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
     upstream plan, and on a plan ending in a shuffle that means running the
     whole shuffle once for the probe and again for the real consumption.
     """
-    if how not in ("inner", "left_outer", "left_anti", "left_semi"):
+    if how not in ("inner", "left_outer", "full_outer",
+                   "left_anti", "left_semi"):
         raise ValueError(f"unsupported join type {how}")
     if left_schema is None:
         left_schema = _to_arrow_schema(left.schema())
@@ -97,7 +101,7 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
     if left_schema is None:  # empty left → nothing to join
         return left
     if right_schema is None:  # empty right: anti/outer keep left, inner/semi drop
-        if how == "left_anti" or how == "left_outer":
+        if how in ("left_anti", "left_outer", "full_outer"):
             return left  # left_outer: right cols unknowable; caller handles
         return left.limit(0)
     left_cols = list(left_schema.names)
@@ -141,7 +145,7 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
 
     out_cols = (
         left_cols + [n for n in right_cols if n != right_on]
-        if how in ("inner", "left_outer") else list(left_cols)
+        if how in ("inner", "left_outer", "full_outer") else list(left_cols)
     )
     # acero (pa.Table.join) rejects list-typed NON-KEY columns; if either
     # side carries one (e.g. an embedding payload) the per-bucket join
@@ -166,23 +170,44 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
         # null==null — drop null right keys so a null left key matches
         # nothing (inner: row dropped; left_outer: right columns null),
         # keeping both per-bucket join kernels row-identical.
+        rnull = rdf[rdf["k"].isna()]
         rdf = rdf[rdf["k"].notna()]
-        m = ldf.merge(rdf, on="k", how="inner" if how == "inner" else "left")
-        lpart = ltab.take(pa.array(m["li"].to_numpy(), type=pa.int64()))
+        if how == "full_outer":
+            # null keys must not match on either side; null-key rows of
+            # BOTH sides re-enter as unmatched (pandas matches NaN == NaN,
+            # so they are excluded from the merge itself)
+            lnull = ldf[ldf["k"].isna()]
+            m = ldf[ldf["k"].notna()].merge(rdf, on="k", how="outer")
+            m = pd.concat([m, lnull, rnull], ignore_index=True)
+        else:
+            m = ldf.merge(rdf, on="k",
+                          how="inner" if how == "inner" else "left")
+        li = pa.array(pd.array(m["li"], dtype="Int64"))  # null = right-only
+        lpart = ltab.take(li)
         ri = pa.array(pd.array(m["ri"], dtype="Int64"))  # null = outer miss
         rpart = rtab.drop_columns([right_on]).take(ri)
         for name in rpart.column_names:
             lpart = lpart.append_column(name, rpart.column(name))
+        if how == "full_outer":
+            # coalesce the key: right-only rows carry their key in the
+            # left key slot (acero's full-outer behavior, SQL USING)
+            rkey = rtab.column(right_on).take(ri)
+            coalesced = pc.coalesce(lpart.column(left_on), rkey)
+            lpart = lpart.set_column(
+                lpart.column_names.index(left_on),
+                lpart.schema.field(left_on).with_type(coalesced.type),
+                coalesced)
         return lpart.select(out_cols)
 
     def merge(group: pa.Table) -> pa.Table:
         lmask = pc.equal(group.column("__side"), pa.scalar(0, pa.int8()))
         ltab = group.filter(lmask).select(left_cols)
         rtab = group.filter(pc.invert(lmask)).select(right_cols)
-        if how in ("inner", "left_outer"):
+        if how in ("inner", "left_outer", "full_outer"):
             if _list_payload:
                 return _gather_join(ltab, rtab)
-            arrow_how = "inner" if how == "inner" else "left outer"
+            arrow_how = {"inner": "inner", "left_outer": "left outer",
+                         "full_outer": "full outer"}[how]
             return ltab.join(
                 rtab, keys=[left_on], right_keys=[right_on],
                 join_type=arrow_how,

@@ -1278,3 +1278,63 @@ def test_grouped_ols_trend_exact(ray_session):
         assert out[2]["intercept"] == pytest.approx(c)
         assert out[3]["slope"] is None and out[3]["intercept"] is None
         assert out[4]["slope"] is None and out[4]["n"] == 2
+
+
+def test_hash_join_full_outer(ray_session):
+    """full_outer matches DuckDB FULL OUTER JOIN semantics — coalesced
+    key, both sides' unmatched rows kept, null keys match nothing — on
+    both the acero kernel and the list-payload gather fallback."""
+    import collections
+
+    import duckdb
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join
+
+    lt = pa.table({
+        "k": pa.array([1, 2, 2, None, 5], pa.int64()),
+        "lv": pa.array([10, 20, 21, 30, 50], pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array([2, 3, None], pa.int64()),
+        "rv": pa.array([200, 300, 400], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("l", lt.to_pandas())
+    con.register("r", rt.to_pandas())
+    want_df = con.execute("""
+        SELECT COALESCE(l.k, r.k) AS k, l.lv, r.rv
+        FROM l FULL OUTER JOIN r ON l.k = r.k
+    """).df()
+    want = collections.Counter(
+        (None if __import__("pandas").isna(a) else int(a),
+         None if __import__("pandas").isna(b) else int(b),
+         None if __import__("pandas").isna(c) else int(c))
+        for a, b, c in want_df.itertuples(index=False))
+
+    lsch = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rsch = pa.schema([("k", pa.int64()), ("rv", pa.int64())])
+    for blocks in (1, 3):
+        left = ray.data.from_arrow(lt).repartition(blocks)
+        right = ray.data.from_arrow(rt).repartition(blocks)
+        got = collections.Counter(
+            (r["k"], r["lv"], r["rv"])
+            for r in hash_join(left, right, left_on="k", right_on="k",
+                               how="full_outer", left_schema=lsch,
+                               right_schema=rsch).take_all())
+        assert got == want, f"acero blocks={blocks}"
+
+    # list-payload gather path: add a list column to force the fallback
+    lt2 = lt.append_column(
+        "emb", pa.array([[1.0], [2.0], [2.5], [3.0], [5.0]],
+                        pa.list_(pa.float64())))
+    lsch2 = pa.schema(list(lsch) + [pa.field("emb",
+                                             pa.list_(pa.float64()))])
+    got2 = collections.Counter(
+        (r["k"], r["lv"], r["rv"])
+        for r in hash_join(ray.data.from_arrow(lt2),
+                           ray.data.from_arrow(rt),
+                           left_on="k", right_on="k", how="full_outer",
+                           left_schema=lsch2, right_schema=rsch,
+                           ).take_all())
+    assert got2 == want
