@@ -584,3 +584,84 @@ def stype_from_dict(d: dict) -> SType:
         )
         return SType(kind, name=name, optional=optional, fields=fields)
     return SType(kind, name=name, optional=optional)
+
+
+# ---------------------------------------------------------------------------
+# Schema-registry compatibility (public Confluent/Avro resolution semantics;
+# reference analog: none in-repo — the registry the Connect converters talk
+# to enforces these, so a CDC engine evolving lake schemas needs the gate)
+# ---------------------------------------------------------------------------
+
+# reader kind may be a widening of the writer kind (Avro numeric promotion)
+_PROMOTIONS = {
+    "int32": ("int32", "int64", "float32", "float64"),
+    "int64": ("int64", "float32", "float64"),
+    "float32": ("float32", "float64"),
+}
+
+
+def can_read(reader: SType, writer: SType) -> bool:
+    """True iff data written with ``writer`` decodes under ``reader`` —
+    the Avro schema-resolution rules restricted to this engine's SType
+    kinds. Struct: reader fields missing from the writer must be
+    optional (the 'has default' analog); writer-only fields are skipped
+    by the reader. Numeric kinds follow the standard promotion chain.
+    A writer that may emit null (optional) needs a null-tolerant reader.
+    """
+    if writer.optional and not reader.optional:
+        return False
+    if writer.kind != reader.kind:
+        return reader.kind in _PROMOTIONS.get(writer.kind, ())
+    if reader.kind == "struct":
+        writer_fields = dict(writer.fields or ())
+        for fname, fschema in reader.fields or ():
+            if fname in writer_fields:
+                if not can_read(fschema, writer_fields[fname]):
+                    return False
+            elif not fschema.optional:
+                return False
+        return True
+    if reader.kind == "array":
+        return can_read(reader.element, writer.element)
+    return True
+
+
+def compatibility(old: SType, new: SType) -> str:
+    """Registry verdict for replacing ``old`` with ``new``:
+    BACKWARD (new readers read old data), FORWARD (old readers read new
+    data), FULL (both), NONE (neither)."""
+    backward = can_read(new, old)
+    forward = can_read(old, new)
+    if backward and forward:
+        return "FULL"
+    if backward:
+        return "BACKWARD"
+    if forward:
+        return "FORWARD"
+    return "NONE"
+
+
+def check_compatibility(history, new: SType, mode: str = "BACKWARD") -> bool:
+    """Registry-style gate: may ``new`` be registered after ``history``
+    (oldest → newest) under ``mode``? Non-transitive modes check only the
+    latest schema; ``*_TRANSITIVE`` modes check every ancestor. ``NONE``
+    always admits."""
+    if mode == "NONE":
+        return True
+    base = {"BACKWARD": ("backward", False), "FORWARD": ("forward", False),
+            "FULL": ("full", False),
+            "BACKWARD_TRANSITIVE": ("backward", True),
+            "FORWARD_TRANSITIVE": ("forward", True),
+            "FULL_TRANSITIVE": ("full", True)}
+    if mode not in base:
+        raise ValueError(f"unknown compatibility mode {mode}")
+    direction, transitive = base[mode]
+    targets = list(history) if transitive else list(history)[-1:]
+    for old in targets:
+        backward = can_read(new, old)
+        forward = can_read(old, new)
+        ok = {"backward": backward, "forward": forward,
+              "full": backward and forward}[direction]
+        if not ok:
+            return False
+    return True

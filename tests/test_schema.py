@@ -351,3 +351,78 @@ def test_serde_roundtrip():
     d = stype_to_dict(s)
     assert d["type"] == "STRUCT"
     assert stype_from_dict(d) == s
+
+
+class TestRegistryCompatibility:
+    """Schema-registry verdicts (public Confluent/Avro resolution rules)."""
+
+    def _struct(self, *fields):
+        from connect_smts_ray.core.schema import SType
+        return SType("struct", fields=tuple(fields))
+
+    def test_add_optional_field_is_full(self):
+        from connect_smts_ray.core.schema import SType, compatibility
+        old = self._struct(("a", SType("int64")))
+        new = self._struct(("a", SType("int64")),
+                           ("b", SType("string", optional=True)))
+        assert compatibility(old, new) == "FULL"
+
+    def test_add_required_field_is_forward_only(self):
+        from connect_smts_ray.core.schema import SType, compatibility
+        old = self._struct(("a", SType("int64")))
+        new = self._struct(("a", SType("int64")), ("b", SType("string")))
+        # new readers CANNOT fill required b from old data -> not backward;
+        # old readers skip b -> forward
+        assert compatibility(old, new) == "FORWARD"
+
+    def test_delete_required_field_is_backward_only(self):
+        from connect_smts_ray.core.schema import SType, compatibility
+        old = self._struct(("a", SType("int64")), ("b", SType("string")))
+        new = self._struct(("a", SType("int64")))
+        assert compatibility(old, new) == "BACKWARD"
+
+    def test_kind_change_is_none_without_promotion(self):
+        from connect_smts_ray.core.schema import SType, compatibility
+        old = self._struct(("a", SType("string")))
+        new = self._struct(("a", SType("int64")))
+        assert compatibility(old, new) == "NONE"
+
+    def test_numeric_promotion_reads_one_way(self):
+        from connect_smts_ray.core.schema import SType, can_read
+        assert can_read(SType("float64"), SType("int32"))
+        assert not can_read(SType("int32"), SType("float64"))
+        assert can_read(SType("int64"), SType("int32"))
+        assert not can_read(SType("int32"), SType("int64"))
+
+    def test_optional_writer_needs_null_tolerant_reader(self):
+        from connect_smts_ray.core.schema import SType, can_read
+        assert not can_read(SType("int64"),
+                            SType("int64", optional=True))
+        assert can_read(SType("int64", optional=True), SType("int64"))
+
+    def test_transitive_mode_checks_all_ancestors(self):
+        from connect_smts_ray.core.schema import SType, check_compatibility
+        v1 = self._struct(("a", SType("int64")), ("b", SType("string")))
+        v2 = self._struct(("a", SType("int64")))
+        v3 = self._struct(("a", SType("int64")),
+                          ("b", SType("string", optional=True)))
+        # v3 vs latest-only (v2): backward OK (b optional fills from null)
+        assert check_compatibility([v1, v2], v3, "BACKWARD")
+        # transitive also checks v1: still OK (optional b reads v1's b)
+        assert check_compatibility([v1, v2], v3, "BACKWARD_TRANSITIVE")
+        # a REQUIRED c fails against both
+        v4 = self._struct(("a", SType("int64")), ("c", SType("int64")))
+        assert not check_compatibility([v1, v2], v4, "BACKWARD")
+        assert check_compatibility([v1, v2], v4, "NONE")
+
+    def test_union_result_is_backward_for_both_inputs(self):
+        """The engine's own evolution path (union_types with optional
+        struct fields) always produces a schema that can read data
+        written under either input — the property the LWW sink relies on
+        when merging evolved epochs."""
+        from connect_smts_ray.core.schema import (SType, can_read,
+                                                  union_types)
+        a = self._struct(("x", SType("int64")), ("y", SType("string")))
+        b = self._struct(("x", SType("int64")), ("z", SType("float64")))
+        u = union_types(a, b, optional_struct_fields=False)
+        assert can_read(u, a) and can_read(u, b)
