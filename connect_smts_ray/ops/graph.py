@@ -330,3 +330,156 @@ def triangle_counts(edges, num_partitions: int = 16):
             batch_format="pyarrow")
     )
     return counts
+
+
+def pagerank_resumable(edges, ckpt_dir: str, iterations: int = 3,
+                       num_partitions: int = 16,
+                       damping: tuple = (85, 100), init: int = 10**9,
+                       broadcast_limit: int = 2_000_000):
+    """``pagerank`` with per-iteration CHECKPOINTS — the exactly-once
+    manifest discipline (sinks/manifest.py's atomic-rename commit)
+    applied to iterative compute: after each round the rank table lands
+    in ``ckpt_dir/iter-K/`` as parquet, committed by an atomic rename of
+    a manifest file; a restarted run loads the highest COMMITTED round
+    and runs only the remaining ones. A crash between data write and
+    manifest commit leaves an uncommitted directory that the rerun
+    overwrites — same crash-window reasoning as the LWW sink's
+    (partition, epoch) manifests.
+
+    Because ``pagerank``'s fixed-point arithmetic is bit-deterministic,
+    resume-then-finish produces EXACTLY the single-shot result (pinned in
+    tests) — the property that makes checkpointing sound: no drift
+    between a 10-round run and 10 one-round runs.
+
+    Returns (ranks Dataset, rounds_run_this_call).
+    """
+    import json
+    import os
+
+    import ray.data
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _committed() -> int:
+        done = -1
+        for name in os.listdir(ckpt_dir):
+            if name.startswith("iter-"):
+                k = int(name.split("-")[1])
+                if os.path.exists(os.path.join(ckpt_dir, name,
+                                               "_COMMITTED.json")):
+                    done = max(done, k)
+        return done
+
+    done = _committed()
+    start = min(done, iterations) + 1  # fully committed → run nothing
+    if start > 0:
+        ranks = ray.data.read_parquet(
+            os.path.join(ckpt_dir, f"iter-{min(done, iterations)}"))
+    else:
+        ranks = None
+
+    rounds = 0
+    for k in range(start, iterations + 1):
+        if k == 0:
+            # iteration 0 = the initial rank table (so a crash before any
+            # real round still resumes deterministically)
+            ranks = pagerank(edges, iterations=0,
+                            num_partitions=num_partitions, damping=damping,
+                            init=init, broadcast_limit=broadcast_limit)
+        else:
+            # one more round from the checkpointed state: rerun the rank
+            # recurrence by seeding pagerank's loop with current ranks
+            ranks = _pagerank_round(
+                edges, ranks, num_partitions=num_partitions,
+                damping=damping, init=init,
+                broadcast_limit=broadcast_limit)
+        out = os.path.join(ckpt_dir, f"iter-{k}")
+        tmp_manifest = os.path.join(out, "_COMMITTED.json.tmp")
+        ranks = ranks.materialize()
+        if os.path.isdir(out):  # uncommitted leftover from a crash
+            import shutil
+            shutil.rmtree(out)
+        ranks.write_parquet(out)
+        with open(tmp_manifest, "w") as f:
+            json.dump({"iteration": k, "rows": ranks.count()}, f)
+        os.replace(tmp_manifest, os.path.join(out, "_COMMITTED.json"))
+        rounds += 1
+    if ranks is None:
+        ranks = ray.data.read_parquet(
+            os.path.join(ckpt_dir, f"iter-{iterations}"))
+    return ranks, rounds
+
+
+def _pagerank_round(edges, ranks, num_partitions: int = 16,
+                    damping: tuple = (85, 100), init: int = 10**9,
+                    broadcast_limit: int = 2_000_000):
+    """One rank-routing round over an existing rank table (the loop body
+    of ``pagerank``, factored for checkpoint resume)."""
+    from ray.data.aggregate import Sum
+
+    from connect_smts_ray.ops.relational import auto_join
+
+    d_num, d_den = damping
+    base = ((d_den - d_num) * init) // d_den
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    outdeg = edges.groupby("src").count()
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    deg_schema = pa.schema([("src", pa.int64()), ("count()", pa.int64())])
+    edges_deg = auto_join(
+        edges, outdeg, on="src",
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        left_schema=edge_schema, right_schema=deg_schema,
+    )
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            pc.cast(b.column("src"), pa.int64()).combine_chunks(),
+            pc.cast(b.column("dst"), pa.int64()).combine_chunks(),
+        ])})
+
+    nodes = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node").count()
+        .map_batches(
+            lambda b: pa.table({
+                "dst": b.column("node"),
+                "c": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+    ranks_keyed = ranks.map_batches(
+        lambda b: pa.table({"src": b.column("node"), "pr": b.column("pr")}),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(
+        edges_deg, ranks_keyed, on="src",
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                               ("count()", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()), ("pr", pa.int64())]),
+    )
+
+    def contrib_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "dst": b.column("dst"),
+            "c": pc.divide(b.column("pr"), b.column("count()")),
+        })
+        g = t.group_by("dst", use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"dst": g.column("dst"),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    contrib = joined.map_batches(contrib_partial, batch_format="pyarrow")
+    sums = contrib.union(nodes).groupby("dst").aggregate(Sum("c"))
+    return sums.map_batches(
+        lambda b: pa.table({
+            "node": b.column("dst"),
+            "pr": pc.add(
+                pc.divide(pc.multiply(b.column("sum(c)"), d_num), d_den),
+                base,
+            ),
+        }),
+        batch_format="pyarrow",
+    )

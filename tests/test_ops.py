@@ -1338,3 +1338,46 @@ def test_hash_join_full_outer(ray_session):
                            left_schema=lsch2, right_schema=rsch,
                            ).take_all())
     assert got2 == want
+
+
+def test_pagerank_resumable_checkpoints(ray_session, tmp_path):
+    """Checkpointed pagerank: resume-then-finish equals single-shot
+    bit-for-bit; a crash between data write and manifest commit re-runs
+    that round idempotently; a completed dir re-runs zero rounds."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from connect_smts_ray.ops.graph import pagerank, pagerank_resumable
+
+    edges_t = pa.table({
+        "src": pa.array([0, 1, 1, 2, 3, 3], pa.int64()),
+        "dst": pa.array([1, 2, 2, 3, 1, 4], pa.int64()),
+    })
+
+    def edges():
+        return ray.data.from_arrow(edges_t).repartition(2)
+
+    want = {r["node"]: r["pr"]
+            for r in pagerank(edges(), iterations=4).take_all()}
+
+    # partial run (up to iter-2), then resume to 4
+    d1 = str(tmp_path / "ck1")
+    _, rounds = pagerank_resumable(edges(), d1, iterations=2)
+    assert rounds == 3  # iter-0 (init) + 2 real rounds
+    ranks, rounds2 = pagerank_resumable(edges(), d1, iterations=4)
+    assert rounds2 == 2  # only the remaining rounds ran
+    got = {r["node"]: r["pr"] for r in ranks.take_all()}
+    assert got == want
+
+    # crash window: iter-4 data written but manifest missing -> re-run it
+    os.remove(os.path.join(d1, "iter-4", "_COMMITTED.json"))
+    ranks, rounds3 = pagerank_resumable(edges(), d1, iterations=4)
+    assert rounds3 == 1
+    assert {r["node"]: r["pr"] for r in ranks.take_all()} == want
+
+    # fully committed -> no rounds run, same result read back
+    ranks, rounds4 = pagerank_resumable(edges(), d1, iterations=4)
+    assert rounds4 == 0
+    assert {r["node"]: r["pr"] for r in ranks.take_all()} == want
