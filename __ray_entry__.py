@@ -704,6 +704,38 @@ def q_media_resize_stats(sf_dir: str):
     )
 
 
+def q_media_gif_stats(sf_dir: str):
+    """REAL GIF decode end-to-end: synthesize a palettized GIF per
+    document (index (d + 7x + 13y) % 256, palette i → (i, 2i%256,
+    3i%256)), push it through the real LZW encoder AND decoder, and emit
+    bit-exact per-channel pixel sums the SQL oracle recomputes from the
+    formulas."""
+    from connect_smts_ray.ops.multimodal import DecodeGif, encode_gif
+
+    pal = np.stack([np.arange(256), (2 * np.arange(256)) % 256,
+                    (3 * np.arange(256)) % 256], axis=1).astype(np.uint8)
+
+    def to_gif(b: pa.Table) -> pa.Table:
+        payloads = []
+        for d in b.column("doc_id").to_pylist():
+            w, h = 4 + d % 5, 3 + d % 4
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            idx = ((d + 7 * x + 13 * y) % 256).astype(np.uint8)
+            payloads.append(encode_gif(idx, pal))
+        return pa.table({
+            "media_id": b.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(to_gif, batch_format="pyarrow")
+    return ds.map_batches(
+        DecodeGif, batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1, batch_size=512,
+    )
+
+
 def q_media_png_stats(sf_dir: str):
     """REAL PNG decode end-to-end: synthesize an 8-bit truecolor PNG per
     document (pixel values a pure int function of doc_id/x/y/channel; the
@@ -2731,6 +2763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize_stats": q_media_resize_stats,
         "user_value_trend": q_user_value_trend,
         "full_outer_activity": q_full_outer_activity,
+        "media_gif_stats": q_media_gif_stats,
         "event_transitions": q_event_transitions,
         # -- flagship CDC canary (driver-green r1-r3) -------------------
         "cdc_replay": q_cdc_replay,
@@ -3503,6 +3536,27 @@ def oracle_sql() -> dict[str, str]:
         # side packs that into a padded bottom-up 24-bit BMP and re-reads it
         # with the real parser, so the per-channel sums prove padding/flip/
         # BGR handling are exact. R is file channel 2, G 1, B 0.
+        # GIF oracle: index (d + 7x + 13y) % 256 through palette
+        # i → (i, 2i%256, 3i%256); both sides of the real LZW round-trip
+        # must reproduce these sums exactly.
+        "media_gif_stats": """
+            WITH px AS (
+              SELECT d.doc_id, gx.x, gy.y,
+                     (d.doc_id + 7*gx.x + 13*gy.y) % 256 AS i
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 3 + d.doc_id % 5)) AS x) gx,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 2 + d.doc_id % 4)) AS y) gy
+            )
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 5 AS BIGINT) AS width,
+                   CAST(3 + doc_id % 4 AS BIGINT) AS height,
+                   CAST(sum(i) AS BIGINT) AS sum_r,
+                   CAST(sum((2 * i) % 256) AS BIGINT) AS sum_g,
+                   CAST(sum((3 * i) % 256) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        """,
         # Resize oracle: output pixel (x, y) of the 6×5 resample reads
         # source pixel ((x*w_in)//6, (y*h_in)//5) of the formula image —
         # the same integer floor the engine's index map computes.

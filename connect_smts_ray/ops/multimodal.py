@@ -658,8 +658,9 @@ class DecodeMedia:
                 s = np.pad(s, (0, d - len(s)))
                 n = d
             return s[:n].reshape(d, -1).mean(axis=1) / 32768.0
-        if mime in ("image/bmp", "image/png"):
-            dec = decode_bmp if mime == "image/bmp" else decode_png
+        if mime in ("image/bmp", "image/png", "image/gif"):
+            dec = {"image/bmp": decode_bmp, "image/png": decode_png,
+                   "image/gif": decode_gif}[mime]
             gray = dec(payload).astype(np.float32).mean(axis=2)
             hist, _ = np.histogram(gray, bins=d, range=(0.0, 256.0))
             return hist.astype(np.float32) / max(gray.size, 1)
@@ -670,8 +671,8 @@ class DecodeMedia:
             hist, _ = np.histogram(luma, bins=d, range=(0.0, 256.0))
             return hist.astype(np.float32) / max(luma.size, 1)
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment (wav/bmp/png/y4m "
-            "are real; compressed video and jpeg need ffmpeg/PIL)"
+            f"no codec for {mime!r} in this environment (wav/bmp/png/gif/"
+            "y4m are real; compressed video and jpeg need ffmpeg/PIL)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -751,3 +752,205 @@ class FrameSample:
                 "frame": pa.array(frames, type=pa.binary()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Real GIF codec (GIF89a, single full-frame image, real LZW both ways;
+# public spec — GIF89a specification + standard LZW with 12-bit cap)
+# ---------------------------------------------------------------------------
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index image + (n≤256, 3) palette as a
+    GIF89a file with REAL LZW compression (variable code width, clear on
+    dictionary overflow at 12 bits)."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, int(np.ceil(np.log2(max(n, 2)))))  # GCT size field ≥ 2
+    gct_n = 1 << bits
+    out = bytearray()
+    out += b"GIF89a"
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out += pal.tobytes()
+    # image descriptor: full frame, no LCT, not interlaced
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += b"\x00"
+
+    min_code = max(2, bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+
+    codes = []  # emitted (code, width) stream
+
+    def fresh_dict():
+        return {bytes([i]): i for i in range(1 << min_code)}
+
+    table = fresh_dict()
+    next_code = eoi + 1
+    width = min_code + 1
+    codes.append((clear, width))
+    seq = b""
+    for px in indices.tobytes():
+        trial = seq + bytes([px])
+        if trial in table:
+            seq = trial
+            continue
+        codes.append((table[seq], width))
+        table[trial] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12):
+            codes.append((clear, width))
+            table = fresh_dict()
+            next_code = eoi + 1
+            width = min_code + 1
+        seq = bytes([px])
+    if seq:
+        codes.append((table[seq], width))
+    codes.append((eoi, width))
+
+    # pack codes LSB-first into bytes
+    acc = bit_n = 0
+    payload = bytearray()
+    for code, cw in codes:
+        acc |= code << bit_n
+        bit_n += cw
+        while bit_n >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            bit_n -= 8
+    if bit_n:
+        payload.append(acc & 0xFF)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a file to an (h, w, 3) uint8 RGB array. Supports
+    a single full-frame non-interlaced image with a global color table
+    (exactly what ``encode_gif`` writes and what formula fixtures need);
+    interlaced, sub-rectangle, or multi-frame inputs raise — honest
+    partial coverage, like the video container before Y4M."""
+    mv = memoryview(payload)
+    if bytes(mv[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw = int.from_bytes(mv[6:8], "little")
+    sh = int.from_bytes(mv[8:10], "little")
+    packed = mv[10]
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table is unsupported")
+    gct_n = 2 << (packed & 0x07)
+    palette = np.frombuffer(mv[pos:pos + 3 * gct_n],
+                            dtype=np.uint8).reshape(gct_n, 3)
+    pos += 3 * gct_n
+
+    while pos < len(mv):
+        b = mv[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF contains no image data")
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 1  # label
+            while mv[pos]:
+                pos += 1 + mv[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left = int.from_bytes(mv[pos:pos + 2], "little")
+        top = int.from_bytes(mv[pos + 2:pos + 4], "little")
+        w = int.from_bytes(mv[pos + 4:pos + 6], "little")
+        h = int.from_bytes(mv[pos + 6:pos + 8], "little")
+        ipacked = mv[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF is unsupported")
+        if ipacked & 0x80:
+            raise ValueError("local color tables are unsupported")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("sub-rectangle GIF frames are unsupported")
+
+        min_code = mv[pos]
+        pos += 1
+        data = bytearray()
+        while mv[pos]:
+            ln = mv[pos]
+            data += mv[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        out = bytearray()
+        acc = bit_n = 0
+        prev = None
+        for byte in data:
+            acc |= byte << bit_n
+            bit_n += 8
+            while bit_n >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                bit_n -= width
+                if code == clear:
+                    table = [bytes([i])
+                             for i in range(1 << min_code)] + [b"", b""]
+                    width = min_code + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    bit_n = 0
+                    acc = 0
+                    break
+                if prev is None:
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    else:  # the KwKwK case
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    if (len(table) == (1 << width) and width < 12):
+                        width += 1
+                out += entry
+                prev = entry
+        idx = np.frombuffer(bytes(out[:w * h]), dtype=np.uint8)
+        if len(idx) != w * h:
+            raise ValueError("LZW stream shorter than the frame")
+        return palette[idx.reshape(h, w)]
+    raise ValueError("truncated GIF")
+
+
+class DecodeGif:
+    """Actor stage: GIF payload column → per-row integer image stats
+    (width, height, per-channel pixel sums) through the real LZW path."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("width", "height", "sum_r", "sum_g", "sum_b")}
+        for p in batch.column("payload").to_pylist():
+            if p is None:
+                for k in out:
+                    out[k].append(None)
+                continue
+            img = decode_gif(p).astype(np.int64)
+            h, w, _ = img.shape
+            sums = img.sum(axis=(0, 1))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sum_r"].append(int(sums[0]))
+            out["sum_g"].append(int(sums[1]))
+            out["sum_b"].append(int(sums[2]))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+        })

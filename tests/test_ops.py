@@ -1381,3 +1381,80 @@ def test_pagerank_resumable_checkpoints(ray_session, tmp_path):
     ranks, rounds4 = pagerank_resumable(edges(), d1, iterations=4)
     assert rounds4 == 0
     assert {r["node"]: r["pr"] for r in ranks.take_all()} == want
+
+
+class TestGifCodec:
+    """Real LZW GIF codec: roundtrips, a spec-built golden stream, and
+    honest unsupported-feature failures."""
+
+    def test_roundtrip_various(self):
+        from connect_smts_ray.ops.multimodal import decode_gif, encode_gif
+
+        rng = np.random.RandomState(2)
+        for (h, w, ncol) in [(3, 4, 4), (16, 16, 256), (40, 60, 7),
+                             (1, 1, 2)]:
+            pal = rng.randint(0, 256, size=(ncol, 3)).astype(np.uint8)
+            idx = rng.randint(0, ncol, size=(h, w)).astype(np.uint8)
+            out = decode_gif(encode_gif(idx, pal))
+            assert (out == pal[idx]).all(), (h, w, ncol)
+
+    def test_dictionary_overflow_clears(self):
+        from connect_smts_ray.ops.multimodal import decode_gif, encode_gif
+
+        # long repetitive stream: dictionary hits the 12-bit cap and the
+        # encoder must emit a mid-stream clear (and the KwKwK case fires)
+        idx = np.tile(np.arange(2, dtype=np.uint8),
+                      35000).reshape(200, 350)
+        pal = np.asarray([[0, 0, 0], [255, 255, 255]], np.uint8)
+        assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+    def test_golden_hand_built_stream(self):
+        """A GIF assembled from the spec with an independent bit-packer
+        (clear, literal codes, width bump after code 8, EOI) decodes to
+        the expected pixels — pins the READER to the wire format."""
+        from connect_smts_ray.ops.multimodal import decode_gif
+
+        # 2x2 image, palette 4 colors, pixels [1, 2, 2, 0]
+        codes = [(4, 3), (1, 3), (2, 3), (2, 3), (0, 4), (5, 4)]
+        acc = bit_n = 0
+        payload = bytearray()
+        for code, cw in codes:
+            acc |= code << bit_n
+            bit_n += cw
+            while bit_n >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                bit_n -= 8
+        if bit_n:
+            payload.append(acc & 0xFF)
+
+        pal = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+        buf = (b"GIF89a"
+               + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+               + bytes([0x80 | 0x10 | 0x01, 0, 0])  # GCT, 4 entries
+               + pal
+               + b"\x2c" + b"\x00\x00\x00\x00"
+               + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+               + b"\x00"
+               + bytes([2])                       # LZW min code size
+               + bytes([len(payload)]) + bytes(payload) + b"\x00"
+               + b"\x3b")
+        img = decode_gif(bytes(buf))
+        want = np.asarray([[[20, 21, 22], [30, 31, 32]],
+                           [[30, 31, 32], [10, 11, 12]]], np.uint8)
+        assert (img == want).all()
+
+    def test_unsupported_features_raise(self):
+        from connect_smts_ray.ops.multimodal import (decode_gif,
+                                                     encode_gif)
+
+        pal = np.asarray([[0, 0, 0], [9, 9, 9]], np.uint8)
+        data = bytearray(encode_gif(
+            np.zeros((2, 2), np.uint8), pal))
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"BMPX" + bytes(data))
+        # flip the interlace bit in the image descriptor
+        idesc = bytes(data).index(b"\x2c")
+        data[idesc + 9] |= 0x40
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_gif(bytes(data))
