@@ -2705,11 +2705,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Registry order is deliberate: the driver oracles the FIRST 50 entries
     # only. Every query that has never had a driver-oracle row comes first —
     # the 30 added in r3 (never checked in CORRECTNESS_r03's window) and the
-    # 17 added in r4 — then three flagship CDC rows as a regression canary.
-    # The 47 queries past the window all have up to three rounds of green
-    # driver history (CORRECTNESS_r01..r03) and stay covered by
-    # tests/test_oracle_parity.py, which runs the identical
-    # rows+schema+hash protocol over ALL entries.
+    # 20 added in r4 — exactly filling the window. The 50 queries past it
+    # all have up to three rounds of green driver history
+    # (CORRECTNESS_r01..r03); the flagship replay is additionally exercised
+    # by the driver's entry() smoke every round, and ALL 100 entries stay
+    # covered by tests/test_oracle_parity.py, which runs the identical
+    # rows+schema+hash protocol over the full registry.
     return {
         # -- driver window (first 50): every query that has never had a
         # -- driver-oracle row — r3's 30 + r4's 17 new ops — plus the
