@@ -1177,6 +1177,55 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top.map_batches(attach_est, batch_format="pyarrow")
 
 
+def q_zonemap_pruned_scan(sf_dir: str):
+    """Layout-aware scan: events are laid out once as range-partitioned
+    ts-sorted shards with a zone map (ops/layout.py), then a one-week
+    predicate reads ONLY the overlapping files (asserted — pruning must
+    actually skip shards) plus a residual batch filter; grouped stats
+    over the survivors hash-match the plain SQL WHERE."""
+    import pandas as pd
+
+    from connect_smts_ray.ops.layout import read_pruned, write_sorted_shards
+
+    ds = _read(sf_dir, "events",
+               columns=["ts", "event_type", "value"])
+    out_dir = tempfile.mkdtemp(prefix="csr_zonemap_")
+    write_sorted_shards(ds, "ts", out_dir, num_shards=16)
+
+    lo = int(pd.Timestamp("2024-01-08").value // 1000)   # µs
+    hi = int(pd.Timestamp("2024-01-15").value // 1000) - 1
+    pruned, n_read, n_total = read_pruned(out_dir, lo, hi)
+    assert n_read < n_total, "zone map failed to prune any shard"
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["value_cents"] = _fixed_point(df["value"], 100)
+        g = df.groupby("event_type", sort=False, dropna=False).agg(
+            cents=("value_cents", "sum"), n=("value_cents", "size")
+        ).reset_index()
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    result = (
+        pruned.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type").aggregate(Sum("cents"), Sum("n"))
+        .map_batches(
+            lambda b: pa.table({
+                "event_type": b.column("event_type"),
+                "total_value": pc.divide(
+                    pc.cast(b.column("sum(cents)"), pa.float64()),
+                    pa.scalar(100.0)),
+                "n_events": b.column("sum(n)"),
+            }),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result.sort("event_type")
+
+
 def q_full_outer_activity(sf_dir: str):
     """FULL OUTER join of two grouped aggregates — event activity per
     user vs order count per customer on the shared key space: matched,
@@ -2765,6 +2814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": q_user_value_trend,
         "full_outer_activity": q_full_outer_activity,
         "media_gif_stats": q_media_gif_stats,
+        "zonemap_pruned_scan": q_zonemap_pruned_scan,
         "event_transitions": q_event_transitions,
         # -- flagship CDC canary (driver-green r1-r3) -------------------
         "cdc_replay": q_cdc_replay,
@@ -3723,6 +3773,17 @@ def oracle_sql() -> dict[str, str]:
         # Retention oracle: period = floor(us-since-epoch / week). epoch()
         # returns seconds with fraction; multiplying to microseconds before
         # the floor keeps the two sides' bucket edges identical.
+        "zonemap_pruned_scan": """
+            SELECT event_type,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                     AS total_value,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-08')
+              AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-15') - 1
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         "full_outer_activity": """
             WITH ev AS (
               SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
