@@ -2753,11 +2753,12 @@ def q_regex_extract(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry order is deliberate: the driver oracles the FIRST 50 entries
     # only. Every query that has never had a driver-oracle row comes first —
-    # the 30 added in r3 (never checked in CORRECTNESS_r03's window) and the
-    # 20 added in r4 — exactly filling the window. The 50 queries past it
-    # all have up to three rounds of green driver history
+    # the 30 added in r3 (never checked in CORRECTNESS_r03's window) and 20
+    # of the 21 added in r4 — filling the window (event_transitions sits
+    # just past it; its unit test and parity row cover it). The remaining
+    # 50 queries all have up to three rounds of green driver history
     # (CORRECTNESS_r01..r03); the flagship replay is additionally exercised
-    # by the driver's entry() smoke every round, and ALL 100 entries stay
+    # by the driver's entry() smoke every round, and ALL 101 entries stay
     # covered by tests/test_oracle_parity.py, which runs the identical
     # rows+schema+hash protocol over the full registry.
     return {
