@@ -624,12 +624,19 @@ def skew_join(left, right, left_on: str, right_on: str, how: str = "inner",
 
     counts = left.map_batches(count_partial, batch_format="pyarrow") \
         .groupby("k").sum("n")
-    hot = counts.map_batches(
+    over = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("sum(n)"),
                                             pa.scalar(hot_threshold,
                                                       pa.int64()))),
         batch_format="pyarrow",
-    ).take(max_hot_keys)
+    )
+    # cap by LARGEST count (distributed top-k over per-block heads), so
+    # when there are more hot keys than the cap, the worst offenders are
+    # the ones that get salted — the rest stay unsalted (still correct)
+    from connect_smts_ray.ops.relational import topk
+
+    hot = topk(over, by="sum(n)", k=max_hot_keys, descending=True,
+               tiebreak=("k", True)).take_all()
     hot_keys = {r["k"] for r in hot}
     if not hot_keys:
         return hash_join(left, right, left_on=left_on, right_on=right_on,
