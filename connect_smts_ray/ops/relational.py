@@ -987,7 +987,9 @@ def cohort_retention(ds, user_col: str, ts_col: str,
 
     def pair_partial(b: pa.Table) -> pa.Table:
         us = _ts_us_int64(b.column(ts_col))
-        period = pc.divide(us, pa.scalar(period_us, pa.int64()))
+        # FLOOR division (not trunc): pre-1970 events must land in the
+        # period below zero, matching SQL floor(epoch/period) bucketing
+        period = _floor_div_us(us, period_us)
         t = pa.table({"user": pc.cast(b.column(user_col), pa.int64()),
                       "period": period})
         return t.group_by(["user", "period"], use_threads=False).aggregate([])
@@ -1149,7 +1151,13 @@ def table_diff(old, new, key_cols, value_cols, num_partitions: int = 16):
         odf["oi"] = np.arange(len(odf), dtype=np.int64)
         ndf = nt.select(["__dkey"]).to_pandas()
         ndf["ni"] = np.arange(len(ndf), dtype=np.int64)
-        m = odf.merge(ndf, on="__dkey", how="outer")
+        # null fused keys (any key column null) must NOT pair across
+        # sides — SQL join semantics; pandas merge would match NaN==NaN,
+        # so null-key rows are excluded and re-appended unmatched
+        onull, nnull = odf[odf["__dkey"].isna()], ndf[ndf["__dkey"].isna()]
+        m = odf[odf["__dkey"].notna()].merge(
+            ndf[ndf["__dkey"].notna()], on="__dkey", how="outer")
+        m = pd.concat([m, onull, nnull], ignore_index=True)
         oi = pa.array(pd.array(m["oi"], dtype="Int64"))
         ni = pa.array(pd.array(m["ni"], dtype="Int64"))
         og = ot.take(oi)   # null index -> typed-null row

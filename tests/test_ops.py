@@ -1458,3 +1458,41 @@ class TestGifCodec:
         data[idesc + 9] |= 0x40
         with pytest.raises(ValueError, match="interlaced"):
             decode_gif(bytes(data))
+
+
+def test_table_diff_null_keys_never_pair(ray_session):
+    """A null key on each side must NOT match the other side's null key
+    (SQL join semantics): both surface as their own unmatched rows."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import table_diff
+
+    old = pa.table({"k": pa.array([None, 1], pa.int64()),
+                    "v": pa.array([5.0, 10.0], pa.float64())})
+    new = pa.table({"k": pa.array([None, 1], pa.int64()),
+                    "v": pa.array([7.0, 10.0], pa.float64())})
+    rows = table_diff(ray.data.from_arrow(old), ray.data.from_arrow(new),
+                      key_cols=["k"], value_cols=["v"]).take_all()
+    got = sorted([(r["k"], r["change_type"], r["old_v"], r["new_v"])
+                  for r in rows], key=str)
+    assert got == sorted([(None, "removed", 5.0, None),
+                          (None, "added", None, 7.0)], key=str)
+
+
+def test_cohort_retention_pre_1970_floor(ray_session):
+    """Negative timestamps floor into the period BELOW zero (SQL
+    floor(epoch/period)), not toward zero."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import cohort_retention
+
+    t = pa.table({
+        "u": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([-50, 150], pa.timestamp("us")),  # period 100
+    })
+    out = cohort_retention(ray.data.from_arrow(t), user_col="u",
+                           ts_col="ts", period_us=100).take_all()
+    got = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in out}
+    # -50us floors to period -1 (cohort); 150us -> period 1 -> offset 2
+    assert got == {(-1, 0): 1, (-1, 2): 1}
