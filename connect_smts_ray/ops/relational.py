@@ -1379,8 +1379,8 @@ def grouped_ols_trend(ds, key_col: str, ts_col: str, value_cents_col: str,
     def min_partial(b: pa.Table) -> pa.Table:
         t = pa.table({
             "k": b.column(key_col),
-            "ts0": pc.divide(_ts_us_int64(b.column(ts_col)),
-                             pa.scalar(1_000_000, pa.int64())),
+            # floor (not trunc): mirrors SQL epoch_us // 1e6 for pre-1970
+            "ts0": _floor_div_us(_ts_us_int64(b.column(ts_col)), 1_000_000),
         })
         g = t.group_by("k", use_threads=False).aggregate([("ts0", "min")])
         return pa.table({"k": g.column("k"), "ts0": g.column("ts0_min")})
@@ -1397,8 +1397,8 @@ def grouped_ols_trend(ds, key_col: str, ts_col: str, value_cents_col: str,
     keyed = ds.map_batches(
         lambda b: pa.table({
             "k": b.column(key_col),
-            "sec": pc.divide(_ts_us_int64(b.column(ts_col)),
-                             pa.scalar(1_000_000, pa.int64())),
+            "sec": _floor_div_us(_ts_us_int64(b.column(ts_col)),
+                                 1_000_000),
             "y": pc.cast(b.column(value_cents_col), pa.int64()),
         }),
         batch_format="pyarrow",
