@@ -1496,3 +1496,35 @@ def test_cohort_retention_pre_1970_floor(ray_session):
            for r in out}
     # -50us floors to period -1 (cohort); 150us -> period 1 -> offset 2
     assert got == {(-1, 0): 1, (-1, 2): 1}
+
+
+def test_skew_join_cap_keeps_largest(ray_session):
+    """With more hot keys than max_hot_keys, the cap keeps the LARGEST
+    offenders salted and the rest unsalted — output unchanged either
+    way (equivalence is the invariant; the cap only shapes memory)."""
+    import collections
+
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join, skew_join
+
+    # keys 1..5 all hot (counts 60, 50, 40, 30, 20), cap at 2
+    lkeys = sum([[k] * (70 - 10 * k) for k in range(1, 6)], [])
+    lt = pa.table({"k": pa.array(lkeys, pa.int64()),
+                   "lv": pa.array(range(len(lkeys)), pa.int64())})
+    rt = pa.table({"rk": pa.array([1, 2, 3, 4, 5, 9], pa.int64()),
+                   "rv": pa.array([10, 20, 30, 40, 50, 90], pa.int64())})
+    lsch = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rsch = pa.schema([("rk", pa.int64()), ("rv", pa.int64())])
+
+    def rows(ds):
+        return collections.Counter(
+            tuple(sorted(r.items())) for r in ds.take_all())
+
+    left, right = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+    want = rows(hash_join(left, right, left_on="k", right_on="rk",
+                          left_schema=lsch, right_schema=rsch))
+    got = rows(skew_join(left, right, left_on="k", right_on="rk",
+                         hot_threshold=15, max_hot_keys=2, num_salts=4,
+                         left_schema=lsch, right_schema=rsch))
+    assert got == want
