@@ -2328,8 +2328,11 @@ def q_scd2_history(sf_dir: str):
 
 def q_orc_roundtrip(sf_dir: str):
     """ORC sink + source parity via the custom connector (Ray has no
-    native ORC): per-block ORC writes → parallel binary reads + Arrow
-    decode → grouped integer-cent stats. Fourth storage format."""
+    native ORC): per-block ORC writes → per-stripe parallel decode →
+    grouped integer-cent stats. Fourth storage format. The read takes
+    the EXPLICIT path list from the write summary (not a directory
+    re-list), so a stray ``.tmp`` from a killed writer task can never
+    poison the read — the r4 driver red."""
     from connect_smts_ray.sources.orc import read_orc, write_orc
 
     ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
@@ -2338,9 +2341,10 @@ def q_orc_roundtrip(sf_dir: str):
         batch_format="pyarrow",
     )
     out_dir = tempfile.mkdtemp(prefix="csr_orc_")
-    # consuming the summary executes the distributed write
-    assert write_orc(ds, out_dir).count() >= 0
-    back = read_orc(out_dir)
+    # consuming the summary executes the distributed write; its path
+    # column is the committed-file list the read should see
+    written = [r["path"] for r in write_orc(ds, out_dir).take_all()]
+    back = read_orc(written)
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by("event_type", use_threads=False).aggregate([

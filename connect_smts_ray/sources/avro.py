@@ -15,12 +15,12 @@ longs (↔ Arrow ``timestamp("us")``). Codecs: ``null`` and ``deflate``
 
 Distribution shape (same contract as ``sources/orc.py``): the sink
 writes one container file per input block via ``map_batches`` (atomic
-rename, never one giant file); the source is ``read_binary_files``
-(parallel listing + streaming backpressure) + a per-file decode stage.
-A FILE is the decode unit — Avro blocks inside a file are delimited by
-sync markers and could be split-read at scale, but the binary-files path
-hands us whole files; write many small files at export time so reader
-parallelism is the file count (documented trade, like ORC).
+rename, content-addressed name + deterministic sync marker → idempotent
+under task retries, never one giant file); the source SPLITS INSIDE
+files — planning carves each container body into byte ranges and every
+decode task syncs to its first block boundary via the 16-byte sync
+marker (the Hadoop/Spark Avro split protocol), so one huge file decodes
+with parallelism = ceil(body / split_size), not 1.
 
 Decode cost: Avro's varint stream is inherently sequential per block, so
 the inner loop is Python ``unpack_from`` — distributed per file, and the
@@ -30,7 +30,8 @@ same in reverse. Both stay off the driver.
 
 from __future__ import annotations
 
-import io
+import glob
+import hashlib
 import json
 import os
 import struct
@@ -136,8 +137,13 @@ _KIND_TO_ARROW = {
 # -- encode ----------------------------------------------------------------
 
 def encode_container(table: pa.Table, codec: str = "deflate",
-                     sync: bytes | None = None) -> bytes:
-    """One Arrow table → one Avro Object Container File (bytes)."""
+                     sync: bytes | None = None,
+                     max_block_rows: int = 65_536) -> bytes:
+    """One Arrow table → one Avro Object Container File (bytes).
+
+    Rows chunk into blocks of ≤ ``max_block_rows`` — a block is the
+    atomic decode (and deflate) unit, so multi-block files are what lets
+    ``read_avro`` split a big container across tasks."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec}")
     schema = arrow_to_avro_schema(table.schema)
@@ -145,16 +151,16 @@ def encode_container(table: pa.Table, codec: str = "deflate",
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
 
-    head = bytearray()
-    head += _MAGIC
+    out = bytearray()
+    out += _MAGIC
     meta = {"avro.schema": json.dumps(schema).encode(),
             "avro.codec": codec.encode()}
-    _write_long(head, len(meta))
+    _write_long(out, len(meta))
     for k, v in meta.items():
-        _write_bytes(head, k.encode())
-        _write_bytes(head, v)
-    _write_long(head, 0)  # end of metadata map
-    head += sync
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)  # end of metadata map
+    out += sync
 
     kinds = [_avro_field_kind(f["type"]) for f in schema["fields"]]
     cols = []
@@ -164,44 +170,43 @@ def encode_container(table: pa.Table, codec: str = "deflate",
             col = col.cast(pa.int64())  # µs since epoch, exactly the wire long
         cols.append(col.to_pylist())
 
-    body = bytearray()
     n = table.num_rows
-    for i in range(n):
-        for (kind, nullable), col in zip(kinds, cols):
-            v = col[i]
-            if nullable:
-                _write_long(body, 0 if v is None else 1)
-                if v is None:
-                    continue
-            if kind in ("long", "int", "timestamp-micros"):
-                _write_long(body, int(v))
-            elif kind == "double":
-                body += struct.pack("<d", v)
-            elif kind == "float":
-                body += struct.pack("<f", v)
-            elif kind == "boolean":
-                body.append(1 if v else 0)
-            elif kind == "string":
-                _write_bytes(body, str(v).encode())
-            else:  # bytes
-                _write_bytes(body, bytes(v))
-
-    payload = bytes(body)
-    if codec == "deflate":
-        comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw DEFLATE
-        payload = comp.compress(payload) + comp.flush()
-    out = bytearray(head)
-    _write_long(out, n)
-    _write_bytes(out, payload)
-    out += sync
+    for lo in range(0, n, max_block_rows):
+        hi = min(lo + max_block_rows, n)
+        body = bytearray()
+        for i in range(lo, hi):
+            for (kind, nullable), col in zip(kinds, cols):
+                v = col[i]
+                if nullable:
+                    _write_long(body, 0 if v is None else 1)
+                    if v is None:
+                        continue
+                if kind in ("long", "int", "timestamp-micros"):
+                    _write_long(body, int(v))
+                elif kind == "double":
+                    body += struct.pack("<d", v)
+                elif kind == "float":
+                    body += struct.pack("<f", v)
+                elif kind == "boolean":
+                    body.append(1 if v else 0)
+                elif kind == "string":
+                    _write_bytes(body, str(v).encode())
+                else:  # bytes
+                    _write_bytes(body, bytes(v))
+        payload = bytes(body)
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw DEFLATE
+            payload = comp.compress(payload) + comp.flush()
+        _write_long(out, hi - lo)
+        _write_bytes(out, payload)
+        out += sync
     return bytes(out)
 
 
 # -- decode ----------------------------------------------------------------
 
-def decode_container(data: bytes) -> pa.Table:
-    """One Avro Object Container File → Arrow table."""
-    mv = memoryview(data)
+def _parse_header(mv) -> tuple:
+    """Container header → (names, kinds, codec, sync, body_start)."""
     if bytes(mv[:4]) != _MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
@@ -229,49 +234,67 @@ def decode_container(data: bytes) -> pa.Table:
         raise ValueError(f"unsupported codec {codec}")
     names = [f["name"] for f in schema["fields"]]
     kinds = [_avro_field_kind(f["type"]) for f in schema["fields"]]
-    out: list = [[] for _ in names]
+    return names, kinds, codec, sync, pos
 
-    total = len(mv)
-    while pos < total:
-        n_rows, pos = _read_long(mv, pos)
-        n_bytes, pos = _read_long(mv, pos)
-        block = bytes(mv[pos:pos + n_bytes])
-        pos += n_bytes
-        if bytes(mv[pos:pos + 16]) != sync:
-            raise ValueError("sync marker mismatch — corrupt container")
-        pos += 16
-        if codec == "deflate":
-            block = zlib.decompress(block, wbits=-15)
-        bmv = memoryview(block)
-        bpos = 0
-        for _ in range(n_rows):
-            for ci, (kind, nullable) in enumerate(kinds):
-                if nullable:
-                    branch, bpos = _read_long(bmv, bpos)
-                    if branch == 0:
-                        out[ci].append(None)
-                        continue
-                if kind in ("long", "int", "timestamp-micros"):
-                    v, bpos = _read_long(bmv, bpos)
-                elif kind == "double":
-                    v = struct.unpack_from("<d", bmv, bpos)[0]
-                    bpos += 8
-                elif kind == "float":
-                    v = struct.unpack_from("<f", bmv, bpos)[0]
-                    bpos += 4
-                elif kind == "boolean":
-                    v = bmv[bpos] == 1
-                    bpos += 1
-                else:  # string / bytes
-                    ln, bpos = _read_long(bmv, bpos)
-                    raw = bytes(bmv[bpos:bpos + ln])
-                    bpos += ln
-                    v = raw.decode() if kind == "string" else raw
-                out[ci].append(v)
 
+def _decode_block(mv, pos: int, kinds, codec: str, sync: bytes, out) -> int:
+    """Decode ONE (count, size, data, sync) block at ``pos`` into ``out``
+    column lists; returns the position after the trailing sync. The sync
+    check doubles as the guard against a split-scan false positive."""
+    n_rows, pos = _read_long(mv, pos)
+    n_bytes, pos = _read_long(mv, pos)
+    block = bytes(mv[pos:pos + n_bytes])
+    pos += n_bytes
+    if bytes(mv[pos:pos + 16]) != sync:
+        raise ValueError("sync marker mismatch — corrupt container "
+                         "(or a coincidental sync hit in a split scan)")
+    pos += 16
+    if codec == "deflate":
+        block = zlib.decompress(block, wbits=-15)
+    bmv = memoryview(block)
+    bpos = 0
+    for _ in range(n_rows):
+        for ci, (kind, nullable) in enumerate(kinds):
+            if nullable:
+                branch, bpos = _read_long(bmv, bpos)
+                if branch == 0:
+                    out[ci].append(None)
+                    continue
+            if kind in ("long", "int", "timestamp-micros"):
+                v, bpos = _read_long(bmv, bpos)
+            elif kind == "double":
+                v = struct.unpack_from("<d", bmv, bpos)[0]
+                bpos += 8
+            elif kind == "float":
+                v = struct.unpack_from("<f", bmv, bpos)[0]
+                bpos += 4
+            elif kind == "boolean":
+                v = bmv[bpos] == 1
+                bpos += 1
+            else:  # string / bytes
+                ln, bpos = _read_long(bmv, bpos)
+                raw = bytes(bmv[bpos:bpos + ln])
+                bpos += ln
+                v = raw.decode() if kind == "string" else raw
+            out[ci].append(v)
+    return pos
+
+
+def _columns_to_table(out, names, kinds) -> pa.Table:
     arrays = [pa.array(vals, type=_KIND_TO_ARROW[kind])
               for vals, (kind, _n) in zip(out, kinds)]
     return pa.table(dict(zip(names, arrays)))
+
+
+def decode_container(data: bytes) -> pa.Table:
+    """One Avro Object Container File → Arrow table."""
+    mv = memoryview(data)
+    names, kinds, codec, sync, pos = _parse_header(mv)
+    out: list = [[] for _ in names]
+    total = len(mv)
+    while pos < total:
+        pos = _decode_block(mv, pos, kinds, codec, sync, out)
+    return _columns_to_table(out, names, kinds)
 
 
 # -- Ray Data connector ----------------------------------------------------
@@ -279,18 +302,30 @@ def decode_container(data: bytes) -> pa.Table:
 def write_avro(ds, out_dir: str, codec: str = "deflate"):
     """Write a Dataset to ``{out_dir}/part-*.avro``, one container file
     per block (atomic rename). Returns the per-file summary Dataset;
-    consuming it drives the distributed write."""
+    consuming it drives the distributed write.
+
+    Idempotent under Ray task retries (the repo's sink discipline —
+    same as the DLQ and export manifests): the sync marker AND the file
+    name both derive from a sha256 of the block's Arrow IPC bytes, so a
+    retried / speculatively re-executed task produces byte-identical
+    output at the identical path and os.replace commits it atomically —
+    a duplicate container can never appear for read_avro to double-count.
+    """
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "n_rows": pa.array([], pa.int64())})
-        name = f"part-{uuid.uuid4().hex}.avro"
-        path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_table(batch)
+        digest = hashlib.sha256(sink.getvalue())
+        path = os.path.join(out_dir, f"part-{digest.hexdigest()[:32]}.avro")
+        tmp = path + f".{os.getpid()}.tmp"
         with open(tmp, "wb") as f:
-            f.write(encode_container(batch, codec=codec))
+            f.write(encode_container(batch, codec=codec,
+                                     sync=digest.digest()[:16]))
         os.replace(tmp, path)
         return pa.table({"path": pa.array([path]),
                          "n_rows": pa.array([batch.num_rows], pa.int64())})
@@ -298,18 +333,94 @@ def write_avro(ds, out_dir: str, codec: str = "deflate"):
     return ds.map_batches(write_block, batch_format="pyarrow")
 
 
-def read_avro(dir_or_paths):
-    """Read Avro container files as a Dataset: parallel binary reads,
-    then a per-file decode stage."""
+def _resolve_avro_paths(dir_or_paths) -> list:
+    """Explicit list, or ``*.avro`` under a directory — never ``.tmp``
+    leftovers from a killed writer task (same hazard class as ORC)."""
+    if isinstance(dir_or_paths, (str, os.PathLike)):
+        p = str(dir_or_paths)
+        if os.path.isdir(p):
+            return sorted(glob.glob(os.path.join(p, "*.avro")))
+        return [p]
+    return [str(x) for x in dir_or_paths]
+
+
+def _read_header_bytes(path: str) -> bytes:
+    """Read just enough of the file to parse the container header
+    (metadata-only planning IO, doubling until the parse fits)."""
+    size = os.path.getsize(path)
+    want = 64 * 1024
+    with open(path, "rb") as f:
+        while True:
+            f.seek(0)
+            buf = f.read(min(want, size))
+            try:
+                _parse_header(memoryview(buf))
+                return buf
+            except (IndexError, ValueError):
+                if want >= size:
+                    raise
+                want *= 2
+
+
+def read_avro(dir_or_paths, split_size: int = 8 * 1024 * 1024):
+    """Read Avro container files as a Dataset, split INSIDE files.
+
+    Planning parses each header (metadata-only) and carves the body into
+    ~``split_size`` byte ranges; each decode task syncs to the first
+    block boundary at-or-after its range start (the Hadoop/Spark split
+    protocol: scan for the 16-byte sync marker) and decodes exactly the
+    blocks whose start offset falls in [start, end) — so one huge
+    container decodes with parallelism = ceil(body/split_size) and every
+    block is decoded exactly once. A coincidental sync-pattern hit inside
+    block data (probability 2⁻¹²⁸ per position) is caught by the
+    per-block trailing-sync check and raises rather than corrupting.
+    """
     import ray.data
 
-    raw = ray.data.read_binary_files(dir_or_paths)
+    paths = _resolve_avro_paths(dir_or_paths)
+    units: list = []
+    for p in paths:
+        head = _read_header_bytes(p)
+        _, _, _, _, body_start = _parse_header(memoryview(head))
+        size = os.path.getsize(p)
+        start = body_start
+        while start < size:
+            end = min(start + split_size, size)
+            units.append({"path": p, "start": start, "end": end,
+                          "body_start": body_start})
+            start = end
+    if not units:
+        return ray.data.from_items([])
+
+    plan = ray.data.from_items(units, override_num_blocks=len(units))
 
     def decode(batch: pa.Table) -> pa.Table:
-        tables = [decode_container(buf.as_py())
-                  for buf in batch.column("bytes")]
+        tables = []
+        for path, start, end, body_start in zip(
+                batch.column("path").to_pylist(),
+                batch.column("start").to_pylist(),
+                batch.column("end").to_pylist(),
+                batch.column("body_start").to_pylist()):
+            with open(path, "rb") as f:
+                data = f.read()  # ranged GETs at object-store scale;
+                # the DECODE work (not the IO) is what the split bounds
+            mv = memoryview(data)
+            names, kinds, codec, sync, _ = _parse_header(mv)
+            if start == body_start:
+                pos = start
+            else:
+                # sync to the first block boundary at-or-after `start`:
+                # boundaries sit immediately after a sync marker
+                q = data.find(sync, max(body_start, start - 16))
+                while q != -1 and q + 16 < start:
+                    q = data.find(sync, q + 1)
+                pos = q + 16 if q != -1 else len(data)
+            out: list = [[] for _ in names]
+            while pos < end and pos < len(data):
+                pos = _decode_block(mv, pos, kinds, codec, sync, out)
+            tables.append(_columns_to_table(out, names, kinds))
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables)
 
-    return raw.map_batches(decode, batch_format="pyarrow")
+    return plan.map_batches(decode, batch_format="pyarrow")

@@ -4,38 +4,62 @@ Ray 2.49 ships no ORC reader/writer; pyarrow does (``pyarrow.orc``). The
 idiomatic composition:
 
 - **sink**: one ORC file per input block via ``map_batches`` (writer tasks
-  run distributed, atomic rename per file — never one giant file),
-- **source**: ``ray.data.read_binary_files`` (parallel file listing +
-  reads with streaming backpressure) + a per-file Arrow decode stage.
+  run distributed, atomic write-then-rename per file — never one giant
+  file; the file name is a content hash of the block so a Ray task retry
+  / speculative re-execution rewrites the SAME file instead of
+  duplicating rows),
+- **source**: a STRIPE is the decode unit. Planning lists each file's
+  stripe count from its footer (metadata-only, the same footer-planning
+  Ray's own ``read_parquet`` does) and fans one task per stripe, so a
+  single huge ORC file still decodes with parallelism = its stripe
+  count, and a task never holds more than one stripe in memory.
 
-A file is the decode unit (ORC stripes aren't independently listable
-through the binary-files path), so write many small-ish files at export
-time — the reader's parallelism is the file count.
+Listing ignores everything but ``*.orc`` — a writer task killed
+mid-write can leave a ``part-*.orc.tmp`` behind (the rename never ran),
+and feeding that half-file to the decoder poisons the whole read.
+Decode errors are re-raised with the payload TRUNCATED out of the
+message (a raw ORC byte dump in an exception string helps nobody and
+bloats driver logs).
 """
 
 from __future__ import annotations
 
-import io
+import glob
+import hashlib
 import os
-import uuid
 
 import pyarrow as pa
 import pyarrow.orc
 
 
+def _short_err(e: Exception, limit: int = 160) -> str:
+    """Exception text with any embedded payload bytes truncated away."""
+    s = f"{type(e).__name__}: {e}"
+    return s if len(s) <= limit else s[:limit] + f"... [{len(s)} chars]"
+
+
 def write_orc(ds, out_dir: str):
     """Write a Dataset to ``{out_dir}/part-*.orc``, one file per block.
     Returns the per-file summary Dataset (path, n_rows) — consuming it is
-    what drives the distributed write."""
+    what drives the distributed write. File names are content-addressed
+    (sha256 of the block's Arrow IPC bytes) so task retries rewrite the
+    same file idempotently; pass the summary's ``path`` column to
+    ``read_orc`` to read back exactly what this call wrote."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "n_rows": pa.array([], pa.int64())})
-        name = f"part-{uuid.uuid4().hex}.orc"
-        path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+        # Identity of the output file = content of the block (Arrow IPC is
+        # deterministic for a given table), NOT a uuid: a retried task
+        # produces the identical name + bytes, and os.replace is atomic.
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_table(batch)
+        tag = hashlib.sha256(sink.getvalue()).hexdigest()[:32]
+        path = os.path.join(out_dir, f"part-{tag}.orc")
+        tmp = path + f".{os.getpid()}.tmp"
         pyarrow.orc.write_table(batch, tmp)
         os.replace(tmp, path)
         return pa.table({"path": pa.array([path]),
@@ -44,20 +68,58 @@ def write_orc(ds, out_dir: str):
     return ds.map_batches(write_block, batch_format="pyarrow")
 
 
+def _resolve_orc_paths(dir_or_paths) -> list:
+    """Explicit file list, or ``*.orc`` under a directory — never ``.tmp``
+    leftovers from a killed writer task."""
+    if isinstance(dir_or_paths, (str, os.PathLike)):
+        p = str(dir_or_paths)
+        if os.path.isdir(p):
+            return sorted(glob.glob(os.path.join(p, "*.orc")))
+        return [p]
+    return [str(x) for x in dir_or_paths]
+
+
 def read_orc(dir_or_paths):
-    """Read ORC files as a Dataset: parallel binary reads, then a per-file
-    vectorized Arrow decode (``pyarrow.orc.ORCFile.read``)."""
+    """Read ORC files as a Dataset, one decode task per STRIPE.
+
+    ``dir_or_paths`` is a directory (only ``*.orc`` files are read), one
+    path, or an explicit list of paths — prefer passing ``write_orc``'s
+    summary paths so the read sees exactly the committed files.
+
+    Planning opens each file's footer for its stripe count (metadata-only,
+    like parquet footer planning); each decode task then reads only its
+    own stripe via ``ORCFile.read_stripe`` — a single multi-GB file fans
+    across as many tasks as it has stripes instead of serializing on one.
+    """
     import ray.data
 
-    raw = ray.data.read_binary_files(dir_or_paths)
+    paths = _resolve_orc_paths(dir_or_paths)
+    units: list = []
+    for p in paths:
+        try:
+            n = pyarrow.orc.ORCFile(p).nstripes
+        except Exception as e:  # noqa: BLE001 — re-raise without payload bytes
+            raise ValueError(
+                f"cannot read ORC footer of {p}: {_short_err(e)}") from None
+        units.extend({"path": p, "stripe": i} for i in range(n))
+    if not units:
+        return ray.data.from_items([])
+
+    plan = ray.data.from_items(units, override_num_blocks=len(units))
 
     def decode(batch: pa.Table) -> pa.Table:
-        tables = [
-            pyarrow.orc.ORCFile(io.BytesIO(buf.as_py())).read()
-            for buf in batch.column("bytes")
-        ]
+        tables = []
+        for path, stripe in zip(batch.column("path").to_pylist(),
+                                batch.column("stripe").to_pylist()):
+            try:
+                rb = pyarrow.orc.ORCFile(path).read_stripe(stripe)
+            except Exception as e:  # noqa: BLE001 — truncate payload bytes
+                raise ValueError(
+                    f"cannot decode stripe {stripe} of {path}: "
+                    f"{_short_err(e)}") from None
+            tables.append(pa.Table.from_batches([rb]))
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables, promote_options="default")
 
-    return raw.map_batches(decode, batch_format="pyarrow")
+    return plan.map_batches(decode, batch_format="pyarrow")

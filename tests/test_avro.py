@@ -130,3 +130,54 @@ def test_ray_connector_roundtrip(ray_session, tmp_path):
     want = t.to_pandas().sort_values("id", na_position="last") \
         .reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_avro_split_read_one_big_file(ray_session, tmp_path):
+    """One multi-block container decodes split across >1 task with
+    content identical to the whole-file decode."""
+    import ray
+
+    from connect_smts_ray.sources.avro import (
+        decode_container, encode_container, read_avro)
+
+    n = 20_000
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "name": pa.array([f"user-{i % 997}" for i in range(n)], pa.string()),
+        "score": pa.array([i * 0.5 for i in range(n)], pa.float64()),
+    })
+    path = str(tmp_path / "big.avro")
+    with open(path, "wb") as f:
+        f.write(encode_container(t, codec="deflate", max_block_rows=1000))
+
+    ds = read_avro([path], split_size=32 * 1024).materialize()
+    assert ds.num_blocks() > 1  # the single file actually split
+    back = (ds.to_pandas().sort_values("id").reset_index(drop=True))
+    whole = decode_container(open(path, "rb").read()).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert back.equals(whole)
+    assert len(back) == n
+
+
+def test_avro_write_idempotent_and_tmp_immune(ray_session, tmp_path):
+    """Retried writes land on the same content-addressed file; directory
+    reads skip .tmp leftovers."""
+    import os
+
+    import ray
+
+    from connect_smts_ray.sources.avro import read_avro, write_avro
+
+    t = pa.table({"id": pa.array(range(50), pa.int64()),
+                  "v": pa.array([f"x{i}" for i in range(50)], pa.string())})
+    out = str(tmp_path / "avro")
+    p1 = sorted(r["path"] for r in
+                write_avro(ray.data.from_arrow(t).repartition(1), out)
+                .take_all())
+    p2 = sorted(r["path"] for r in
+                write_avro(ray.data.from_arrow(t).repartition(1), out)
+                .take_all())
+    assert p1 == p2  # byte-identical retry → same name, atomic replace
+    with open(os.path.join(out, "part-junk.avro.9999.tmp"), "wb") as f:
+        f.write(b"half-written garbage")
+    assert read_avro(out).count() == 50
