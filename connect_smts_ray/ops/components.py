@@ -98,8 +98,17 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
         left_schema = _to_arrow_schema(left.schema())
     if right_schema is None:
         right_schema = _to_arrow_schema(right.schema())
-    if left_schema is None:  # empty left → nothing to join
-        return left
+    if left_schema is None:
+        # A schema-less empty left ends the join for every how EXCEPT
+        # full_outer, whose output must still carry the right side's
+        # unmatched rows — but their shape (left cols as nulls) is
+        # unknowable without the left schema, so demand it explicitly
+        # rather than silently dropping the right side.
+        if how == "full_outer":
+            raise ValueError(
+                "full_outer join with a schema-less empty left dataset: "
+                "pass left_schema so right-only rows can be shaped")
+        return left  # inner/semi: empty; left_outer/anti: empty left rows
     if right_schema is None:  # empty right: anti/outer keep left, inner/semi drop
         if how in ("left_anti", "left_outer", "full_outer"):
             return left  # left_outer: right cols unknowable; caller handles
@@ -551,7 +560,16 @@ def hash_join_multi(left, right, left_on, right_on, how: str = "inner",
     (``fuse_key_columns``), run the single-key ``hash_join`` on the fused
     key, drop the plumbing. The right side's key columns are dropped
     before the join (SQL USING semantics — they are redundant with the
-    left's on every match), so same-named keys never collide."""
+    left's on every match), so same-named keys never collide.
+
+    ``full_outer`` is rejected: right-only rows would surface with NULL
+    left key columns (the right keys are gone and only the fused __mkey
+    — itself dropped — could restore them); use the single-key
+    ``hash_join``, which coalesces keys, or pre-fuse keys yourself."""
+    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"hash_join_multi does not support how={how!r} (full_outer "
+            "right-only rows would carry NULL key columns)")
     left_on, right_on = list(left_on), list(right_on)
 
     def prep(side, on, drop_keys):
@@ -603,11 +621,21 @@ def skew_join(left, right, left_on: str, right_on: str, how: str = "inner",
     4. joins on the fused (key, salt) composite via ``hash_join_multi``.
 
     A hot key now lands on ``num_salts`` reducers; output is row-identical
-    to ``hash_join`` for every ``how`` it supports (replicas only ever
-    match their own salt). Replication cost: |right rows of hot keys| ×
+    to ``hash_join`` for ``inner`` / ``left_outer`` / ``left_semi`` /
+    ``left_anti`` (replicas only ever match their own salt).
+    ``full_outer`` is REJECTED: a hot key's right rows are replicated
+    once per salt, so any salt class containing no left rows of that key
+    would emit a phantom unmatched-right duplicate — salting is only
+    sound when unmatched-RIGHT rows don't appear in the output.
+    Replication cost: |right rows of hot keys| ×
     (num_salts − 1) — bounded because build sides of skewed joins are
     dimension-like; flip sides if the BUILD side is the skewed one.
     """
+    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"skew_join does not support how={how!r}: replicated right "
+            "rows would emit duplicate unmatched-right output under "
+            "full_outer; use hash_join (unsalted) instead")
     if left_schema is None:
         left_schema = _to_arrow_schema(left.schema())
     if right_schema is None:

@@ -914,6 +914,12 @@ def funnel_counts(ds, steps, user_col: str = "user_id",
 
     from connect_smts_ray.ops.components import hash_join
 
+    from connect_smts_ray.ops.components import _to_arrow_schema
+
+    # the join-pass schemas must carry the ACTUAL user-id type (string
+    # ids are as legitimate as int64 — don't pin the key type)
+    key_type = _to_arrow_schema(ds.schema()).field(user_col).type
+
     def step_events(step_type):
         def f(b: pa.Table) -> pa.Table:
             keep = pc.equal(b.column(type_col), pa.scalar(step_type))
@@ -932,9 +938,9 @@ def funnel_counts(ds, steps, user_col: str = "user_id",
             joined = hash_join(
                 ev, prev, left_on=user_col, right_on=user_col, how="inner",
                 num_partitions=num_partitions,
-                left_schema=pa.schema([(user_col, pa.int64()),
+                left_schema=pa.schema([(user_col, key_type),
                                        ("__ts", pa.int64())]),
-                right_schema=pa.schema([(user_col, pa.int64()),
+                right_schema=pa.schema([(user_col, key_type),
                                         ("__prev", pa.int64())]),
             )
             ev = joined.map_batches(

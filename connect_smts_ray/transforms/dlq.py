@@ -66,17 +66,27 @@ def with_dlq(fn, dlq_dir: str, stage: str = "stage"):
                 "error": pa.array(errs, pa.string()),
                 "stage": pa.array([stage] * len(rows), pa.string()),
             })
-            # File name is a pure function of the dead rows: a Ray task
-            # retry / speculative re-execution of the same batch rewrites
-            # the SAME file (identical bytes, atomic replace) instead of
-            # dead-lettering the rows twice — the sink stays idempotent.
-            tag = hashlib.sha256(
-                ("\x1e".join(rows) + "\x1f" + "\x1e".join(errs)
-                 + "\x1f" + stage).encode()
-            ).hexdigest()[:32]
+            # File name is a pure function of the WHOLE input batch (its
+            # Arrow IPC bytes) + the dead rows: a Ray task retry /
+            # speculative re-execution of the same batch rewrites the
+            # SAME file (identical bytes, atomic replace) instead of
+            # dead-lettering the rows twice — while two DIFFERENT batches
+            # whose failing row sets happen to coincide (legitimate
+            # duplicate records upstream) still land in distinct files,
+            # preserving dead-row multiplicity. Only batches identical in
+            # FULL content collapse to one file, and for those one DLQ
+            # record per distinct failing batch is the intended contract.
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, batch.schema) as w:
+                w.write_table(batch)
+            h = hashlib.sha256(sink.getvalue())
+            h.update(("\x1e".join(rows) + "\x1f" + "\x1e".join(errs)
+                      + "\x1f" + stage).encode())
+            tag = h.hexdigest()[:32]
             path = os.path.join(dlq_dir, f"part-{tag}.parquet")
-            pq.write_table(t, path + ".tmp")
-            os.replace(path + ".tmp", path)
+            tmp = path + f".{os.getpid()}.tmp"  # retry-race-safe scratch
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)
         if goods:
             # Remember fn's output schema so a later all-fail batch on this
             # worker can still return a correctly-shaped empty table.

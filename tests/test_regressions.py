@@ -651,3 +651,74 @@ def test_composite_key_builders_equal_nonstring_dtypes():
             for s in composite_key_array(t, cols).to_pylist()
         ]
         assert old == new, cols
+
+
+def test_funnel_counts_string_user_ids(ray_session):
+    """ADVICE r04: funnel_counts pinned the user column to int64; string
+    ids must funnel identically (key type now derived from the data)."""
+    import ray
+
+    from connect_smts_ray.ops.relational import funnel_counts
+
+    t = pa.table({
+        "user_id": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "event_type": pa.array(
+            ["view", "click", "purchase", "view", "click", "click"],
+            pa.string()),
+        "ts": pa.array([1, 2, 3, 1, 2, 1], pa.timestamp("us")),
+    })
+    out = funnel_counts(ray.data.from_arrow(t).repartition(2),
+                        steps=["view", "click", "purchase"])
+    assert out.column("n_users").to_pylist() == [2, 2, 1]
+
+
+def test_skew_and_multi_join_reject_full_outer(ray_session):
+    """ADVICE r04: full_outer under salting emits phantom unmatched-right
+    rows and hash_join_multi loses right key values — both must refuse."""
+    import ray
+
+    from connect_smts_ray.ops.components import (hash_join,
+                                                 hash_join_multi, skew_join)
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([10, 20], pa.int64())})
+    r = pa.table({"k": pa.array([2, 3], pa.int64()),
+                  "w": pa.array([5, 6], pa.int64())})
+    lds, rds = ray.data.from_arrow(t), ray.data.from_arrow(r)
+    with pytest.raises(ValueError, match="full_outer"):
+        skew_join(lds, rds, left_on="k", right_on="k", how="full_outer",
+                  left_schema=t.schema, right_schema=r.schema)
+    with pytest.raises(ValueError, match="full_outer"):
+        hash_join_multi(lds, rds, left_on=["k"], right_on=["k"],
+                        how="full_outer",
+                        left_schema=t.schema, right_schema=r.schema)
+    # schema-less empty left + full_outer must demand a schema, not
+    # silently drop the right side
+    empty = ray.data.from_arrow(t.slice(0, 0)).filter(lambda row: False)
+    with pytest.raises(ValueError, match="left_schema"):
+        hash_join(empty, rds, left_on="k", right_on="k", how="full_outer",
+                  right_schema=r.schema)
+
+
+def test_dlq_distinct_batches_same_dead_rows_both_recorded(tmp_path):
+    """ADVICE r04: two DIFFERENT batches whose failing rows coincide must
+    produce TWO DLQ files (multiplicity preserved); a retry of the SAME
+    batch still dedups to one."""
+    import pyarrow.compute as pc
+
+    from connect_smts_ray.transforms.dlq import read_dlq, with_dlq
+
+    def fn(b: pa.Table) -> pa.Table:
+        if pc.any(pc.equal(b.column("x"), pa.scalar(13))).as_py():
+            raise ValueError("poison")
+        return b
+
+    d = str(tmp_path / "dlq")
+    w = with_dlq(fn, d, stage="s")
+    b1 = pa.table({"x": pa.array([1, 13], pa.int64())})
+    b2 = pa.table({"x": pa.array([2, 13], pa.int64())})
+    w(b1)
+    w(b1)  # retry of the identical batch → same file
+    w(b2)  # different batch, same dead row → second file
+    dead = read_dlq(d)
+    assert dead.num_rows == 2
