@@ -1113,12 +1113,18 @@ def q_skew_join_events(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["value_cents"] = _fixed_point(df["value"], 100)
-        g = df.groupby("n_name", sort=False, dropna=False).agg(
-            value_cents=("value_cents", "sum"), n=("value_cents", "size")
-        ).reset_index()
-        return _from_pandas(g)
+        # Arrow-native partial (no pandas conversion in the post-join hot
+        # stage): fixed-point cents, then pa.Table.group_by like every
+        # other partial in this file.
+        b = _append_value_cents(b)
+        g = b.select(["n_name", "value_cents"]).group_by(
+            "n_name", use_threads=False).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")])
+        return pa.table({
+            "n_name": g.column("n_name"),
+            "value_cents": pc.cast(g.column("value_cents_sum"), pa.int64()),
+            "n": pc.cast(g.column("value_cents_count"), pa.int64()),
+        })
 
     from ray.data.aggregate import Sum
 

@@ -363,14 +363,7 @@ def session_window(ds, ts_col: str, key_col: str, gap_seconds: int,
     seedless murmur) → identical assignment across runs/cluster layouts.
     One shuffle (groupby the bucket id)."""
     gap_us = gap_seconds * 1_000_000
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pandas()
-        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
-        part = (h % np.uint64(num_partitions)).astype(np.int32)
-        return batch.append_column(
-            pa.field("__bucket", pa.int32()), pa.array(part, type=pa.int32())
-        )
+    add_bucket = _add_key_bucket(key_col, num_partitions)
 
     def sessions(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values(
@@ -1050,19 +1043,33 @@ def cohort_retention(ds, user_col: str, ts_col: str,
     )
 
 
+def _add_key_bucket(key_col: str, num_partitions: int):
+    """Content-derived hash bucket of ``key_col`` (seedless, identical
+    across runs/cluster layouts) — the sessionization partitioning shape:
+    ONE Python call per bucket downstream, never per key."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pandas()
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(
+            pa.field("__bucket", pa.int32()), pa.array(part, pa.int32()))
+    return add_bucket
+
+
 def transition_counts(ds, key_col: str, ts_col: str, tiebreak_col: str,
-                      type_col: str):
+                      type_col: str, num_partitions: int = 64):
     """First-order transition (bigram) counts over per-entity event
     sequences: for each key, order events by (ts, tiebreak) and count
     consecutive ``type → type`` pairs across ALL keys — the Markov-chain
     estimation pass of clickstream/session analytics.
 
-    One ``groupby(key)`` shuffle; inside each group a vectorized lexsort
-    + slice produces the bigrams and an Arrow group_by collapses them to
-    per-group partial counts, so a key with 10⁶ events emits at most
-    |types|² rows. Final global groupby sums partials. Same per-entity
-    partitioning contract as ``ordered_group_windows`` (one key's history
-    per task; salt pathological keys upstream).
+    Scale shape (the sessionization pattern — r4's per-key ``map_groups``
+    was one Python call per entity, 10⁸ calls at 10⁸ users): keys are
+    hash-BUCKETED into ``num_partitions`` groups; each whole bucket sorts
+    ONCE by (key, ts, tiebreak) and a segmented shift (bigram valid only
+    where key[i]==key[i+1]) emits every pair in one vectorized pass — one
+    Python call per bucket. An Arrow group_by collapses each bucket to ≤
+    |types|² partial rows before the final tiny groupby sum. One shuffle.
 
     Output: (from_type STRING, to_type STRING, n BIGINT) — mirror with
     SQL ``lag(type) OVER (PARTITION BY key ORDER BY ts, tiebreak)``.
@@ -1071,18 +1078,25 @@ def transition_counts(ds, key_col: str, ts_col: str, tiebreak_col: str,
     """
     from ray.data.aggregate import Sum
 
-    def per_key(group: pa.Table) -> pa.Table:
+    empty = pa.table({"from_type": pa.array([], pa.string()),
+                      "to_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return empty
         ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
         tie = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((tie, ts))
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
         types = group.column(type_col).take(pa.array(order)).combine_chunks()
-        n = len(types)
-        if n < 2:
-            return pa.table({"from_type": pa.array([], pa.string()),
-                             "to_type": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
+        same_key = keys[order][1:] == keys[order][:-1]  # segment boundaries
         t = pa.table({"from_type": types.slice(0, n - 1),
-                      "to_type": types.slice(1, n - 1)})
+                      "to_type": types.slice(1, n - 1)}).filter(
+            pa.array(same_key))
+        if t.num_rows == 0:
+            return empty
         g = t.group_by(["from_type", "to_type"],
                        use_threads=False).aggregate([([], "count_all")])
         return pa.table({
@@ -1092,7 +1106,9 @@ def transition_counts(ds, key_col: str, ts_col: str, tiebreak_col: str,
         })
 
     return (
-        ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+        ds.map_batches(_add_key_bucket(key_col, num_partitions),
+                       batch_format="pyarrow")
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
         .groupby(["from_type", "to_type"]).aggregate(Sum("n"))
         .map_batches(
             lambda b: pa.table({
@@ -1201,7 +1217,7 @@ def table_diff(old, new, key_cols, value_cols, num_partitions: int = 16):
 def last_touch_attribution(ds, key_col: str, ts_col: str, tiebreak_col: str,
                            type_col: str, value_col: str,
                            touch_types, convert_type: str,
-                           window_us: int):
+                           window_us: int, num_partitions: int = 64):
     """Last-touch marketing attribution: each conversion event credits its
     value to the LATEST preceding touch event (any of ``touch_types``) of
     the same key within ``window_us``; conversions with no in-window touch
@@ -1209,12 +1225,15 @@ def last_touch_attribution(ds, key_col: str, ts_col: str, tiebreak_col: str,
     value_cents BIGINT) — value in integer cents so cross-key sums stay
     associative.
 
-    One ``groupby(key)`` shuffle (the funnel/window per-entity contract);
-    inside a group: lexsort by (ts, tiebreak), ``np.searchsorted`` of
-    conversion positions into touch positions (the classic O(n log n)
-    last-preceding-event lookup — no per-event Python), then a local
-    group_by collapses to ≤ |touch_types|+1 partial rows per key before
-    the final tiny groupby sum.
+    Scale shape (the sessionization pattern — r4's per-key ``map_groups``
+    was one Python call per entity): keys hash-bucket into
+    ``num_partitions`` groups; each whole bucket sorts ONCE by (key, ts,
+    tiebreak) and a segmented forward-fill (``np.maximum.accumulate`` of
+    touch positions, shifted one for strictly-before, floored at each
+    key's segment start) resolves every conversion's crediting touch in
+    one vectorized pass — one Python call per bucket. A local group_by
+    collapses each bucket to ≤ |touch_types|+1 partial rows before the
+    final tiny groupby sum. One shuffle.
 
     Reference analog: none (engine op beyond the reference's surface).
     """
@@ -1222,37 +1241,47 @@ def last_touch_attribution(ds, key_col: str, ts_col: str, tiebreak_col: str,
 
     touch_types = list(touch_types)
 
-    def per_key(group: pa.Table) -> pa.Table:
+    def per_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table({"touch_type": pa.array([], pa.string()),
                           "n_conversions": pa.array([], pa.int64()),
                           "value_cents": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n == 0:
+            return empty
         ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
         tie = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((tie, ts))
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
         s = group.take(pa.array(order))
         ts_s = ts[order]
+        keys_s = keys[order]
         types = np.asarray(s.column(type_col).to_pylist(), dtype=object)
         is_conv = types == convert_type
         if not is_conv.any():
             return empty
         is_touch = np.isin(types, touch_types)
+        idx = np.arange(n, dtype=np.int64)
+        # last touch at-or-before each position, shifted one → strictly
+        # before; valid only at-or-after the key's own segment start
+        acc = np.maximum.accumulate(np.where(is_touch, idx, -1))
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = acc[:-1]
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = keys_s[1:] != keys_s[:-1]
+        seg = np.maximum.accumulate(np.where(first, idx, 0))
         conv_pos = np.flatnonzero(is_conv)
-        touch_pos = np.flatnonzero(is_touch)
+        cand = prev[conv_pos]
+        safe = np.clip(cand, 0, None)
+        in_window = ((cand >= seg[conv_pos])
+                     & (ts_s[conv_pos] - ts_s[safe] <= window_us))
+        credited = np.where(in_window, types[safe], "(none)")
         vals = s.column(value_col).to_numpy(zero_copy_only=False)
         scaled = vals[conv_pos] * 100
         # half away from zero — DuckDB round(); np.round half-to-even differs
         cents = (np.sign(scaled) *
                  np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
-        if len(touch_pos) == 0:
-            credited = np.full(len(conv_pos), "(none)", dtype=object)
-        else:
-            # index into touch_pos of the last touch strictly before each
-            # conversion position
-            j = np.searchsorted(touch_pos, conv_pos, side="left") - 1
-            has = j >= 0
-            cand = touch_pos[np.clip(j, 0, None)]
-            in_window = has & (ts_s[conv_pos] - ts_s[cand] <= window_us)
-            credited = np.where(in_window, types[cand], "(none)")
         t = pa.table({
             "touch_type": pa.array(list(credited), pa.string()),
             "one": pa.nulls(len(conv_pos), pa.int64()).fill_null(1),
@@ -1267,7 +1296,9 @@ def last_touch_attribution(ds, key_col: str, ts_col: str, tiebreak_col: str,
         })
 
     return (
-        ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+        ds.map_batches(_add_key_bucket(key_col, num_partitions),
+                       batch_format="pyarrow")
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
         .groupby("touch_type").aggregate(Sum("n_conversions"),
                                          Sum("value_cents"))
         .map_batches(

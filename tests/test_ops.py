@@ -1528,3 +1528,46 @@ def test_skew_join_cap_keeps_largest(ray_session):
                          hot_threshold=15, max_hot_keys=2, num_salts=4,
                          left_schema=lsch, right_schema=rsch))
     assert got == want
+
+
+def test_bucketed_kernels_many_keys_one_bucket(ray_session):
+    """VERDICT r04 #3: bigrams + attribution are one Python call per
+    BUCKET — 10⁵ distinct keys in a single bucket must still be exact
+    (segmented shift / segmented forward-fill, no per-key dispatch)."""
+    import ray
+
+    from connect_smts_ray.ops.relational import (last_touch_attribution,
+                                                 transition_counts)
+
+    n_keys = 100_000
+    # every key gets the same 3-event history: A@1, B@2, A@3
+    keys = np.repeat(np.arange(n_keys, dtype=np.int64), 3)
+    ts = np.tile(np.array([1, 2, 3], dtype=np.int64), n_keys)
+    types = np.tile(np.array(["A", "B", "A"], dtype=object), n_keys)
+    t = pa.table({
+        "u": pa.array(keys, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "eid": pa.array(np.arange(3 * n_keys, dtype=np.int64), pa.int64()),
+        "etype": pa.array(list(types), pa.string()),
+        "value": pa.array(np.full(3 * n_keys, 1.0), pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    # num_partitions=1: ALL keys land in one bucket → one kernel call
+    big = transition_counts(ds, key_col="u", ts_col="ts",
+                            tiebreak_col="eid", type_col="etype",
+                            num_partitions=1).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in big.itertuples()}
+    # cross-key pairs must NOT leak: exactly A→B and B→A, n_keys each
+    assert got == {("A", "B"): n_keys, ("B", "A"): n_keys}
+
+    attr = last_touch_attribution(
+        ds, key_col="u", ts_col="ts", tiebreak_col="eid",
+        type_col="etype", value_col="value",
+        touch_types=["B"], convert_type="A",
+        window_us=10, num_partitions=1).to_pandas()
+    by = {r.touch_type: (r.n_conversions, r.value_cents)
+          for r in attr.itertuples()}
+    # first A of each key has no preceding touch; last A credits B
+    assert by == {"(none)": (n_keys, 100 * n_keys),
+                  "B": (n_keys, 100 * n_keys)}
