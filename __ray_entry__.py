@@ -766,6 +766,40 @@ def q_media_png_stats(sf_dir: str):
     )
 
 
+def q_media_jpeg_stats(sf_dir: str):
+    """REAL baseline-JPEG decode end-to-end (Huffman entropy decode with
+    restart markers + batched IDCT, ``ops/jpeg.py``): synthesize a
+    grayscale JPEG per document whose pixels are CONSTANT within each
+    8×8 block with even values — the one shape lossy JPEG round-trips
+    bit-exactly (DC-only blocks, /16 quantizer; see ops/jpeg.py module
+    doc) — decode it, and emit integer pixel stats the SQL oracle
+    recomputes from the block formula."""
+    from connect_smts_ray.ops.jpeg import encode_jpeg
+    from connect_smts_ray.ops.multimodal import DecodeJpeg
+
+    def to_jpeg(b: pa.Table) -> pa.Table:
+        payloads = []
+        for d in b.column("doc_id").to_pylist():
+            bw, bh = 1 + d % 3, 1 + d % 2
+            w, h = 8 * bw - d % 7, 8 * bh - d % 5
+            bx = np.arange(bw, dtype=np.int64)[None, :]
+            by = np.arange(bh, dtype=np.int64)[:, None]
+            vals = (2 * ((3 * d + 5 * bx + 7 * by) % 128)).astype(np.uint8)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:h, :w]
+            payloads.append(encode_jpeg(img, restart_interval=2))
+        return pa.table({
+            "media_id": b.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(to_jpeg, batch_format="pyarrow")
+    return ds.map_batches(
+        DecodeJpeg, batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1, batch_size=512,
+    )
+
+
 def _synth_y4m_batch(b: pa.Table) -> pa.Table:
     """Deterministic Y4M fixture: per doc d, a mono clip of F = 2 + d%3
     frames at (4 + d%4) × (3 + d%3) with luma[f,y,x] =
@@ -2825,6 +2859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": q_user_value_trend,
         "full_outer_activity": q_full_outer_activity,
         "media_gif_stats": q_media_gif_stats,
+        "media_jpeg_stats": q_media_jpeg_stats,
         "zonemap_pruned_scan": q_zonemap_pruned_scan,
         "event_transitions": q_event_transitions,
         # -- flagship CDC canary (driver-green r1-r3) -------------------
@@ -4050,6 +4085,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_r,
                    CAST(sum((doc_id + 7*x + 13*y + 31) % 256) AS BIGINT) AS sum_g,
                    CAST(sum((doc_id + 7*x + 13*y + 62) % 256) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        """,
+        "media_jpeg_stats": """
+            WITH px AS (
+              SELECT d.doc_id, gx.x, gy.y
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 8*(1 + d.doc_id % 3) - d.doc_id % 7 - 1)) AS x) gx,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 8*(1 + d.doc_id % 2) - d.doc_id % 5 - 1)) AS y) gy
+            )
+            SELECT doc_id AS media_id,
+                   CAST(8*(1 + doc_id % 3) - doc_id % 7 AS BIGINT) AS width,
+                   CAST(8*(1 + doc_id % 2) - doc_id % 5 AS BIGINT) AS height,
+                   CAST(sum(2*((3*doc_id + 5*(x//8) + 7*(y//8)) % 128))
+                        AS BIGINT) AS pix_sum
             FROM px GROUP BY doc_id
         """,
         "window_events": """

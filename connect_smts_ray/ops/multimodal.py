@@ -27,6 +27,10 @@ Codec status (this container ships no PIL/ffmpeg/torchaudio):
   what makes distributed frame *sampling* cheap: a sampler never inflates
   the frames it skips. Compressed containers (mp4/h264) still need
   ffmpeg and raise.
+- ``image/jpeg`` — REAL baseline codec in ``ops/jpeg.py`` (ITU-T T.81:
+  Annex-K tables, Huffman entropy coding with byte stuffing + RSTn
+  restarts, batched numpy IDCT, grayscale / 4:4:4 / 4:2:0). Progressive
+  JPEG and compressed video (mp4/h264) still raise.
 - ``FrameSample`` samples REAL evenly-spaced Y4M frames when
   ``fake=False``; the deterministic byte-slice stand-in stays available
   behind ``fake=True`` for opaque containers.
@@ -622,6 +626,32 @@ class DecodePng:
         })
 
 
+class DecodeJpeg:
+    """Actor stage: baseline-JPEG payload column → per-row integer image
+    stats (width, height, sum of all decoded samples) through the real
+    Huffman + IDCT path (``ops/jpeg.py: decode_jpeg``). Works for both
+    grayscale (h, w) and RGB (h, w, 3) streams; ``pix_sum`` sums every
+    decoded sample either way."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from connect_smts_ray.ops.jpeg import decode_jpeg
+
+        out = {k: [] for k in ("width", "height", "pix_sum")}
+        for p in batch.column("payload").to_pylist():
+            if p is None:
+                for k in out:
+                    out[k].append(None)
+                continue
+            img = decode_jpeg(p).astype(np.int64)
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+            out["pix_sum"].append(int(img.sum()))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+        })
+
+
 @dataclass(frozen=True)
 class DecodeConfig:
     feature_dim: int = 32
@@ -633,12 +663,12 @@ class DecodeMedia:
 
     Non-fake path dispatches by the ``mime`` column to the REAL codecs
     above: ``audio/wav`` → mean-pooled |PCM| envelope (feature_dim bins),
-    ``image/bmp`` / ``image/png`` → feature_dim-bin grayscale histogram,
-    ``video/x-y4m`` → feature_dim-bin luma histogram over all frames.
-    Compressed containers (mp4/h264, jpeg — no parser without external
-    libs) raise ``NotImplementedError``. ``fake=True`` keeps the blake2b
-    stand-in for payloads with no parseable container (plumbing
-    tests/benches).
+    ``image/bmp`` / ``image/png`` / ``image/gif`` / ``image/jpeg`` →
+    feature_dim-bin grayscale histogram, ``video/x-y4m`` →
+    feature_dim-bin luma histogram over all frames. Compressed video
+    (mp4/h264 — no parser without ffmpeg) raises ``NotImplementedError``.
+    ``fake=True`` keeps the blake2b stand-in for payloads with no
+    parseable container (plumbing tests/benches).
     """
 
     def __init__(self, config: DecodeConfig = DecodeConfig()):
@@ -658,10 +688,13 @@ class DecodeMedia:
                 s = np.pad(s, (0, d - len(s)))
                 n = d
             return s[:n].reshape(d, -1).mean(axis=1) / 32768.0
-        if mime in ("image/bmp", "image/png", "image/gif"):
+        if mime in ("image/bmp", "image/png", "image/gif", "image/jpeg"):
+            from connect_smts_ray.ops.jpeg import decode_jpeg
             dec = {"image/bmp": decode_bmp, "image/png": decode_png,
-                   "image/gif": decode_gif}[mime]
-            gray = dec(payload).astype(np.float32).mean(axis=2)
+                   "image/gif": decode_gif, "image/jpeg": decode_jpeg}[mime]
+            img = dec(payload).astype(np.float32)
+            # jpeg grayscale decodes to (h, w); the rest are (h, w, 3)
+            gray = img if img.ndim == 2 else img.mean(axis=2)
             hist, _ = np.histogram(gray, bins=d, range=(0.0, 256.0))
             return hist.astype(np.float32) / max(gray.size, 1)
         if mime == "video/x-y4m":
@@ -672,7 +705,7 @@ class DecodeMedia:
             return hist.astype(np.float32) / max(luma.size, 1)
         raise NotImplementedError(
             f"no codec for {mime!r} in this environment (wav/bmp/png/gif/"
-            "y4m are real; compressed video and jpeg need ffmpeg/PIL)"
+            "jpeg/y4m are real; compressed video needs ffmpeg)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
