@@ -918,6 +918,27 @@ def q_pagerank_orders(sf_dir: str):
     return out.sort("node")
 
 
+def q_pagerank_copartitioned(sf_dir: str):
+    """The co-partitioned pagerank variant on the SAME graph and oracle
+    as ``pagerank_orders``: edges are laid out ONCE as src-range sorted
+    shards (ops/layout.py) and each round moves only O(|ranks|) — rank
+    re-shard + contribution partials; edge bytes never move after the
+    layout (VERDICT r04 #6). Bit-identical recurrence → identical SQL
+    oracle."""
+    from connect_smts_ray.ops.graph import pagerank_copartitioned
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = _distinct_mod_edges(ds, 500, "l_orderkey", "l_partkey")
+    work = tempfile.mkdtemp(prefix="csr_pr_copart_")
+    try:
+        out = pagerank_copartitioned(edges, work, iterations=3,
+                                     num_shards=8).sort("node")
+        out = out.materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_triangle_counts(sf_dir: str):
     """Exact per-node triangle counts (degree-ordered orientation,
     O(m^1.5) wedge bound) over the sparse co-occurrence graph derived
@@ -2846,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_y4m_frames": q_media_y4m_frames,
         "cdc_snapshot_tail": q_cdc_snapshot_tail,
         "pagerank_orders": q_pagerank_orders,
+        "pagerank_copartitioned": q_pagerank_copartitioned,
         "triangle_counts": q_triangle_counts,
         "local_supplier_volume": q_local_supplier_volume,
         "cohort_retention": q_cohort_retention,
@@ -3276,6 +3298,55 @@ def _murmur2_partition_sql(num_partitions: int = 16) -> str:
         FROM f2
     """
 
+
+_PAGERANK_MOD500_SQL = """
+            WITH edges AS (
+              SELECT DISTINCT l_orderkey % 500 AS src,
+                              l_partkey % 500 AS dst
+              FROM lineitem
+            ),
+            nodes AS (
+              SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges
+            ),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+            s1 AS (
+              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
+              FROM edges e JOIN outdeg o USING (src)
+                   JOIN r0 r ON r.node = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n.node,
+                     CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                          AS BIGINT) AS pr
+              FROM nodes n LEFT JOIN s1 s USING (node)
+            ),
+            s2 AS (
+              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
+              FROM edges e JOIN outdeg o USING (src)
+                   JOIN r1 r ON r.node = e.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT n.node,
+                     CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                          AS BIGINT) AS pr
+              FROM nodes n LEFT JOIN s2 s USING (node)
+            ),
+            s3 AS (
+              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
+              FROM edges e JOIN outdeg o USING (src)
+                   JOIN r2 r ON r.node = e.src
+              GROUP BY e.dst
+            )
+            SELECT n.node,
+                   CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                        AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN s3 s USING (node)
+            ORDER BY n.node
+        """
 
 _KNN_EXACT_SQL = """
     WITH q AS (
@@ -3719,54 +3790,8 @@ def oracle_sql() -> dict[str, str]:
         # integer recurrence the engine runs (init 10^9 mass units,
         # damping 85/100, floor division everywhere — no float sums, so
         # reduction order cannot matter on either side).
-        "pagerank_orders": """
-            WITH edges AS (
-              SELECT DISTINCT l_orderkey % 500 AS src,
-                              l_partkey % 500 AS dst
-              FROM lineitem
-            ),
-            nodes AS (
-              SELECT src AS node FROM edges
-              UNION SELECT dst FROM edges
-            ),
-            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
-            s1 AS (
-              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
-              FROM edges e JOIN outdeg o USING (src)
-                   JOIN r0 r ON r.node = e.src
-              GROUP BY e.dst
-            ),
-            r1 AS (
-              SELECT n.node,
-                     CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
-                          AS BIGINT) AS pr
-              FROM nodes n LEFT JOIN s1 s USING (node)
-            ),
-            s2 AS (
-              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
-              FROM edges e JOIN outdeg o USING (src)
-                   JOIN r1 r ON r.node = e.src
-              GROUP BY e.dst
-            ),
-            r2 AS (
-              SELECT n.node,
-                     CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
-                          AS BIGINT) AS pr
-              FROM nodes n LEFT JOIN s2 s USING (node)
-            ),
-            s3 AS (
-              SELECT e.dst AS node, sum(r.pr // o.deg) AS s
-              FROM edges e JOIN outdeg o USING (src)
-                   JOIN r2 r ON r.node = e.src
-              GROUP BY e.dst
-            )
-            SELECT n.node,
-                   CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
-                        AS BIGINT) AS pr
-            FROM nodes n LEFT JOIN s3 s USING (node)
-            ORDER BY n.node
-        """,
+        "pagerank_orders": _PAGERANK_MOD500_SQL,
+        "pagerank_copartitioned": _PAGERANK_MOD500_SQL,
         # Triangle oracle: id-ordered enumeration (e1.lo=e2.lo, e1.hi<e2.hi,
         # closed by (e1.hi, e2.hi)) finds each triangle exactly once — the
         # engine's degree-ordered orientation is an equivalent exact

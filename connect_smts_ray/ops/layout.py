@@ -42,11 +42,18 @@ _ZONE_MAP = "_ZONE_MAP.json"
 
 def write_sorted_shards(ds, sort_col: str, out_dir: str,
                         num_shards: int = 16,
-                        sample_per_block: int = 1000) -> dict:
+                        sample_per_block: int = 1000,
+                        bounds=None) -> dict:
     """Range-partition ``ds`` on ``sort_col`` into ``num_shards`` sorted
     parquet shards under ``out_dir`` and commit a zone map. Returns the
-    zone map dict. ``sort_col`` must be int64-comparable (ints or
-    timestamps; timestamps are laid out as int64 µs)."""
+    zone map dict (which records the split ``bounds``). ``sort_col`` must
+    be int64-comparable (ints or timestamps; timestamps are laid out as
+    int64 µs).
+
+    Pass explicit ``bounds`` (sorted int64 split points) to skip the
+    sampling pass and reuse another layout's partitioning — that is what
+    CO-PARTITIONS two tables on the same key ranges (e.g. the iterative
+    rank table against a fixed edge layout, ``ops/graph.py``)."""
     import ray.data
 
     os.makedirs(out_dir, exist_ok=True)
@@ -62,15 +69,18 @@ def write_sorted_shards(ds, sort_col: str, out_dir: str,
             if b.num_rows else np.array([], np.int64)
         return pa.table({"v": col.take(pa.array(idx))})
 
-    vals = np.asarray(
-        [r["v"] for r in ds.map_batches(
-            sample, batch_format="pyarrow").take_all()], dtype=np.int64)
-    vals.sort()
-    if len(vals) == 0:
-        bounds = []
+    if bounds is None:
+        vals = np.asarray(
+            [r["v"] for r in ds.map_batches(
+                sample, batch_format="pyarrow").take_all()], dtype=np.int64)
+        vals.sort()
+        if len(vals) == 0:
+            bounds = []
+        else:
+            qs = np.linspace(0, 1, num_shards + 1)[1:-1]
+            bounds = sorted(set(int(np.quantile(vals, q)) for q in qs))
     else:
-        qs = np.linspace(0, 1, num_shards + 1)[1:-1]
-        bounds = sorted(set(int(np.quantile(vals, q)) for q in qs))
+        bounds = [int(x) for x in bounds]
 
     def to_i64(b: pa.Table):
         col = b.column(sort_col)
@@ -112,7 +122,7 @@ def write_sorted_shards(ds, sort_col: str, out_dir: str,
         .groupby("__shard").map_groups(write_shard, batch_format="pyarrow")
         .take_all()
     )
-    zone = {"sort_col": sort_col,
+    zone = {"sort_col": sort_col, "bounds": bounds,
             "shards": sorted(entries, key=lambda e: e["shard"])}
     tmp = os.path.join(out_dir, _ZONE_MAP + ".tmp")
     with open(tmp, "w") as f:
