@@ -2817,19 +2817,74 @@ def q_regex_extract(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry order is deliberate: the driver oracles the FIRST 50 entries
-    # only. Every query that has never had a driver-oracle row comes first —
-    # the 30 added in r3 (never checked in CORRECTNESS_r03's window) and 20
-    # of the 21 added in r4 — filling the window (event_transitions sits
-    # just past it; its unit test and parity row cover it). The remaining
-    # 50 queries all have up to three rounds of green driver history
-    # (CORRECTNESS_r01..r03); the flagship replay is additionally exercised
-    # by the driver's entry() smoke every round, and ALL 101 entries stay
-    # covered by tests/test_oracle_parity.py, which runs the identical
-    # rows+schema+hash protocol over the full registry.
+    # only. Rotation rule (stated for future rounds): (1) queries that have
+    # never had a driver row come first, (2) then any red row from the last
+    # round, (3) then queries whose implementation or dependencies changed
+    # since their last green driver row, (4) remaining slots re-green the
+    # stalest coverage. This round that is: event_transitions (the only
+    # never-checked query after r4) + the two new r5 queries; orc_roundtrip
+    # (r4's one red — connector reworked); the join/DLQ/kernel/IVF/layout
+    # queries r5 code touched; the r3-green CDC flagship family whose
+    # shared infra (components.py, core/schema.py, manifest.py) r4 changed
+    # beneath them; and the oldest r3 rows. The 49 r4-green rows plus 12
+    # self-contained r3 text/media rows sit past the window this round —
+    # every one of them (and the full registry) stays covered by
+    # tests/test_oracle_parity.py, which runs the identical
+    # rows+schema+hash protocol over all entries at sf0.01.
     return {
-        # -- driver window (first 50): every query that has never had a
-        # -- driver-oracle row — r3's 30 + r4's 17 new ops — plus the
-        # -- three flagship CDC rows as a regression canary ------------
+        # -- driver window (first 50) --------------------------------
+        "event_transitions": q_event_transitions,
+        "media_jpeg_stats": q_media_jpeg_stats,
+        "pagerank_copartitioned": q_pagerank_copartitioned,
+        "orc_roundtrip": q_orc_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "attribution_events": q_attribution_events,
+        "skew_join_events": q_skew_join_events,
+        "full_outer_activity": q_full_outer_activity,
+        "multi_key_enrich": q_multi_key_enrich,
+        "funnel_steps": q_funnel_steps,
+        "dlq_expand": q_dlq_expand,
+        "session_window_events": q_session_window_events,
+        "knn_ivf": q_knn_ivf,
+        "zonemap_pruned_scan": q_zonemap_pruned_scan,
+        "hash_join_events_orders": q_hash_join_events_orders,
+        "join_orders_customer": q_join_orders_customer,
+        "cdc_replay": q_cdc_replay,
+        "lww_upsert_events": q_lww_upsert_events,
+        "expand_json_events": q_expand_json_events,
+        "cdc_replay_resume": q_cdc_replay_resume,
+        "replay_lineage": q_replay_lineage,
+        "expand_json_evolution": q_expand_json_evolution,
+        "outbox_partition_number": q_outbox_partition_number,
+        "outbox_partition_key": q_outbox_partition_key,
+        "encrypt_roundtrip": q_encrypt_roundtrip,
+        "sanitize_names": q_sanitize_names,
+        "schema_serde": q_schema_serde,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "knn_bruteforce": q_knn_bruteforce,
+        "kmeans_clusters": q_kmeans_clusters,
+        "embedding_clusters": q_embedding_clusters,
+        "sample_documents": q_sample_documents,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "window_events": q_window_events,
+        "hopping_window_events": q_hopping_window_events,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "top_docs_by_tokens": q_top_docs_by_tokens,
+        "events_type_stats": q_events_type_stats,
+        "asof_join_orders": q_asof_join_orders,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_wav_stats": q_media_wav_stats,
+        # -- past the window: r4-driver-green rows + the most static
+        # -- r3 rows; all parity-covered every round -----------------
         "incremental_dedup": q_incremental_dedup,
         "curation_pipeline": q_curation_pipeline,
         "normalize_text": q_normalize_text,
@@ -2845,87 +2900,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": q_csv_roundtrip,
         "export_shards": q_export_shards,
         "scd2_history": q_scd2_history,
-        "orc_roundtrip": q_orc_roundtrip,
         "salted_event_stats": q_salted_event_stats,
         "table_profile": q_table_profile,
         "lake_time_travel": q_lake_time_travel,
         "watermark_window_events": q_watermark_window_events,
-        "multi_key_enrich": q_multi_key_enrich,
         "similarity_join": q_similarity_join,
         "declarative_expand": q_declarative_expand,
-        "dlq_expand": q_dlq_expand,
         "rollup_events": q_rollup_events,
         "pivot_user_events": q_pivot_user_events,
         "value_histogram": q_value_histogram,
         "training_export": q_training_export,
         "outlier_filter": q_outlier_filter,
         "regex_extract": q_regex_extract,
-        # -- r4-new operators (17) ------------------------------------
         "media_png_stats": q_media_png_stats,
-        "funnel_steps": q_funnel_steps,
         "media_y4m_stats": q_media_y4m_stats,
         "media_y4m_frames": q_media_y4m_frames,
         "cdc_snapshot_tail": q_cdc_snapshot_tail,
         "pagerank_orders": q_pagerank_orders,
-        "pagerank_copartitioned": q_pagerank_copartitioned,
         "triangle_counts": q_triangle_counts,
         "local_supplier_volume": q_local_supplier_volume,
         "cohort_retention": q_cohort_retention,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        "skew_join_events": q_skew_join_events,
         "table_diff_orders": q_table_diff_orders,
-        "attribution_events": q_attribution_events,
         "cube_events": q_cube_events,
-        "avro_roundtrip": q_avro_roundtrip,
         "media_resize_stats": q_media_resize_stats,
         "user_value_trend": q_user_value_trend,
-        "full_outer_activity": q_full_outer_activity,
         "media_gif_stats": q_media_gif_stats,
-        "media_jpeg_stats": q_media_jpeg_stats,
-        "zonemap_pruned_scan": q_zonemap_pruned_scan,
-        "event_transitions": q_event_transitions,
-        # -- flagship CDC canary (driver-green r1-r3) -------------------
-        "cdc_replay": q_cdc_replay,
-        "lww_upsert_events": q_lww_upsert_events,
-        "expand_json_events": q_expand_json_events,
-        # -- past the window: up to three rounds of green driver history
-        # -- (CORRECTNESS_r01..r03); still fully covered by the in-repo
-        # -- parity suite over ALL entries ------------------------------
-        "cdc_replay_resume": q_cdc_replay_resume,
-        "replay_lineage": q_replay_lineage,
-        "expand_json_evolution": q_expand_json_evolution,
-        "outbox_partition_number": q_outbox_partition_number,
-        "outbox_partition_key": q_outbox_partition_key,
-        "encrypt_roundtrip": q_encrypt_roundtrip,
-        "sanitize_names": q_sanitize_names,
-        "schema_serde": q_schema_serde,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_ivf": q_knn_ivf,
-        "kmeans_clusters": q_kmeans_clusters,
-        "embedding_clusters": q_embedding_clusters,
-        "sample_documents": q_sample_documents,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "window_events": q_window_events,
-        "hopping_window_events": q_hopping_window_events,
-        "session_window_events": q_session_window_events,
-        "hash_join_events_orders": q_hash_join_events_orders,
-        "join_orders_customer": q_join_orders_customer,
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "top_docs_by_tokens": q_top_docs_by_tokens,
-        "events_type_stats": q_events_type_stats,
-        "asof_join_orders": q_asof_join_orders,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        "media_wav_stats": q_media_wav_stats,
         "media_bmp_stats": q_media_bmp_stats,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,

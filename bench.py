@@ -140,7 +140,9 @@ def run_bench() -> dict:
                      "token_rarity", "global_shuffle_rank",
                      "pagerank_orders", "triangle_counts",
                      "local_supplier_volume", "cohort_retention",
-                     "skew_join_events"):
+                     "skew_join_events", "event_transitions",
+                     "attribution_events", "pagerank_copartitioned",
+                     "media_jpeg_stats"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

@@ -21,9 +21,11 @@ Scale notes (100-TB regime):
   shuffles — one ``ray.put`` of ranks per round, merged per batch; past
   the limit the same call site flips to the partitioned hash exchange
   (2 shuffles of |edges| + |nodes| rows, the minimum for a rank-routing
-  round without a persistent partitioner — a co-partitioned
-  implementation could cache the edge shuffle, which Ray Data's
-  stateless all-to-all does not express today).
+  round without a persistent partitioner). Ray Data's stateless
+  all-to-all cannot cache that edge shuffle round-to-round, so for big
+  graphs use ``pagerank_copartitioned`` below: it pins the edge layout
+  to sorted range shards once (``ops/layout.py``) and moves only
+  O(|ranks|) per round.
 - contribution sums are combiner-first: each map task collapses its
   block to ≤ |distinct dst| partial rows before the groupby shuffle.
 - int64 headroom: a single node's inbound sum is bounded by the total
