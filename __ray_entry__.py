@@ -173,6 +173,76 @@ def q_cdc_snapshot_tail(sf_dir: str):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
+def _with_content_len(ds):
+    """Measure column for the IVM queries: unicode length of content
+    (NULL on Debezium-flattened delete rows → 0; the IVM kernel never
+    reads a delete's payload, the fill only stabilizes the dtype)."""
+    def add_len(b: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.coalesce(pc.utf8_length(b.column("content")),
+                                 pa.scalar(0, pa.int32())), pa.int64())
+        return b.append_column(pa.field("content_len", pa.int64()), ln)
+    return ds.map_batches(add_len, batch_format="pyarrow")
+
+
+def _ivm_rename(b: pa.Table) -> pa.Table:
+    return b.rename_columns(["lang", "n_paths", "total_len"])
+
+
+def q_ivm_repo_stats(sf_dir: str):
+    """Incremental view maintenance, single pass: the grouped view
+    ``SELECT lang, count(*), sum(length(content)) FROM lake GROUP BY
+    lang`` computed from the CHANGELOG alone (retraction deltas, one
+    bucket shuffle — ops/ivm.py), never materializing the replayed
+    table. Oracle: final-state LWW reconstruction + the same GROUP BY."""
+    from connect_smts_ray.ops.ivm import changelog_aggregate
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        build_event_stream,
+    )
+
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir="/tmp/unused_ivm", events_per_key=6,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    ds = _with_content_len(build_event_stream(cfg))
+    out = changelog_aggregate(
+        ds, key_cols=("repo", "path"), lsn_col="commit_lsn",
+        delete_col="is_tombstone", group_col="lang",
+        measure_col="content_len", num_partitions=16,
+        n_name="n_paths", m_name="total_len")
+    return out.map_batches(_ivm_rename, batch_format="pyarrow")
+
+
+def q_ivm_epoch_repo_stats(sf_dir: str):
+    """The epoch-incremental IVM form: the same grouped view maintained
+    across 3 changelog epochs with only bucketed key→last-state
+    checkpoints and the per-group delta table crossing epoch boundaries
+    (idempotent atomic state commits — crash-rerun safe). Must equal the
+    single-pass answer, so it shares q_ivm_repo_stats' oracle."""
+    from connect_smts_ray.ops.ivm import changelog_aggregate_epochs
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        build_event_stream,
+    )
+
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir="/tmp/unused_ivm", events_per_key=6,
+        epochs=3, expand_concurrency=2, crypto_concurrency=2,
+    )
+    state_dir = tempfile.mkdtemp(prefix="csr_ivm_q_")
+    try:
+        out = changelog_aggregate_epochs(
+            lambda e: _with_content_len(build_event_stream(cfg, epoch=e)),
+            epochs=3, state_dir=state_dir,
+            key_cols=("repo", "path"), lsn_col="commit_lsn",
+            delete_col="is_tombstone", group_col="lang",
+            measure_col="content_len", num_partitions=8,
+            n_name="n_paths", m_name="total_len")
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return _ivm_rename(out)
+
+
 def q_expand_json_events(sf_dir: str):
     """ExpandJson over events.props (io.debezium.data.Json analog) →
     flattened typed column."""
@@ -1236,6 +1306,19 @@ def q_cms_heavy_hitters(sf_dir: str):
         })
 
     return top.map_batches(attach_est, batch_format="pyarrow")
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """Distributed HyperLogLog as an exact-integer register TABLE: per
+    block distinct user_ids hash (md5 LE-8 == DuckDB md5_number_upper)
+    into (reg, rank) partials, a groupby-max merges — order-free, so the
+    sketch is bit-identical at any parallelism and the oracle rebuilds
+    it cell-for-cell in SQL. The float estimate (hll_estimate_from_table)
+    is pinned separately in tests/test_corpus_ops.py."""
+    from connect_smts_ray.ops.sketch import hll_register_table
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return hll_register_table(ds, "user_id", p=12)
 
 
 def q_zonemap_pruned_scan(sf_dir: str):
@@ -2822,7 +2905,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round, (3) then queries whose implementation or dependencies changed
     # since their last green driver row, (4) remaining slots re-green the
     # stalest coverage. This round that is: event_transitions (the only
-    # never-checked query after r4) + the two new r5 queries; orc_roundtrip
+    # never-checked query after r4) + the five new r5 queries (the IVM
+    # pair, the HLL register table, JPEG, co-partitioned PageRank);
+    # orc_roundtrip
     # (r4's one red — connector reworked); the join/DLQ/kernel/IVF/layout
     # queries r5 code touched; the r3-green CDC flagship family whose
     # shared infra (components.py, core/schema.py, manifest.py) r4 changed
@@ -2833,6 +2918,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows+schema+hash protocol over all entries at sf0.01.
     return {
         # -- driver window (first 50) --------------------------------
+        "ivm_repo_stats": q_ivm_repo_stats,
+        "ivm_epoch_repo_stats": q_ivm_epoch_repo_stats,
+        "hll_distinct_users": q_hll_distinct_users,
         "event_transitions": q_event_transitions,
         "media_jpeg_stats": q_media_jpeg_stats,
         "pagerank_copartitioned": q_pagerank_copartitioned,
@@ -2880,11 +2968,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "events_type_stats": q_events_type_stats,
         "asof_join_orders": q_asof_join_orders,
+        # -- past the window: r4-driver-green rows + the most static
+        # -- r3 rows; all parity-covered every round -----------------
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_wav_stats": q_media_wav_stats,
-        # -- past the window: r4-driver-green rows + the most static
-        # -- r3 rows; all parity-covered every round -----------------
         "incremental_dedup": q_incremental_dedup,
         "curation_pipeline": q_curation_pipeline,
         "normalize_text": q_normalize_text,
@@ -3443,6 +3531,24 @@ def oracle_sql() -> dict[str, str]:
         # snapshot-then-tail reconverges to the identical final state, so
         # the full-history LWW reconstruction is its oracle too
         "cdc_snapshot_tail": _replay_final_state_sql(events_per_key=6, seed=42),
+        # IVM: the delta-stream aggregate must equal the grouped view of
+        # the replayed final table — the same LWW reconstruction, grouped.
+        # The epoch-incremental form reconverges to the identical answer,
+        # so it shares the oracle verbatim.
+        "ivm_repo_stats": f"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_paths,
+                   CAST(sum(length(content)) AS BIGINT) AS total_len
+            FROM ({_replay_final_state_sql(events_per_key=6, seed=42)})
+            GROUP BY lang
+        """,
+        "ivm_epoch_repo_stats": f"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_paths,
+                   CAST(sum(length(content)) AS BIGINT) AS total_len
+            FROM ({_replay_final_state_sql(events_per_key=6, seed=42)})
+            GROUP BY lang
+        """,
         # The resumed replay must converge to the SAME final state as the
         # single-shot one (manifest no-op replays) — identical oracle.
         "cdc_replay_resume": _replay_final_state_sql(events_per_key=6, seed=42),
@@ -4030,6 +4136,33 @@ def oracle_sql() -> dict[str, str]:
             FROM exact e JOIN est USING (word)
             ORDER BY e.count DESC, e.word
             LIMIT 20
+        """,
+        # HLL oracle: rebuild the register table cell-for-cell. Hash =
+        # md5_number_upper (engine: md5 first-8-bytes LE, binlog.key_seed
+        # convention); reg = low p=12 bits; rank = 1 + trailing zeros of
+        # the remaining 52 bits (53 when zero). rest - (rest & (rest-1))
+        # isolates the lowest set bit — an exact power of two, so float
+        # log2 is exact. Register max is order-free on both sides.
+        "hll_distinct_users": """
+            WITH v AS (
+              SELECT DISTINCT CAST(user_id AS VARCHAR) AS s
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            h AS (SELECT md5_number_upper(s) AS h64 FROM v),
+            rr AS (
+              SELECT CAST(h64 % 4096 AS BIGINT) AS reg,
+                     h64 // 4096 AS rest
+              FROM h
+            ),
+            ranked AS (
+              SELECT reg,
+                     CASE WHEN rest = 0 THEN 53
+                          ELSE CAST(log2(rest - (rest & (rest - 1)))
+                                    AS BIGINT) + 1
+                     END AS rnk
+              FROM rr
+            )
+            SELECT reg, max(rnk) AS max_rank FROM ranked GROUP BY reg
         """,
         "event_transitions": """
             WITH seq AS (

@@ -75,6 +75,82 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     return hll_estimate(merged)
 
 
+def hll_register_table(ds, col: str, p: int = 12):
+    """SQL-mirrorable HyperLogLog: the sketch itself as a tiny TABLE of
+    nonzero registers ``(reg BIGINT, max_rank BIGINT)`` instead of a float
+    estimate — every cell is an exact integer max, so the whole sketch is
+    bit-reproducible at any parallelism and verifiable in pure SQL.
+
+    Hash = md5 first-8-bytes little-endian (``DuckDB md5_number_upper``,
+    the binlog.key_seed convention, sources/binlog.py:43-49):
+    ``reg = h & (2^p - 1)``; ``rank`` = 1-based position of the first
+    1-bit of ``h >> p`` (``64 - p + 1`` when those bits are all zero).
+    SQL mirror of the rank: ``1 + log2(rest - (rest & (rest - 1)))`` —
+    the isolated lowest set bit is an exact power of two ≤ 2^(63-p), so
+    float log2 is exact.
+
+    Scale shape: each block collapses to its DISTINCT values first (local
+    Arrow group_by — the md5 loop runs per distinct, not per row), folds
+    into ≤ 2^p (reg, rank) partial rows, and a final groupby-max merges
+    them; register max is associative + commutative so any merge tree
+    yields the identical sketch. Estimate with ``hll_estimate_from_table``
+    (driver-side, O(2^p)). The pandas-hash ``approx_distinct`` above stays
+    the fast path; this one trades ~0.8 µs/row of C md5 (core/hashing.py
+    note) for a DuckDB-exact oracle."""
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    nbits = 64 - p
+    m = 1 << p
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        if batch.num_rows:
+            vals = batch.select([col]).group_by(
+                col, use_threads=False).aggregate([]).column(col)
+            vals = vals.drop_null()
+            if len(vals):
+                h = np.fromiter(
+                    (int.from_bytes(
+                        hashlib.md5(str(v).encode()).digest()[:8], "little")
+                     for v in vals.to_pylist()),
+                    dtype=np.uint64, count=len(vals))
+                idx = (h & np.uint64(m - 1)).astype(np.int64)
+                rest = h >> np.uint64(p)
+                rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+                nz = rest != 0
+                if nz.any():
+                    # rank = 1 + trailing zeros; the isolated low bit is an
+                    # exact power of two, so float log2 is exact.
+                    r = rest[nz]
+                    lsb = r - (r & (r - np.uint64(1)))
+                    rank[nz] = (np.log2(lsb.astype(np.float64))
+                                .astype(np.uint8) + 1)
+                np.maximum.at(regs, idx, rank)
+        hit = np.nonzero(regs)[0]
+        return pa.table({"reg": pa.array(hit, pa.int64()),
+                         "max_rank": pa.array(regs[hit].astype(np.int64))})
+
+    out = ds.map_batches(block_regs, batch_format="pyarrow") \
+            .groupby("reg").aggregate(Max("max_rank"))
+    return out.map_batches(
+        lambda b: pa.table({"reg": b.column("reg"),
+                            "max_rank": b.column("max(max_rank)")}),
+        batch_format="pyarrow")
+
+
+def hll_estimate_from_table(tbl: pa.Table, p: int = 12) -> float:
+    """Estimate from a (reg, max_rank) register table (hll_register_table
+    output, materialized): scatter into the dense 2^p array and apply the
+    standard Flajolet estimator + linear-counting correction."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if tbl.num_rows:
+        regs[tbl.column("reg").to_numpy()] = \
+            tbl.column("max_rank").to_numpy().astype(np.uint8)
+    return hll_estimate(regs)
+
+
 # -- Count-Min sketch ------------------------------------------------------
 
 def _cms_cells(words: np.ndarray, depth: int, width: int) -> np.ndarray:
