@@ -142,7 +142,8 @@ def run_bench() -> dict:
                      "local_supplier_volume", "cohort_retention",
                      "skew_join_events", "event_transitions",
                      "attribution_events", "pagerank_copartitioned",
-                     "media_jpeg_stats"):
+                     "media_jpeg_stats", "ivm_repo_stats",
+                     "hll_distinct_users"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

@@ -129,16 +129,22 @@ def changelog_aggregate(ds, key_cols, lsn_col: str, delete_col: str,
     docstring). Output: (group, ``n_name`` = live keys, ``m_name`` =
     exact int64 sum of ``measure_col`` over live keys)."""
 
+    # prune BEFORE the bucket shuffle: only the key/lsn/delete/group/measure
+    # columns move — the payload (content at ~KB/row) stays behind
+    need = [*dict.fromkeys([*key_cols, lsn_col, delete_col, group_col,
+                            measure_col])]
+
+    bucketer = _add_key_bucket("__mkey", num_partitions)
+
     def prep(b: pa.Table) -> pa.Table:
-        return fuse_key_columns(b, key_cols)
+        return bucketer(fuse_key_columns(b.select(need), key_cols)
+                        .drop_columns(list(key_cols)))
 
     def per_bucket(group: pa.Table) -> pa.Table:
         return _bucket_deltas(group, lsn_col, delete_col, group_col,
                               measure_col)
 
     deltas = (ds.map_batches(prep, batch_format="pyarrow")
-                .map_batches(_add_key_bucket("__mkey", num_partitions),
-                             batch_format="pyarrow")
                 .groupby("__bucket")
                 .map_groups(per_bucket, batch_format="pyarrow"))
     return _finalize(deltas, n_name, m_name)
@@ -187,12 +193,17 @@ def changelog_aggregate_epochs(make_epoch_ds, epochs: int, state_dir: str,
     state; the per-group delta table (≤ |groups| rows) is the only thing
     crossing epochs on the driver. Equality with the single-pass form and
     with a full recompute is pinned in tests/test_ivm.py."""
+    need = [*dict.fromkeys([*key_cols, lsn_col, delete_col, group_col,
+                            measure_col])]
     merged: dict = {}
     for e in range(epochs):
         ds = make_epoch_ds(e)
 
+        bucketer = _add_key_bucket("__mkey", num_partitions)
+
         def prep(b: pa.Table) -> pa.Table:
-            return fuse_key_columns(b, key_cols)
+            return bucketer(fuse_key_columns(b.select(need), key_cols)
+                            .drop_columns(list(key_cols)))
 
         def per_bucket(group: pa.Table, _e=e) -> pa.Table:
             bucket = group.column("__bucket")[0].as_py()
@@ -242,9 +253,6 @@ def changelog_aggregate_epochs(make_epoch_ds, epochs: int, state_dir: str,
             return deltas
 
         epoch_deltas = (ds.map_batches(prep, batch_format="pyarrow")
-                          .map_batches(
-                              _add_key_bucket("__mkey", num_partitions),
-                              batch_format="pyarrow")
                           .groupby("__bucket")
                           .map_groups(per_bucket, batch_format="pyarrow")
                           .groupby("group")
