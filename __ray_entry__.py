@@ -1308,6 +1308,17 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top.map_batches(attach_est, batch_format="pyarrow")
 
 
+def q_dup_span_stats(sf_dir: str):
+    """Cross-doc duplicated 3-gram spans per document (the span-dedup
+    census): one gram shuffle, bucket-vectorized df + per-doc partials.
+    Docs shorter than 3 words contribute no grams (absent from output),
+    matching the SQL mirror's generate_series emptiness."""
+    from connect_smts_ray.ops.corpus import duplicated_span_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicated_span_stats(ds, n=3, num_partitions=16)
+
+
 def q_hll_distinct_users(sf_dir: str):
     """Distributed HyperLogLog as an exact-integer register TABLE: per
     block distinct user_ids hash (md5 LE-8 == DuckDB md5_number_upper)
@@ -2921,6 +2932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_repo_stats": q_ivm_repo_stats,
         "ivm_epoch_repo_stats": q_ivm_epoch_repo_stats,
         "hll_distinct_users": q_hll_distinct_users,
+        "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
         "media_jpeg_stats": q_media_jpeg_stats,
         "pagerank_copartitioned": q_pagerank_copartitioned,
@@ -2967,9 +2979,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "events_type_stats": q_events_type_stats,
-        "asof_join_orders": q_asof_join_orders,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "asof_join_orders": q_asof_join_orders,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_wav_stats": q_media_wav_stats,
@@ -4163,6 +4175,29 @@ def oracle_sql() -> dict[str, str]:
               FROM rr
             )
             SELECT reg, max(rnk) AS max_rank FROM ranked GROUP BY reg
+        """,
+        # Span-dedup census: per-doc DISTINCT 3-grams, df across docs,
+        # duplicated = df >= 2. Same tokenizer convention as ngram_topk.
+        "dup_span_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+2], ' ') AS gram
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(ws) - 2)) AS i
+              ) t(i)
+            ),
+            df AS (SELECT gram, count(*) AS d FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams
+            FROM g JOIN df USING (gram)
+            GROUP BY g.doc_id
         """,
         "event_transitions": """
             WITH seq AS (

@@ -561,3 +561,44 @@ def test_hll_approx_distinct_bounds(ray_session):
     ).repartition(4)
     est3 = approx_distinct(dup, "x", p=12)
     assert abs(est3 - 100) / 100 < 0.10, est3
+
+
+def test_duplicated_span_stats_hot_gram_and_truth(ray_session):
+    """Brute-force truth on a corpus with one corpus-wide hot gram (every
+    doc shares it — the skew case: a single gram's occurrences all land
+    in ONE bucket) plus per-doc unique spans; short docs emit nothing."""
+    import ray.data
+
+    from connect_smts_ray.ops.corpus import duplicated_span_stats
+
+    docs = {
+        0: "alpha beta gamma alpha beta gamma",   # internal repeat: distinct
+        1: "alpha beta gamma delta one",
+        2: "xx yy zz alpha beta gamma",
+        3: "one two",                              # < 3 words: no grams
+        4: None,                                   # null text: no grams
+        5: "solo unique words here only",
+    }
+    tbl = {"doc_id": list(docs), "text": list(docs.values())}
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in docs.items()]).repartition(3)
+
+    # brute force
+    def grams(t):
+        import re
+        ws = re.findall(r"[a-z0-9]+", (t or "").lower())
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    gsets = {k: grams(v) for k, v in docs.items()}
+    from collections import Counter
+    df = Counter(g for s in gsets.values() for g in s)
+    want = {k: (len(s), sum(1 for g in s if df[g] >= 2))
+            for k, s in gsets.items() if s}
+
+    out = duplicated_span_stats(ds, n=3, num_partitions=4)
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in out.take_all()}
+    assert got == want
+    assert 3 not in got and 4 not in got
+    # the hot gram 'alpha beta gamma' is duplicated across docs 0,1,2
+    assert got[0][1] >= 1 and got[1][1] >= 1 and got[2][1] >= 1
