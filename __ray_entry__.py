@@ -1308,6 +1308,20 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top.map_batches(attach_est, batch_format="pyarrow")
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """Per-event-type HLL register tables (p=8): the one-pass sketch
+    answer to count(DISTINCT user_id) GROUP BY event_type — per block
+    only (type, reg, rank) partials move, never user ids. Exact-integer
+    cells, rebuilt cell-for-cell by the SQL mirror."""
+    from connect_smts_ray.ops.sketch import grouped_hll_register_table
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_hll_register_table(ds, "event_type", "user_id", p=8)
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_type", "reg", "max_rank"]),
+        batch_format="pyarrow")
+
+
 def q_dup_span_stats(sf_dir: str):
     """Cross-doc duplicated 3-gram spans per document (the span-dedup
     census): one gram shuffle, bucket-vectorized df + per-doc partials.
@@ -2932,6 +2946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_repo_stats": q_ivm_repo_stats,
         "ivm_epoch_repo_stats": q_ivm_epoch_repo_stats,
         "hll_distinct_users": q_hll_distinct_users,
+        "hll_users_by_type": q_hll_users_by_type,
         "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
         "media_jpeg_stats": q_media_jpeg_stats,
@@ -2978,9 +2993,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "top_docs_by_tokens": q_top_docs_by_tokens,
-        "events_type_stats": q_events_type_stats,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "events_type_stats": q_events_type_stats,
         "asof_join_orders": q_asof_join_orders,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -4175,6 +4190,34 @@ def oracle_sql() -> dict[str, str]:
               FROM rr
             )
             SELECT reg, max(rnk) AS max_rank FROM ranked GROUP BY reg
+        """,
+        # Grouped HLL: one register table per event_type, p=8 (reg =
+        # low 8 bits, rank = 1 + trailing zeros of the remaining 56,
+        # 57 when zero). Hash convention identical to hll_distinct_users.
+        "hll_users_by_type": """
+            WITH v AS (
+              SELECT DISTINCT event_type,
+                     CAST(user_id AS VARCHAR) AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            h AS (SELECT event_type, md5_number_upper(s) AS h64 FROM v),
+            rr AS (
+              SELECT event_type,
+                     CAST(h64 % 256 AS BIGINT) AS reg,
+                     h64 // 256 AS rest
+              FROM h
+            ),
+            ranked AS (
+              SELECT event_type, reg,
+                     CASE WHEN rest = 0 THEN 57
+                          ELSE CAST(log2(rest - (rest & (rest - 1)))
+                                    AS BIGINT) + 1
+                     END AS rnk
+              FROM rr
+            )
+            SELECT event_type, reg, max(rnk) AS max_rank
+            FROM ranked GROUP BY event_type, reg
         """,
         # Span-dedup census: per-doc DISTINCT 3-grams, df across docs,
         # duplicated = df >= 2. Same tokenizer convention as ngram_topk.

@@ -143,7 +143,8 @@ def run_bench() -> dict:
                      "skew_join_events", "event_transitions",
                      "attribution_events", "pagerank_copartitioned",
                      "media_jpeg_stats", "ivm_repo_stats",
-                     "hll_distinct_users", "dup_span_stats"):
+                     "hll_distinct_users", "dup_span_stats",
+                     "hll_users_by_type"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _HLL_KEY = "csr-hll-hash-key"  # 16 chars, pandas hash_key contract
 
@@ -136,6 +137,69 @@ def hll_register_table(ds, col: str, p: int = 12):
             .groupby("reg").aggregate(Max("max_rank"))
     return out.map_batches(
         lambda b: pa.table({"reg": b.column("reg"),
+                            "max_rank": b.column("max(max_rank)")}),
+        batch_format="pyarrow")
+
+
+def grouped_hll_register_table(ds, group_col: str, col: str, p: int = 8):
+    """Per-GROUP HyperLogLog register tables in one pass — the sketch
+    answer to ``SELECT g, count(DISTINCT v)`` when the distinct set per
+    group is too large to shuffle: each block emits ≤ |groups|·2^p exact
+    (group, reg, max_rank) partial rows (the values never move), and ONE
+    groupby-max merges. Same md5_number_upper hash convention as
+    hll_register_table, so the oracle rebuilds every group's sketch
+    cell-for-cell in SQL; estimate any group with
+    ``hll_estimate_from_table`` over its rows."""
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    nbits = 64 - p
+    m = 1 << p
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "group": pa.array([], pa.string()),
+            "reg": pa.array([], pa.int64()),
+            "max_rank": pa.array([], pa.int64()),
+        })
+        if not batch.num_rows:
+            return empty
+        # distinct (group, value) of the block — md5 runs per distinct
+        gv = batch.select([group_col, col]).group_by(
+            [group_col, col], use_threads=False).aggregate([])
+        gv = gv.filter(pc.and_(pc.is_valid(gv.column(group_col)),
+                               pc.is_valid(gv.column(col))))
+        if not gv.num_rows:
+            return empty
+        vals = gv.column(col).to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8],
+                            "little") for v in vals),
+            dtype=np.uint64, count=len(vals))
+        reg = (h & np.uint64(m - 1)).astype(np.int64)
+        rest = h >> np.uint64(p)
+        rank = np.full(len(h), nbits + 1, dtype=np.int64)
+        nz = rest != 0
+        if nz.any():
+            r = rest[nz]
+            lsb = r - (r & (r - np.uint64(1)))
+            rank[nz] = np.log2(lsb.astype(np.float64)).astype(np.int64) + 1
+        part = pa.table({
+            "group": pc.cast(gv.column(group_col), pa.string()),
+            "reg": pa.array(reg),
+            "max_rank": pa.array(rank),
+        }).group_by(["group", "reg"], use_threads=False) \
+          .aggregate([("max_rank", "max")])
+        return pa.table({"group": part.column("group"),
+                         "reg": part.column("reg"),
+                         "max_rank": part.column("max_rank_max")})
+
+    out = ds.map_batches(block_regs, batch_format="pyarrow") \
+            .groupby(["group", "reg"]).aggregate(Max("max_rank"))
+    return out.map_batches(
+        lambda b: pa.table({"group": b.column("group"),
+                            "reg": b.column("reg"),
                             "max_rank": b.column("max(max_rank)")}),
         batch_format="pyarrow")
 

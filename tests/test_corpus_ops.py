@@ -602,3 +602,39 @@ def test_duplicated_span_stats_hot_gram_and_truth(ray_session):
     assert 3 not in got and 4 not in got
     # the hot gram 'alpha beta gamma' is duplicated across docs 0,1,2
     assert got[0][1] >= 1 and got[1][1] >= 1 and got[2][1] >= 1
+
+
+def test_grouped_hll_parallelism_invariant(ray_session):
+    """grouped_hll_register_table must be identical at any block layout
+    (register max is order-free), and each group's estimate must track
+    its true distinct count at p=8 (~6.5% typical error)."""
+    import pyarrow as pa
+    import ray.data
+
+    from connect_smts_ray.ops.sketch import (
+        grouped_hll_register_table,
+        hll_estimate_from_table,
+    )
+
+    rows = [{"g": f"t{i % 3}", "v": f"u{(i * 7) % (300 * (1 + i % 3))}"}
+            for i in range(9000)]
+    rows.append({"g": None, "v": "skipme"})
+    rows.append({"g": "t0", "v": None})
+
+    def run(parts):
+        ds = ray.data.from_items(rows).repartition(parts)
+        return grouped_hll_register_table(ds, "g", "v", p=8) \
+            .to_pandas().sort_values(["group", "reg"]).reset_index(drop=True)
+
+    t1, t8 = run(1), run(8)
+    assert t1.equals(t8)
+
+    import collections
+    truth = collections.defaultdict(set)
+    for r in rows:
+        if r["g"] is not None and r["v"] is not None:
+            truth[r["g"]].add(r["v"])
+    for g, vals in truth.items():
+        sub = t8[t8["group"] == g][["reg", "max_rank"]]
+        est = hll_estimate_from_table(pa.Table.from_pandas(sub), p=8)
+        assert abs(est - len(vals)) / len(vals) < 0.25
