@@ -1308,6 +1308,45 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top.map_batches(attach_est, batch_format="pyarrow")
 
 
+def q_change_feed_orders(sf_dir: str):
+    """CDC feed generation: diff the orders snapshot against a
+    deterministically mutated next version (keys %7 deleted, prices ×2
+    where key %5, synthetic inserts at key+10M where key %11) into a
+    Debezium-flattened changelog (op c/u/d, before/after images). One
+    bucketed exchange; unchanged keys emit nothing."""
+    from connect_smts_ray.ops.ivm import emit_change_feed
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    old = _read(sf_dir, "orders", columns=cols)
+
+    def mutate(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        kept = b.filter(pa.array(k % 7 != 0))
+        kk = kept.column("o_orderkey").to_numpy(zero_copy_only=False)
+        price = pc.if_else(
+            pa.array(kk % 5 == 0),
+            pc.multiply(kept.column("o_totalprice"), pa.scalar(2.0)),
+            kept.column("o_totalprice"))
+        mutated = pa.table({
+            "o_orderkey": kept.column("o_orderkey"), "o_totalprice": price,
+            "o_orderstatus": kept.column("o_orderstatus")})
+        ins_src = b.filter(pa.array(k % 11 == 0))
+        inserts = pa.table({
+            "o_orderkey": pc.add(ins_src.column("o_orderkey"),
+                                 pa.scalar(10_000_000, pa.int64())),
+            "o_totalprice": ins_src.column("o_totalprice"),
+            "o_orderstatus": pa.nulls(ins_src.num_rows, pa.string())
+                .fill_null("N"),
+        })
+        return pa.concat_tables([mutated, inserts])
+
+    new = _read(sf_dir, "orders", columns=cols).map_batches(
+        mutate, batch_format="pyarrow")
+    return emit_change_feed(
+        old, new, key_cols=["o_orderkey"],
+        value_cols=["o_totalprice", "o_orderstatus"], num_partitions=16)
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Per-event-type HLL register tables (p=8): the one-pass sketch
     answer to count(DISTINCT user_id) GROUP BY event_type — per block
@@ -2947,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_epoch_repo_stats": q_ivm_epoch_repo_stats,
         "hll_distinct_users": q_hll_distinct_users,
         "hll_users_by_type": q_hll_users_by_type,
+        "change_feed_orders": q_change_feed_orders,
         "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
         "media_jpeg_stats": q_media_jpeg_stats,
@@ -2992,9 +3032,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": q_hopping_window_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "shipping_priority": q_shipping_priority,
-        "top_docs_by_tokens": q_top_docs_by_tokens,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "top_docs_by_tokens": q_top_docs_by_tokens,
         "events_type_stats": q_events_type_stats,
         "asof_join_orders": q_asof_join_orders,
         "media_features": q_media_features,
@@ -4190,6 +4230,46 @@ def oracle_sql() -> dict[str, str]:
               FROM rr
             )
             SELECT reg, max(rnk) AS max_rank FROM ranked GROUP BY reg
+        """,
+        # Change-feed mirror: rebuild the mutated snapshot in SQL, FULL
+        # OUTER JOIN on the key, classify c/u/d, drop unchanged rows
+        # (IS NOT DISTINCT FROM — the op's null-safe equality).
+        "change_feed_orders": """
+            WITH old AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            ),
+            mutated AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 7 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice, 'N'
+              FROM orders WHERE o_orderkey % 11 = 0
+            ),
+            j AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     o.o_totalprice AS before_o_totalprice,
+                     n.o_totalprice AS after_o_totalprice,
+                     o.o_orderstatus AS before_o_orderstatus,
+                     n.o_orderstatus AS after_o_orderstatus,
+                     o.o_orderkey IS NOT NULL AS in_old,
+                     n.o_orderkey IS NOT NULL AS in_new
+              FROM old o FULL OUTER JOIN mutated n
+                ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT o_orderkey,
+                   CASE WHEN in_old AND in_new THEN 'u'
+                        WHEN in_new THEN 'c' ELSE 'd' END AS op,
+                   before_o_totalprice, after_o_totalprice,
+                   before_o_orderstatus, after_o_orderstatus
+            FROM j
+            WHERE NOT (in_old AND in_new
+                AND before_o_totalprice IS NOT DISTINCT FROM
+                    after_o_totalprice
+                AND before_o_orderstatus IS NOT DISTINCT FROM
+                    after_o_orderstatus)
         """,
         # Grouped HLL: one register table per event_type, p=8 (reg =
         # low 8 bits, rank = 1 + trailing zeros of the remaining 56,

@@ -150,6 +150,41 @@ def changelog_aggregate(ds, key_cols, lsn_col: str, delete_col: str,
     return _finalize(deltas, n_name, m_name)
 
 
+def emit_change_feed(old, new, key_cols, value_cols,
+                     num_partitions: int = 16):
+    """CDC feed GENERATION — the inverse of the replay sink: diff two
+    snapshots of a keyed table into a Debezium-flattened changelog
+    (op ``c``/``u``/``d``, ``before_<col>``/``after_<col>`` images,
+    typed-null on the absent side) ready to drive a downstream
+    ``changelog_aggregate`` or LWW upsert. Built on ``table_diff``'s
+    single bucketed exchange (relational.py:1102); unchanged keys emit
+    nothing. Snapshot-based feeds carry no lsn — consumers order by feed
+    generation, the anti-entropy convention.
+
+    Reference analog: the Outbox transform's op envelope
+    (smt/Outbox.java:70-132) read in reverse — the engine *produces* the
+    change stream a connect-smts deployment would consume."""
+    from connect_smts_ray.ops.relational import table_diff
+
+    diff = table_diff(old, new, key_cols, value_cols, num_partitions)
+
+    def envelope(b: pa.Table) -> pa.Table:
+        ct = b.column("change_type")
+        op = pc.case_when(
+            pc.make_struct(
+                pc.equal(ct, pa.scalar("added")),
+                pc.equal(ct, pa.scalar("changed"))),
+            pa.scalar("c"), pa.scalar("u"), pa.scalar("d"))
+        cols = {c: b.column(c) for c in key_cols}
+        cols["op"] = op
+        for c in value_cols:
+            cols[f"before_{c}"] = b.column(f"old_{c}")
+            cols[f"after_{c}"] = b.column(f"new_{c}")
+        return pa.table(cols)
+
+    return diff.map_batches(envelope, batch_format="pyarrow")
+
+
 # -- epoch-incremental form -------------------------------------------------
 
 def _state_path(state_dir: str, epoch: int, bucket: int) -> str:

@@ -185,3 +185,37 @@ def test_hll_register_table_matches_estimate(ray_session):
     assert t1.equals(t8)
     est = hll_estimate_from_table(pa.Table.from_pandas(t8), p=12)
     assert est == pytest.approx(3000, rel=0.05)
+
+
+def test_change_feed_roundtrip(ray_session):
+    """emit_change_feed(old, new) applied to old as a state machine must
+    reconstruct new exactly; unchanged keys emit nothing."""
+    import ray.data
+
+    from connect_smts_ray.ops.ivm import emit_change_feed
+
+    old = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"]),
+    })
+    new = pa.table({
+        "k": pa.array([2, 3, 4, 5], pa.int64()),
+        "v": pa.array(["b", "C", "d", "e"]),   # 1 removed, 3 changed, 5 added
+    })
+    feed = emit_change_feed(
+        ray.data.from_arrow(old), ray.data.from_arrow(new),
+        key_cols=["k"], value_cols=["v"], num_partitions=4).take_all()
+    ops = {r["k"]: r for r in feed}
+    assert set(ops) == {1, 3, 5}
+    assert ops[1]["op"] == "d" and ops[1]["after_v"] is None
+    assert ops[3]["op"] == "u" and (ops[3]["before_v"], ops[3]["after_v"]) \
+        == ("c", "C")
+    assert ops[5]["op"] == "c" and ops[5]["before_v"] is None
+
+    state = {1: "a", 2: "b", 3: "c", 4: "d"}
+    for r in feed:
+        if r["op"] == "d":
+            del state[r["k"]]
+        else:
+            state[r["k"]] = r["after_v"]
+    assert state == {2: "b", 3: "C", 4: "d", 5: "e"}
