@@ -147,6 +147,32 @@ def q_cdc_replay(sf_dir: str):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
+def q_cdc_replay_compacted(sf_dir: str):
+    """Epoch-split replay WITH mid-run base compaction (4 epochs,
+    compact_every=2 → bases at epochs 1 and 3): the read plan serves
+    base + suffix deltas instead of the whole delta chain, and the final
+    state must be identical to a single-shot replay — same pure-SQL LWW
+    oracle as cdc_replay."""
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        final_state,
+        replay,
+    )
+
+    lake = tempfile.mkdtemp(prefix="csr_lake_cpt_")
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=lake, events_per_key=6, num_partitions=8,
+        epochs=4, compact_every=2,
+        expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(cfg, fresh=True)
+    out = final_state(cfg)
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.select(
+        ["repo", "path", "commit", "lang", "content", "version", "commit_lsn"]
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
 def q_cdc_snapshot_tail(sf_dir: str):
     """Debezium-style bootstrap: consistent table SNAPSHOT at lsn 3
     (read from the source table — no log before the snapshot point is
@@ -2987,6 +3013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": q_hll_distinct_users,
         "hll_users_by_type": q_hll_users_by_type,
         "change_feed_orders": q_change_feed_orders,
+        "cdc_replay_compacted": q_cdc_replay_compacted,
         "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
         "media_jpeg_stats": q_media_jpeg_stats,
@@ -3031,9 +3058,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": q_window_events,
         "hopping_window_events": q_hopping_window_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
-        "shipping_priority": q_shipping_priority,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "shipping_priority": q_shipping_priority,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "events_type_stats": q_events_type_stats,
         "asof_join_orders": q_asof_join_orders,
@@ -3598,6 +3625,9 @@ def oracle_sql() -> dict[str, str]:
         # snapshot-then-tail reconverges to the identical final state, so
         # the full-history LWW reconstruction is its oracle too
         "cdc_snapshot_tail": _replay_final_state_sql(events_per_key=6, seed=42),
+        # compaction must be invisible to readers — identical oracle
+        "cdc_replay_compacted": _replay_final_state_sql(events_per_key=6,
+                                                        seed=42),
         # IVM: the delta-stream aggregate must equal the grouped view of
         # the replayed final table — the same LWW reconstruction, grouped.
         # The epoch-incremental form reconverges to the identical answer,
