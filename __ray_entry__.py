@@ -1387,6 +1387,18 @@ def q_hll_users_by_type(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_sample_k_per_type(sf_dir: str):
+    """Exact-20 deterministic sample per event_type (md5-rank
+    permutation, combiner-first top-k — at most k rows per group per
+    block cross the shuffle). The fixed-size counterpart of the
+    rate-based stratified_sample."""
+    from connect_smts_ray.ops.corpus import sample_k_per_group
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "event_id", "user_id"])
+    return sample_k_per_group(ds, ["event_type"], id_col="event_id", k=20)
+
+
 def q_dup_span_stats(sf_dir: str):
     """Cross-doc duplicated 3-gram spans per document (the span-dedup
     census): one gram shuffle, bucket-vectorized df + per-doc partials.
@@ -3014,6 +3026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": q_hll_users_by_type,
         "change_feed_orders": q_change_feed_orders,
         "cdc_replay_compacted": q_cdc_replay_compacted,
+        "sample_k_per_type": q_sample_k_per_type,
         "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
         "media_jpeg_stats": q_media_jpeg_stats,
@@ -3057,9 +3070,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "window_events": q_window_events,
         "hopping_window_events": q_hopping_window_events,
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "events_type_stats": q_events_type_stats,
@@ -4328,6 +4341,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, reg, max(rnk) AS max_rank
             FROM ranked GROUP BY event_type, reg
+        """,
+        # Exact-k sample mirror: the same md5 permutation (low 8 bytes
+        # LE = md5_number_lower; //2 == the engine's >>1 sign guard),
+        # row_number per group, identical (rank, id) tiebreak.
+        "sample_k_per_type": """
+            SELECT event_type, event_id, user_id FROM (
+              SELECT event_type, event_id, user_id,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(md5_number_lower(
+                                 CAST(event_id AS VARCHAR)) // 2 AS BIGINT),
+                                event_id) AS rn
+              FROM events
+            ) WHERE rn <= 20
         """,
         # Span-dedup census: per-doc DISTINCT 3-grams, df across docs,
         # duplicated = df >= 2. Same tokenizer convention as ngram_topk.

@@ -284,6 +284,34 @@ def grouped_topk(ds, group_cols, by: str, k: int, descending: bool = True,
     )
 
 
+def sample_k_per_group(ds, group_cols, id_col: str, k: int):
+    """EXACT-k deterministic per-group sample: rank every row by the md5
+    of its id (``md5_number_lower`` convention — a uniform, seedless,
+    SQL-mirrorable permutation) and keep each group's ``k`` smallest.
+    Unlike rate-based ``stratified_sample`` this guarantees the sample
+    SIZE per group (the eval-set / few-shot-pool contract), stays
+    identical at any parallelism, and rides ``grouped_topk``'s
+    combiner-first shape: at most k rows per group per block shuffle.
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    import hashlib
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column(id_col), pa.string()).to_pylist()
+        rk = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                            "little") >> 1 for v in ids),
+            dtype=np.int64, count=len(ids))  # >>1: keep int64-positive
+        return b.append_column(pa.field("__rk", pa.int64()), pa.array(rk))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = grouped_topk(ranked, list(group_cols), by="__rk", k=k,
+                       descending=False, tiebreak=(id_col, True))
+    return out.map_batches(lambda b: b.drop_columns(["__rk"]),
+                           batch_format="pyarrow")
+
+
 def group_quantiles(ds, group_col: str, value_col: str, qs,
                     num_partitions: int = 16):
     """EXACT discrete quantiles per group (DuckDB ``quantile_disc``
