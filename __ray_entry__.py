@@ -2316,6 +2316,25 @@ def q_kmeans_clusters(sf_dir: str):
     return assigned
 
 
+def q_bpe_train_merges(sf_dir: str):
+    """Distributed BPE tokenizer TRAINING (`ops/bpe.py`): learn 16 merge
+    rules over the documents corpus. One combiner-first corpus pass builds
+    the distinct-word table; every merge iteration then moves only
+    per-block (pair, weight) partials down to a driver argmax and two
+    int32 ids back up — the Sennrich 2016 algorithm re-shaped so the
+    corpus never re-enters the loop. Deterministic at any parallelism
+    (exact integer pair sums; total tie-break count desc → (left, right)
+    lexicographic). NO SQL oracle: the per-iteration argmax data
+    dependence is not expressible in DuckDB SQL — the driver records the
+    weaker rows-only check; exact semantics are pinned against a
+    pure-Python sequential reference trainer in tests/test_bpe.py
+    (partition invariance, l==r overlap runs, tie-breaks, early stop)."""
+    from connect_smts_ray.ops.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_train(ds, num_merges=16, num_partitions=8)
+
+
 def q_token_count_bpe(sf_dir: str):
     """BPE-ish pretoken counts (GPT-2-style regex, RE2-compatible) — one
     vectorized count kernel per batch."""
@@ -3007,8 +3026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round, (3) then queries whose implementation or dependencies changed
     # since their last green driver row, (4) remaining slots re-green the
     # stalest coverage. This round that is: event_transitions (the only
-    # never-checked query after r4) + the five new r5 queries (the IVM
-    # pair, the HLL register table, JPEG, co-partitioned PageRank);
+    # never-checked query after r4) + the new r5 queries (the IVM pair,
+    # the HLL pair, the change-feed/compaction pair, per-group sampling,
+    # span dedup, JPEG, co-partitioned PageRank, BPE training — the
+    # registry's first rows-only entry, see q_bpe_train_merges);
     # orc_roundtrip
     # (r4's one red — connector reworked); the join/DLQ/kernel/IVF/layout
     # queries r5 code touched; the r3-green CDC flagship family whose
@@ -3069,9 +3090,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "window_events": q_window_events,
-        "hopping_window_events": q_hopping_window_events,
+        "bpe_train_merges": q_bpe_train_merges,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "hopping_window_events": q_hopping_window_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "top_docs_by_tokens": q_top_docs_by_tokens,

@@ -144,7 +144,8 @@ def run_bench() -> dict:
                      "attribution_events", "pagerank_copartitioned",
                      "media_jpeg_stats", "ivm_repo_stats",
                      "hll_distinct_users", "dup_span_stats",
-                     "hll_users_by_type", "change_feed_orders"):
+                     "hll_users_by_type", "change_feed_orders",
+                     "bpe_train_merges"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

@@ -91,6 +91,7 @@ def test_rows_only_queries_run(ray_session):
     import __ray_entry__ as e
 
     sf = "/root/testdata/sf0.001"
-    for name in ["knn_ivf", "replay_lineage", "cdc_replay_resume"]:
+    for name in ["knn_ivf", "replay_lineage", "cdc_replay_resume",
+                 "bpe_train_merges"]:
         df = to_pandas(e.queries()[name](sf))
         assert len(df) > 0, name
