@@ -173,6 +173,47 @@ def q_cdc_replay_compacted(sf_dir: str):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
+def q_lake_point_lookup(sf_dir: str):
+    """Bloom-sidecar point lookups on the replayed lake
+    (`sinks/lookup.py`): replay 2 epochs, index every plan file with a
+    per-file Bloom filter over its composite keys, then probe the
+    deterministic ~1/4 key subset substr(md5(repo||US||path),1,1) IN
+    ('0'..'3') — absent/tombstoned keys yield no row, present keys return
+    exactly the scan path's LWW state (the lookup reuses lww_winners +
+    tombstone drop), and only bloom-admitted files are opened. Oracle =
+    the cdc_replay pure-SQL LWW reconstruction filtered by the same md5
+    rule."""
+    import hashlib
+
+    from connect_smts_ray.pipelines.replay import ReplayConfig, replay
+    from connect_smts_ray.sinks.lookup import (
+        build_bloom_sidecars,
+        point_lookup,
+    )
+    from connect_smts_ray.sources.corpus import corpus_table
+
+    lake = tempfile.mkdtemp(prefix="csr_lake_pl_")
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=lake, events_per_key=6, num_partitions=8,
+        epochs=2, expand_concurrency=2, crypto_concurrency=2,
+    )
+    replay(cfg, fresh=True)
+    ucfg = cfg.upsert()
+    build_bloom_sidecars(ucfg)
+
+    corpus = corpus_table(sf_dir)
+    probes = corpus.filter(pa.array([
+        hashlib.md5(f"{r}\x1f{p}".encode()).hexdigest()[0] in "0123"
+        for r, p in zip(corpus.column("repo").to_pylist(),
+                        corpus.column("path").to_pylist())
+    ])).select(["repo", "path"])
+    out, _stats = point_lookup(ucfg, probes)
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.select(
+        ["repo", "path", "commit", "lang", "content", "version", "commit_lsn"]
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
 def q_cdc_snapshot_tail(sf_dir: str):
     """Debezium-style bootstrap: consistent table SNAPSHOT at lsn 3
     (read from the source table — no log before the snapshot point is
@@ -3028,8 +3069,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # stalest coverage. This round that is: event_transitions (the only
     # never-checked query after r4) + the new r5 queries (the IVM pair,
     # the HLL pair, the change-feed/compaction pair, per-group sampling,
-    # span dedup, JPEG, co-partitioned PageRank, BPE training — the
-    # registry's first rows-only entry, see q_bpe_train_merges);
+    # span dedup, JPEG, co-partitioned PageRank, bloom-sidecar point
+    # lookups, BPE training — the registry's first rows-only entry, see
+    # q_bpe_train_merges);
     # orc_roundtrip
     # (r4's one red — connector reworked); the join/DLQ/kernel/IVF/layout
     # queries r5 code touched; the r3-green CDC flagship family whose
@@ -3047,6 +3089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": q_hll_users_by_type,
         "change_feed_orders": q_change_feed_orders,
         "cdc_replay_compacted": q_cdc_replay_compacted,
+        "lake_point_lookup": q_lake_point_lookup,
         "sample_k_per_type": q_sample_k_per_type,
         "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
@@ -3089,10 +3132,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "window_events": q_window_events,
         "bpe_train_merges": q_bpe_train_merges,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "window_events": q_window_events,
         "hopping_window_events": q_hopping_window_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -3663,6 +3706,14 @@ def oracle_sql() -> dict[str, str]:
         # compaction must be invisible to readers — identical oracle
         "cdc_replay_compacted": _replay_final_state_sql(events_per_key=6,
                                                         seed=42),
+        # Point lookup: the probed ~1/4 key subset of the same LWW state —
+        # bloom pruning must be invisible to the answer.
+        "lake_point_lookup": f"""
+            SELECT * FROM ({_replay_final_state_sql(events_per_key=6,
+                                                    seed=42)})
+            WHERE substr(md5(repo || chr(31) || path), 1, 1)
+                  IN ('0', '1', '2', '3')
+        """,
         # IVM: the delta-stream aggregate must equal the grouped view of
         # the replayed final table — the same LWW reconstruction, grouped.
         # The epoch-incremental form reconverges to the identical answer,
