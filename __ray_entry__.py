@@ -1513,6 +1513,53 @@ def q_zonemap_pruned_scan(sf_dir: str):
     return result.sort("event_type")
 
 
+def q_zorder_pruned_scan(sf_dir: str):
+    """Z-ORDER layout (ops/layout.py `write_zorder_shards`): events are
+    laid out ONCE by Morton-interleaved (user_id, ts) bucket ids, then
+    pruned scans run on EACH axis independently — a user-range probe and
+    a time-range probe both skip files (asserted), which a single-column
+    sort can only do for its one sort key. Totals per probe hash-match
+    the plain SQL WHEREs."""
+    import pandas as pd
+
+    from connect_smts_ray.ops.layout import (
+        read_zorder_pruned,
+        write_zorder_shards,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out_dir = tempfile.mkdtemp(prefix="csr_zorder_")
+    write_zorder_shards(ds, ["user_id", "ts"], out_dir, num_shards=16)
+
+    week_lo = int(pd.Timestamp("2024-01-08").value // 1000)   # µs
+    week_hi = int(pd.Timestamp("2024-01-15").value // 1000) - 1
+    probes = [("user_10_39", "user_id", 10, 39),
+              ("week2", "ts", week_lo, week_hi)]
+
+    rows = []
+    for label, col, lo, hi in probes:
+        pruned, n_read, n_total = read_zorder_pruned(out_dir, col, lo, hi)
+        assert n_read < n_total, f"z-order failed to prune on {col}"
+
+        def partial(b: pa.Table) -> pa.Table:
+            b = _append_value_cents(b)
+            return pa.table({
+                "cents": pa.array([pc.sum(b.column("value_cents")).as_py()
+                                   or 0], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            })
+
+        parts = pruned.map_batches(partial, batch_format="pyarrow") \
+            .take_all()
+        rows.append({
+            "probe": label,
+            "n_events": int(sum(r["n"] for r in parts)),
+            "total_value": sum(r["cents"] for r in parts) / 100.0,
+        })
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.Table.from_pylist(rows).sort_by("probe")
+
+
 def q_full_outer_activity(sf_dir: str):
     """FULL OUTER join of two grouped aggregates — event activity per
     user vs order count per customer on the shared key space: matched,
@@ -3090,6 +3137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_feed_orders": q_change_feed_orders,
         "cdc_replay_compacted": q_cdc_replay_compacted,
         "lake_point_lookup": q_lake_point_lookup,
+        "zorder_pruned_scan": q_zorder_pruned_scan,
         "sample_k_per_type": q_sample_k_per_type,
         "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
@@ -3131,10 +3179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
         "bpe_train_merges": q_bpe_train_merges,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "quality_score": q_quality_score,
         "window_events": q_window_events,
         "hopping_window_events": q_hopping_window_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -4143,6 +4191,22 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-15') - 1
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "zorder_pruned_scan": """
+            SELECT 'user_10_39' AS probe,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                     / 100.0 AS total_value
+            FROM events WHERE user_id BETWEEN 10 AND 39
+            UNION ALL
+            SELECT 'week2',
+                   CAST(count(*) AS BIGINT),
+                   coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                     / 100.0
+            FROM events
+            WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-08')
+              AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-15') - 1
+            ORDER BY probe
         """,
         "full_outer_activity": """
             WITH ev AS (

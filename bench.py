@@ -145,7 +145,8 @@ def run_bench() -> dict:
                      "media_jpeg_stats", "ivm_repo_stats",
                      "hll_distinct_users", "dup_span_stats",
                      "hll_users_by_type", "change_feed_orders",
-                     "bpe_train_merges", "lake_point_lookup"):
+                     "bpe_train_merges", "lake_point_lookup",
+                     "zorder_pruned_scan"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets
