@@ -214,6 +214,87 @@ def q_lake_point_lookup(sf_dir: str):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
+def q_merge_into_orders(sf_dir: str):
+    """MERGE INTO (sinks/merge.py) — the Delta-style declarative CDC
+    apply: orders are seeded into a lake (key o_orderkey), then one merge
+    applies a deterministic change set in a single epoch: UPDATE rows
+    with o_orderkey%7=0 (status 'U', +1.00 price), DELETE rows with
+    o_orderkey%11=0 (clause order: delete wins), INSERT brand-new keys
+    (o_orderkey+maxkey+1 for %13=0 — +1 because key 0 exists, status 'N'). The merged state is read
+    back through the normal merge-on-read scan; the oracle is the same
+    matrix as a FULL OUTER CASE in SQL."""
+    from connect_smts_ray.sinks.merge import merge_into
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    lake = tempfile.mkdtemp(prefix="csr_lake_mrg_")
+    cfg = UpsertConfig(lake_dir=lake, num_partitions=8,
+                       key_columns=("o_orderkey",))
+
+    def to_target(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        n = b.num_rows
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "status": b.column("o_orderstatus"),
+            "cents": cents,
+            "commit_lsn": pa.array([0] * n, pa.int64()),
+            "source_offset": b.column("o_orderkey"),
+            "is_tombstone": pa.array([False] * n, pa.bool_()),
+        })
+
+    run_upsert(orders.map_batches(to_target, batch_format="pyarrow"),
+               cfg, epoch=0).materialize()
+
+    # deterministic change set derived from the same table — disjoint
+    # update/delete key sets; inserts shifted past the key space
+    max_key = orders.map_batches(
+        lambda b: pa.table({"m": [pc.max(b.column("o_orderkey")).as_py()
+                                  or 0]}),
+        batch_format="pyarrow").to_pandas()["m"].max()
+
+    def to_changes(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        u = b.filter(pa.array((k % 7 == 0) & (k % 11 != 0)))
+        d = b.filter(pa.array(k % 11 == 0))
+        i = b.filter(pa.array(k % 13 == 0))
+        parts = []
+        for t, op, key_shift, status, cents_add in (
+                (u, "u", 0, None, 100), (d, "d", 0, None, 0),
+                (i, "i", int(max_key) + 1, "N", 0)):
+            kk = pc.add(t.column("o_orderkey"), pa.scalar(key_shift))
+            cc = pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), pa.scalar(100.0)),
+                round_mode="half_towards_infinity"), pa.int64())
+            parts.append(pa.table({
+                "o_orderkey": kk,
+                "status": pa.array(["U"] * t.num_rows, pa.string())
+                if op == "u" else (
+                    t.column("o_orderstatus") if status is None
+                    else pa.array([status] * t.num_rows, pa.string())),
+                "cents": pc.add(cc, pa.scalar(cents_add)),
+                "op": pa.array([op] * t.num_rows, pa.string()),
+            }))
+        return pa.concat_tables(parts)
+
+    changes = orders.map_batches(to_changes, batch_format="pyarrow")
+    merge_into(
+        changes, cfg, merge_lsn=1, epoch=1,
+        when_matched_update=True,
+        when_matched_delete=lambda j: pc.equal(j.column("op"), "d"),
+        when_not_matched_insert=True,
+    ).to_pandas()
+
+    from connect_smts_ray.sinks.upsert import read_lake
+
+    out = read_lake(cfg).select(["o_orderkey", "status", "cents"])
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.sort_by("o_orderkey")
+
+
 def q_cdc_snapshot_tail(sf_dir: str):
     """Debezium-style bootstrap: consistent table SNAPSHOT at lsn 3
     (read from the source table — no log before the snapshot point is
@@ -3137,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_feed_orders": q_change_feed_orders,
         "cdc_replay_compacted": q_cdc_replay_compacted,
         "lake_point_lookup": q_lake_point_lookup,
+        "merge_into_orders": q_merge_into_orders,
         "zorder_pruned_scan": q_zorder_pruned_scan,
         "sample_k_per_type": q_sample_k_per_type,
         "dup_span_stats": q_dup_span_stats,
@@ -3178,10 +3260,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": q_sample_documents,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
-        "lang_id": q_lang_id,
         "bpe_train_merges": q_bpe_train_merges,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "window_events": q_window_events,
         "hopping_window_events": q_hopping_window_events,
@@ -3754,6 +3836,26 @@ def oracle_sql() -> dict[str, str]:
         # compaction must be invisible to readers — identical oracle
         "cdc_replay_compacted": _replay_final_state_sql(events_per_key=6,
                                                         seed=42),
+        # MERGE INTO: the clause matrix as FULL OUTER CASE logic — update
+        # where %7 (and not deleted), delete where %11, insert shifted %13
+        # keys; untouched rows pass through.
+        "merge_into_orders": """
+            WITH tgt AS (
+              SELECT o_orderkey AS k, o_orderstatus AS status,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT k AS o_orderkey,
+                   CASE WHEN k % 7 = 0 THEN 'U' ELSE status END AS status,
+                   CASE WHEN k % 7 = 0 THEN cents + 100
+                        ELSE cents END AS cents
+            FROM tgt WHERE k % 11 <> 0
+            UNION ALL
+            SELECT k + (SELECT max(k) + 1 FROM tgt) AS o_orderkey,
+                   'N' AS status, cents
+            FROM tgt WHERE k % 13 = 0
+            ORDER BY o_orderkey
+        """,
         # Point lookup: the probed ~1/4 key subset of the same LWW state —
         # bloom pruning must be invisible to the answer.
         "lake_point_lookup": f"""
