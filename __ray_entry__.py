@@ -295,6 +295,42 @@ def q_merge_into_orders(sf_dir: str):
     return out.sort_by("o_orderkey")
 
 
+def q_unpivot_orders(sf_dir: str):
+    """UNPIVOT / melt: orders' numeric measures stacked wide → long
+    entirely inside each batch (zero shuffle, `ops/relational.unpivot`);
+    the long value column carries SQL's union coercion (float64)."""
+    from connect_smts_ray.ops.relational import unpivot
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return unpivot(ds, id_cols=["o_orderkey"],
+                   value_cols=["o_custkey", "o_totalprice"])
+
+
+def q_mode_event_type(sf_dir: str):
+    """Statistical MODE per user (most frequent event_type, ties to the
+    lexicographically smallest): combiner-first (group, value, n)
+    partials → global sum → bucketed vectorized winner pick
+    (`ops/relational.grouped_mode`) — never per-key Python."""
+    from connect_smts_ray.ops.relational import grouped_mode
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ds, "user_id", "event_type")
+
+
+def q_user_event_path(sf_dir: str):
+    """Ordered string_agg per user — each user's full event-type path
+    joined by '>' in (ts, event_id) order: one sort + ONE vectorized
+    pc.binary_join per bucket over boundary-offset ListArrays
+    (`ops/relational.grouped_string_agg`)."""
+    from connect_smts_ray.ops.relational import grouped_string_agg
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+    return grouped_string_agg(ds, "user_id", "event_type", "ts",
+                              "event_id", sep=">")
+
+
 def q_cdc_snapshot_tail(sf_dir: str):
     """Debezium-style bootstrap: consistent table SNAPSHOT at lsn 3
     (read from the source table — no log before the snapshot point is
@@ -3220,6 +3256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_point_lookup": q_lake_point_lookup,
         "merge_into_orders": q_merge_into_orders,
         "zorder_pruned_scan": q_zorder_pruned_scan,
+        "unpivot_orders": q_unpivot_orders,
+        "mode_event_type": q_mode_event_type,
+        "user_event_path": q_user_event_path,
         "sample_k_per_type": q_sample_k_per_type,
         "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
@@ -3257,12 +3296,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_clusters": q_embedding_clusters,
-        "sample_documents": q_sample_documents,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
         "bpe_train_merges": q_bpe_train_merges,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "sample_documents": q_sample_documents,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "window_events": q_window_events,
@@ -3836,6 +3875,33 @@ def oracle_sql() -> dict[str, str]:
         # compaction must be invisible to readers — identical oracle
         "cdc_replay_compacted": _replay_final_state_sql(events_per_key=6,
                                                         seed=42),
+        # UNPIVOT: the wide→long stack as UNION ALL with the same float64
+        # coercion the engine applies.
+        "unpivot_orders": """
+            SELECT o_orderkey, 'o_custkey' AS variable,
+                   CAST(o_custkey AS DOUBLE) AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'o_totalprice',
+                   CAST(o_totalprice AS DOUBLE) FROM orders
+        """,
+        # MODE per user: global counts, rank by (n desc, value asc).
+        "mode_event_type": """
+            WITH c AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, event_type AS mode_value, n
+            FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+            ORDER BY user_id
+        """,
+        # Ordered per-user path: string_agg with an explicit total order.
+        "user_event_path": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS agg
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         # MERGE INTO: the clause matrix as FULL OUTER CASE logic — update
         # where %7 (and not deleted), delete where %11, insert shifted %13
         # keys; untouched rows pass through.

@@ -146,7 +146,9 @@ def run_bench() -> dict:
                      "hll_distinct_users", "dup_span_stats",
                      "hll_users_by_type", "change_feed_orders",
                      "bpe_train_merges", "lake_point_lookup",
-                     "zorder_pruned_scan", "merge_into_orders"):
+                     "zorder_pruned_scan", "merge_into_orders",
+                     "unpivot_orders", "mode_event_type",
+                     "user_event_path"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

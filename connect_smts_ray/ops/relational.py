@@ -1501,3 +1501,117 @@ def grouped_ols_trend(ds, key_col: str, ts_col: str, value_cents_col: str,
                          "slope": slope, "intercept": intercept})
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def unpivot(ds, id_cols, value_cols, var_name: str = "variable",
+            value_name: str = "value", value_type=None):
+    """UNPIVOT / melt — wide → long entirely inside each batch, ZERO
+    shuffle: per block, K stacked projections (one per value column)
+    with a constant ``var_name`` label. Value columns are cast to
+    ``value_type`` (default float64) so the long column has one type —
+    the same coercion SQL's UNPIVOT applies via its value-column union.
+    Scale: output is K× the rows but each block transforms locally and
+    streams; no exchange, no driver state."""
+    vt = value_type or pa.float64()
+
+    def melt(b: pa.Table) -> pa.Table:
+        outs = []
+        for c in value_cols:
+            t = b.select(list(id_cols))
+            t = t.append_column(
+                pa.field(var_name, pa.string()),
+                pa.array([c] * b.num_rows, pa.string()))
+            t = t.append_column(pa.field(value_name, vt),
+                                pc.cast(b.column(c), vt))
+            outs.append(t)
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def grouped_mode(ds, group_col: str, value_col: str,
+                 num_partitions: int = 32):
+    """Statistical MODE per group (most frequent value; ties break to the
+    smallest value — deterministic and SQL-mirrorable). Combiner-first:
+    blocks collapse to (group, value, n) partials, a grouped sum makes
+    counts global, then buckets of groups pick their winners with ONE
+    vectorized sort + boundary mask per bucket (never per-key Python).
+    Output: (group_col, mode_value, n)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([group_col, value_col]).group_by(
+            [group_col, value_col], use_threads=False
+        ).aggregate([([], "count_all")])
+        return pa.table({
+            group_col: g.column(group_col),
+            value_col: g.column(value_col),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, value_col]).sum("n")
+
+    def pick(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(pa.table({
+            "g": g.column(group_col),
+            "neg_n": pc.multiply(g.column("sum(n)"), pa.scalar(-1)),
+            "v": g.column(value_col),
+        }), sort_keys=[("g", "ascending"), ("neg_n", "ascending"),
+                       ("v", "ascending")])
+        s = g.take(order)
+        keys = s.column(group_col).to_pandas()
+        first = ~keys.duplicated().to_numpy()
+        w = s.filter(pa.array(first))
+        return pa.table({
+            group_col: w.column(group_col),
+            "mode_value": w.column(value_col),
+            "n": pc.cast(w.column("sum(n)"), pa.int64()),
+        })
+
+    return counts.map_batches(
+        _add_key_bucket(group_col, num_partitions), batch_format="pyarrow"
+    ).groupby("__bucket").map_groups(
+        lambda g: pick(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, group_col: str, value_col: str, order_col: str,
+                       tiebreak_col: str, sep: str = ",",
+                       num_partitions: int = 32):
+    """Ordered string_agg per group: hash-bucket the groups, ONE sort per
+    bucket by (group, order, tiebreak), then a single vectorized
+    ``pc.binary_join`` over a ListArray built from the group boundary
+    offsets — no per-key Python anywhere. NULL values are skipped before
+    aggregation (SQL string_agg semantics). Output: (group_col, agg)."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.select([group_col, value_col, order_col, tiebreak_col])
+        return b.filter(pc.is_valid(b.column(value_col)))
+
+    def agg_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({group_col: pa.array([], g.column(
+                group_col).type), "agg": pa.array([], pa.string())})
+        order = pc.sort_indices(
+            g, sort_keys=[(group_col, "ascending"),
+                          (order_col, "ascending"),
+                          (tiebreak_col, "ascending")])
+        s = g.take(order)
+        keys = s.column(group_col).to_pandas()
+        starts = np.flatnonzero(~keys.duplicated().to_numpy())
+        offsets = np.append(starts, len(keys)).astype(np.int32)
+        vals = pc.cast(s.column(value_col), pa.string()).combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         vals)
+        joined = pc.binary_join(lists, pa.scalar(sep))
+        return pa.table({
+            group_col: s.column(group_col).take(
+                pa.array(starts, pa.int64())),
+            "agg": joined,
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        _add_key_bucket(group_col, num_partitions), batch_format="pyarrow"
+    ).groupby("__bucket").map_groups(
+        lambda g: agg_bucket(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow")

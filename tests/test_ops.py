@@ -1615,3 +1615,62 @@ def test_pagerank_copartitioned_matches_pagerank(ray_session, tmp_path):
     assert got2 == want  # single-shard degenerate layout still exact
     assert mtimes == {f: os.path.getmtime(os.path.join(edir, f))
                       for f in os.listdir(edir)}
+
+
+# ---------------------------------------------------------------------------
+# unpivot / grouped_mode / grouped_string_agg (round 5)
+# ---------------------------------------------------------------------------
+
+def test_unpivot_stacks_and_coerces(ray_session):
+    import ray.data
+
+    from connect_smts_ray.ops.relational import unpivot
+
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "a": pa.array([10, 20], pa.int64()),
+        "b": pa.array([0.5, 1.5], pa.float64()),
+    })
+    out = unpivot(ray.data.from_arrow(t), ["id"], ["a", "b"]).to_pandas()
+    assert len(out) == 4
+    assert set(out["variable"]) == {"a", "b"}
+    got = {(r.id, r.variable): r.value for r in out.itertuples()}
+    assert got[(1, "a")] == 10.0 and got[(2, "b")] == 1.5
+    assert out["value"].dtype == "float64"
+
+
+def test_grouped_mode_tiebreak_and_partition_invariance(ray_session):
+    import ray.data
+
+    from connect_smts_ray.ops.relational import grouped_mode
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        # g=1: b×2, a×2 → tie → 'a' (smallest); g=2: z×2 beats y×1
+        "v": pa.array(["b", "a", "b", "a", "z", "y", "z"], pa.string()),
+    })
+    for parts in (1, 32):
+        out = grouped_mode(ray.data.from_arrow(t), "g", "v",
+                           num_partitions=parts).to_pandas() \
+            .sort_values("g").reset_index(drop=True)
+        assert out["mode_value"].tolist() == ["a", "z"]
+        assert out["n"].tolist() == [2, 2]
+
+
+def test_grouped_string_agg_order_nulls_and_blocks(ray_session):
+    import ray.data
+
+    from connect_smts_ray.ops.relational import grouped_string_agg
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 1], pa.int64()),
+        "v": pa.array(["c", None, "a", "solo", "b"], pa.string()),
+        "ts": pa.array([3, 2, 1, 1, 1], pa.int64()),
+        "tb": pa.array([0, 0, 0, 0, 1], pa.int64()),  # a(ts1,tb0) < b(ts1,tb1)
+    })
+    # split across 3 blocks to prove cross-block groups assemble correctly
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = grouped_string_agg(ds, "g", "v", "ts", "tb",
+                             sep=">").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert out["agg"].tolist() == ["a>b>c", "solo"]  # null skipped
