@@ -331,6 +331,46 @@ def q_user_event_path(sf_dir: str):
                               "event_id", sep=">")
 
 
+def q_temporal_join_events(sf_dir: str):
+    """Temporal SCD2 enrichment (`ops/relational.temporal_join`): each
+    event looks up the user's event-type VERSION that was valid one hour
+    before it (ts − 1h against the scd2_history intervals) — the
+    fact-to-history join a CDC lake's SCD2 output exists to serve.
+    Events before the user's first version yield NULL (left join)."""
+    from connect_smts_ray.ops.relational import scd2_history, temporal_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    dim = scd2_history(ev, key_col="user_id", ts_col="ts",
+                       tiebreak_col="event_id", value_col="event_type")
+    dim = dim.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "prev_type": b.column("event_type"),
+            "valid_from": b.column("valid_from"),
+            "valid_to": b.column("valid_to"),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def shift(b: pa.Table) -> pa.Table:
+        asof = pc.cast(pc.subtract(
+            pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()),
+            pa.scalar(3_600_000_000)), pa.timestamp("us"))
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "asof_ts": asof,
+        })
+
+    fact = ev.map_batches(shift, batch_format="pyarrow")
+    out = temporal_join(fact, dim, fact_key="user_id", fact_ts="asof_ts",
+                        dim_key="user_id")
+    return out.map_batches(
+        lambda df: df[["event_id", "prev_type"]], batch_format="pandas"
+    ).sort("event_id")
+
+
 def q_cdc_snapshot_tail(sf_dir: str):
     """Debezium-style bootstrap: consistent table SNAPSHOT at lsn 3
     (read from the source table — no log before the snapshot point is
@@ -3259,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_orders": q_unpivot_orders,
         "mode_event_type": q_mode_event_type,
         "user_event_path": q_user_event_path,
+        "temporal_join_events": q_temporal_join_events,
         "sample_k_per_type": q_sample_k_per_type,
         "dup_span_stats": q_dup_span_stats,
         "event_transitions": q_event_transitions,
@@ -3295,10 +3336,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "knn_bruteforce": q_knn_bruteforce,
         "kmeans_clusters": q_kmeans_clusters,
-        "embedding_clusters": q_embedding_clusters,
         "bpe_train_merges": q_bpe_train_merges,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "embedding_clusters": q_embedding_clusters,
         "sample_documents": q_sample_documents,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -3875,6 +3916,44 @@ def oracle_sql() -> dict[str, str]:
         # compaction must be invisible to readers — identical oracle
         "cdc_replay_compacted": _replay_final_state_sql(events_per_key=6,
                                                         seed=42),
+        # Temporal SCD2 join: the scd2_history CTE (same islands SQL as
+        # that oracle) interval-joined to facts shifted one hour back.
+        "temporal_join_events": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+              SELECT *, sum(chg) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS island
+              FROM o
+            ),
+            hist AS (
+              SELECT user_id, event_type AS prev_type,
+                     min(ts) AS valid_from,
+                     lead(min(ts)) OVER (
+                       PARTITION BY user_id ORDER BY island
+                     ) AS valid_to
+              FROM g GROUP BY user_id, island, event_type
+            ),
+            f AS (
+              SELECT event_id, user_id,
+                     ts - INTERVAL 1 HOUR AS asof_ts
+              FROM events
+            )
+            SELECT f.event_id, h.prev_type
+            FROM f LEFT JOIN hist h
+              ON f.user_id = h.user_id
+             AND f.asof_ts >= h.valid_from
+             AND (h.valid_to IS NULL OR f.asof_ts < h.valid_to)
+            ORDER BY f.event_id
+        """,
         # UNPIVOT: the wide→long stack as UNION ALL with the same float64
         # coercion the engine applies.
         "unpivot_orders": """

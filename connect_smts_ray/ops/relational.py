@@ -1615,3 +1615,45 @@ def grouped_string_agg(ds, group_col: str, value_col: str, order_col: str,
     ).groupby("__bucket").map_groups(
         lambda g: agg_bucket(g.drop_columns(["__bucket"])),
         batch_format="pyarrow")
+
+
+def temporal_join(fact, dim, fact_key: str, fact_ts: str, dim_key: str,
+                  valid_from: str = "valid_from",
+                  valid_to: str = "valid_to",
+                  num_partitions: int = 16,
+                  broadcast_limit: int = 1_000_000):
+    """Temporal (SCD2) dimension join: each fact row is enriched with the
+    dimension VERSION whose ``[valid_from, valid_to)`` interval contains
+    the fact's timestamp — the standard fact-to-history enrichment a CDC
+    lake's SCD2 output exists to serve.
+
+    Built on the as-of join (backward: greatest ``valid_from`` ≤ ts within
+    the key), which is exact for SCD2's per-key disjoint intervals; a
+    residual validity mask then NULLs the dimension columns where the
+    matched version had EXPIRED before the fact (only possible for gapped
+    histories — contiguous SCD2 intervals never trigger it) — left-join
+    semantics either way. Dimension payload column names must not collide
+    with fact columns (rename before joining).
+
+    Scale: inherits asof_join's auto path — dimension broadcasts while it
+    fits (`ray.put` once), else both sides hash-partition on the key."""
+    import ray.data
+
+    if isinstance(dim, pd.DataFrame):
+        dim_cols = [c for c in dim.columns if c != dim_key]
+    else:
+        dim_cols = [c for c in dim.schema().names if c != dim_key]
+
+    joined = asof_join(fact, dim, left_on=fact_ts, right_on=valid_from,
+                       left_by=fact_key, right_by=dim_key,
+                       num_partitions=num_partitions,
+                       broadcast_limit=broadcast_limit)
+
+    def apply_validity(df: pd.DataFrame) -> pd.DataFrame:
+        vt = df[valid_to]
+        expired = vt.notna() & (df[fact_ts] >= vt)
+        if expired.any():
+            df.loc[expired, [c for c in dim_cols if c in df.columns]] = None
+        return df
+
+    return joined.map_batches(apply_validity, batch_format="pandas")
