@@ -366,9 +366,17 @@ def q_temporal_join_events(sf_dir: str):
     fact = ev.map_batches(shift, batch_format="pyarrow")
     out = temporal_join(fact, dim, fact_key="user_id", fact_ts="asof_ts",
                         dim_key="user_id")
-    return out.map_batches(
-        lambda df: df[["event_id", "prev_type"]], batch_format="pandas"
-    ).sort("event_id")
+
+    def finalize(df) -> pa.Table:
+        # from_pandas=True maps pandas NaN → Arrow null (a plain object
+        # cast would render unmatched rows as the string 'nan')
+        return pa.table({
+            "event_id": pa.array(df["event_id"], pa.int64()),
+            "prev_type": pa.array(df["prev_type"], pa.string(),
+                                  from_pandas=True),
+        })
+
+    return out.map_batches(finalize, batch_format="pandas").sort("event_id")
 
 
 def q_cdc_snapshot_tail(sf_dir: str):

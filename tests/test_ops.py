@@ -1674,3 +1674,32 @@ def test_grouped_string_agg_order_nulls_and_blocks(ray_session):
                              sep=">").to_pandas() \
         .sort_values("g").reset_index(drop=True)
     assert out["agg"].tolist() == ["a>b>c", "solo"]  # null skipped
+
+
+def test_temporal_join_gapped_history_expires(ray_session):
+    """A dimension with a GAP between versions: facts landing in the gap
+    must get NULL dim columns (the as-of backward match exists but has
+    expired), facts inside an interval match it, facts before the first
+    interval never match."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import temporal_join
+
+    dim = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "version": pa.array(["v1", "v2"], pa.string()),
+        "valid_from": pa.array([100, 300], pa.int64()),
+        "valid_to": pa.array([200, None], pa.int64()),  # gap [200, 300)
+    })
+    fact = pa.table({
+        "fid": pa.array([0, 1, 2, 3], pa.int64()),
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([50, 150, 250, 350], pa.int64()),
+    })
+    out = temporal_join(
+        ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+        fact_key="k", fact_ts="ts", dim_key="k",
+    ).to_pandas().sort_values("fid").reset_index(drop=True)
+    import pandas as pd
+    vals = [None if pd.isna(v) else v for v in out["version"]]
+    assert vals == [None, "v1", None, "v2"]
