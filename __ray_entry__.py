@@ -3115,6 +3115,62 @@ def q_dlq_expand(sf_dir: str):
     )
 
 
+def q_dlq_replay(sf_dir: str):
+    """The DLQ drained back through a REPAIRED transform
+    (`transforms/dlq.replay_dlq`) — the operational other half of
+    errors.tolerance=all: pass 1 corrupts props of event_id%37==0 rows
+    and dead-letters them via the bisecting DLQ wrapper; pass 2 rebuilds
+    the dead rows from the DLQ directory (declared schema), applies the
+    fix ('{broken' → '{"k": -1}') and re-runs the same ExpandJson; the
+    healed rows UNION the pass-1 survivors into a complete table again."""
+    from connect_smts_ray.core.worker_state import stateful_task
+    from connect_smts_ray.transforms.dlq import replay_dlq, with_dlq
+    from connect_smts_ray.transforms.expand_json import (
+        ExpandJson,
+        ExpandJsonConfig,
+    )
+    from connect_smts_ray.transforms.field_mapping import (
+        FieldMap,
+        FieldMappingConfig,
+        apply_field_mapping,
+    )
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        bad = pa.array(ev % 37 == 0)
+        props = pc.if_else(bad, pa.scalar("{broken"), b.column("props"))
+        return pa.table({"event_id": b.column("event_id"), "props": props})
+
+    dlq_dir = tempfile.mkdtemp(prefix="csr_dlqr_")
+    expand = stateful_task(ExpandJson,
+                           config=ExpandJsonConfig(columns=("props",)))
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    ds = ds.map_batches(corrupt, batch_format="pyarrow")
+    survivors = ds.map_batches(with_dlq(expand, dlq_dir, stage="expand"),
+                               batch_format="pyarrow").materialize()
+
+    def repair(row: dict) -> dict:
+        row["props"] = '{"k": -1}'
+        return row
+
+    healed = replay_dlq(
+        dlq_dir, expand,
+        schema=pa.schema([("event_id", pa.int64()),
+                          ("props", pa.string())]),
+        repair=repair,
+    ).materialize()
+
+    mapping = FieldMappingConfig(
+        keep=("event_id",), mappings=(FieldMap("k", "props.k", pa.int32()),)
+    )
+    out = survivors.union(healed).map_batches(
+        lambda b: apply_field_mapping(b, mapping), batch_format="pyarrow"
+    )
+    result = out.sort("event_id")
+    shutil.rmtree(dlq_dir, ignore_errors=True)
+    return result.materialize()
+
+
 def q_rollup_events(sf_dir: str):
     """ROLLUP (event_type, user_id): integer-cent sums + counts at every
     prefix level in ONE combiner-first pass — the OLAP hierarchy without
@@ -3321,6 +3377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_key_enrich": q_multi_key_enrich,
         "funnel_steps": q_funnel_steps,
         "dlq_expand": q_dlq_expand,
+        "dlq_replay": q_dlq_replay,
         "session_window_events": q_session_window_events,
         "knn_ivf": q_knn_ivf,
         "zonemap_pruned_scan": q_zonemap_pruned_scan,
@@ -3343,10 +3400,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "knn_bruteforce": q_knn_bruteforce,
-        "kmeans_clusters": q_kmeans_clusters,
         "bpe_train_merges": q_bpe_train_merges,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "kmeans_clusters": q_kmeans_clusters,
         "embedding_clusters": q_embedding_clusters,
         "sample_documents": q_sample_documents,
         "token_count": q_token_count,
@@ -4059,6 +4116,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract(props, '$.k') AS INTEGER) AS k
             FROM events
             WHERE event_id % 37 <> 0
+        """,
+        # DLQ replay: the fixed rows rejoin — k = -1 marks the repair.
+        "dlq_replay": """
+            SELECT event_id,
+                   CASE WHEN event_id % 37 = 0 THEN -1
+                        ELSE CAST(json_extract(props, '$.k') AS INTEGER)
+                   END AS k
+            FROM events ORDER BY event_id
         """,
         "outbox_partition_number": """
             SELECT event_id,

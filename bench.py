@@ -148,7 +148,8 @@ def run_bench() -> dict:
                      "bpe_train_merges", "lake_point_lookup",
                      "zorder_pruned_scan", "merge_into_orders",
                      "unpivot_orders", "mode_event_type",
-                     "user_event_path", "temporal_join_events"):
+                     "user_event_path", "temporal_join_events",
+                     "dlq_replay"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

@@ -128,3 +128,48 @@ def read_dlq(dlq_dir: str) -> pa.Table:
             "stage": pa.array([], pa.string()),
         })
     return pa.concat_tables(parts)
+
+
+def replay_dlq(dlq_dir: str, fn, schema: pa.Schema, repair=None,
+               dlq_dir_out: str | None = None, stage: str = "replay"):
+    """Reprocess a DLQ after the failure is fixed — the operational other
+    half of ``with_dlq`` (Connect ops teams drain the DLQ topic back
+    through the repaired connector; the engine analog drains the DLQ
+    directory back through the repaired transform).
+
+    ``schema`` declares the original row types (the DLQ stores rows as
+    string renderings to stay schema-stable across stages; the caller
+    knows their real types). ``repair(row_dict) -> row_dict`` is the fix —
+    applied before ``fn``. Rows that STILL fail dead-letter again into
+    ``dlq_dir_out`` (pass one to keep the loop going; omit to let a
+    repeated failure raise). Returns the healed-output Dataset.
+
+    Caveat (documented, inherent to the string rendering): a value that
+    was Python ``None`` is stored as the string ``'None'`` — a ``repair``
+    that needs true nulls must map it back.
+
+    Scale: one Dataset task per DLQ file; DLQ volume is the error rate,
+    not the data rate."""
+    import glob
+
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(dlq_dir, "part-*.parquet")))
+    if not files:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        rows = [json.loads(s) for s in b.column("record_json").to_pylist()]
+        if repair is not None:
+            rows = [repair(dict(r)) for r in rows]
+        cols = {}
+        for f in schema:
+            vals = pa.array([r.get(f.name) for r in rows], pa.string())
+            cols[f.name] = vals if pa.types.is_string(f.type) \
+                else vals.cast(f.type)
+        return pa.table(cols)
+
+    ds = ray.data.read_parquet(files).map_batches(
+        rebuild, batch_format="pyarrow")
+    run = with_dlq(fn, dlq_dir_out, stage=stage) if dlq_dir_out else fn
+    return ds.map_batches(run, batch_format="pyarrow")
