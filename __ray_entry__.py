@@ -9,6 +9,7 @@ module is imported — nothing here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -588,6 +589,59 @@ def q_lww_upsert_events(sf_dir: str):
     ds = _read(sf_dir, "events")
     ds = ds.map_batches(prepare, batch_format="pyarrow")
     run_upsert(ds, cfg, epoch=0).materialize()
+    out = read_lake(cfg)
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.select(["user_id", "event_id", "event_type", "value", "ts_us"])
+
+
+def q_wap_upsert_events(sf_dir: str):
+    """Write-Audit-Publish (`sinks/wap.py`): the SAME LWW upsert as
+    lww_upsert_events but the epoch lands in a STAGING lake first, a
+    distributed audit (row count > 0 AND zero NULL keys) runs over the
+    staged state exactly as readers would see it, and only then is each
+    staged delta published into the main lake via the idempotent commit
+    protocol — so the final state is bit-identical to the direct write
+    and shares its oracle."""
+    from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake
+    from connect_smts_ray.sinks.wap import wap_write
+
+    lake = tempfile.mkdtemp(prefix="csr_wap_")
+    cfg = UpsertConfig(
+        lake_dir=os.path.join(lake, "main"),
+        num_partitions=8,
+        key_columns=("user_id",),
+        order_columns=("ts_us", "event_id"),
+    )
+
+    def prepare(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "value": b.column("value"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+        })
+
+    def audit(staged_ds):
+        def check(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "rows": pa.array([b.num_rows], pa.int64()),
+                "null_keys": pa.array(
+                    [pc.sum(pc.cast(pc.is_null(b.column("user_id")),
+                                    pa.int64())).as_py() or 0],
+                    pa.int64()),
+            })
+        parts = staged_ds.map_batches(check,
+                                      batch_format="pyarrow").take_all()
+        rows = sum(r["rows"] for r in parts)
+        nulls = sum(r["null_keys"] for r in parts)
+        return rows > 0 and nulls == 0, {"rows": rows, "null_keys": nulls}
+
+    ds = _read(sf_dir, "events").map_batches(prepare,
+                                             batch_format="pyarrow")
+    res = wap_write(ds, cfg, epoch=0, audit_fn=audit,
+                    staging_dir=os.path.join(lake, "staging"))
+    assert res["published"], f"audit unexpectedly failed: {res['report']}"
     out = read_lake(cfg)
     shutil.rmtree(lake, ignore_errors=True)
     return out.select(["user_id", "event_id", "event_type", "value", "ts_us"])
@@ -3378,6 +3432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_steps": q_funnel_steps,
         "dlq_expand": q_dlq_expand,
         "dlq_replay": q_dlq_replay,
+        "wap_upsert_events": q_wap_upsert_events,
         "session_window_events": q_session_window_events,
         "knn_ivf": q_knn_ivf,
         "zonemap_pruned_scan": q_zonemap_pruned_scan,
@@ -3399,10 +3454,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "knn_bruteforce": q_knn_bruteforce,
         "bpe_train_merges": q_bpe_train_merges,
         # -- past the window: r4-driver-green rows + the most static
         # -- r3 rows; all parity-covered every round -----------------
+        "knn_bruteforce": q_knn_bruteforce,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_clusters": q_embedding_clusters,
         "sample_documents": q_sample_documents,
@@ -4136,6 +4191,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "outbox_partition_key": _murmur2_partition_sql(16),
         "lww_upsert_events": """
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS ts_us
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC
+                ) AS rn
+                FROM events
+            )
+            WHERE rn = 1
+        """,
+        # WAP: audit-gated publish is invisible in the result — same LWW
+        # winner SQL as the direct write.
+        "wap_upsert_events": """
             SELECT user_id, event_id, event_type, value,
                    epoch_us(ts) AS ts_us
             FROM (

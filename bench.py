@@ -149,7 +149,7 @@ def run_bench() -> dict:
                      "zorder_pruned_scan", "merge_into_orders",
                      "unpivot_orders", "mode_event_type",
                      "user_event_path", "temporal_join_events",
-                     "dlq_replay"):
+                     "dlq_replay", "wap_upsert_events"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets
