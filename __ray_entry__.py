@@ -3392,7 +3392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # never-checked query after r4) + the new r5 queries (the IVM pair,
     # the HLL pair, the change-feed/compaction pair, per-group sampling,
     # span dedup, JPEG, co-partitioned PageRank, bloom-sidecar point
-    # lookups, BPE training — the registry's first rows-only entry, see
+    # lookups, MERGE INTO, z-order pruned scans, unpivot/mode/string_agg,
+    # the temporal SCD2 join, DLQ replay, Write-Audit-Publish, and BPE
+    # training — the registry's first rows-only entry, see
     # q_bpe_train_merges);
     # orc_roundtrip
     # (r4's one red — connector reworked); the join/DLQ/kernel/IVF/layout
