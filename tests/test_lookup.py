@@ -143,3 +143,37 @@ def test_lookup_after_compaction(ray_session, tmp_path):
     got, stats = point_lookup(cfg, _keys([("r", "a"), ("r", "b")]))
     assert got.column("content").to_pylist() == ["a0"]
     assert stats["candidate_files"] >= 1
+
+
+def test_lookup_after_merge_with_stale_sidecars(ray_session, tmp_path):
+    """Cross-feature: sidecars built BEFORE a MERGE epoch — the merge's
+    new delta is unindexed, so lookups must read it via the conservative
+    fallback and still return the merged (newest) state."""
+    import ray.data
+
+    from connect_smts_ray.sinks.merge import merge_into
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake_m"), num_partitions=2)
+    run_upsert(ray.data.from_arrow(_batch([
+        ("r", "a", 0, 1, False, "a0"),
+        ("r", "b", 0, 2, False, "b0"),
+    ])), cfg, epoch=0).materialize()
+    build_bloom_sidecars(cfg)  # indexes epoch 0 only
+
+    src = pa.table({
+        "repo": pa.array(["r"], pa.string()),
+        "path": pa.array(["a"], pa.string()),
+        "content": pa.array(["a-merged"], pa.string()),
+    })
+    merge_into(ray.data.from_arrow(src), cfg, merge_lsn=5,
+               epoch=1).to_pandas()
+
+    got, stats = point_lookup(cfg, _keys([("r", "a")]))
+    assert got.column("content").to_pylist() == ["a-merged"]
+    assert stats["unindexed_files"] >= 1  # the merge delta, pre-index
+
+    # indexing the new files restores full pruning
+    build_bloom_sidecars(cfg)
+    got2, stats2 = point_lookup(cfg, _keys([("r", "a")]))
+    assert got2.column("content").to_pylist() == ["a-merged"]
+    assert stats2["unindexed_files"] == 0
