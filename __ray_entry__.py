@@ -1528,13 +1528,15 @@ def q_skew_join_events(sf_dir: str):
         # stage): fixed-point cents, then pa.Table.group_by like every
         # other partial in this file.
         b = _append_value_cents(b)
+        # count_all, not ("value_cents", "count"): the oracle's count(*)
+        # counts NULL-value rows too; a column count would skip them.
         g = b.select(["n_name", "value_cents"]).group_by(
             "n_name", use_threads=False).aggregate(
-            [("value_cents", "sum"), ("value_cents", "count")])
+            [("value_cents", "sum"), ([], "count_all")])
         return pa.table({
             "n_name": g.column("n_name"),
             "value_cents": pc.cast(g.column("value_cents_sum"), pa.int64()),
-            "n": pc.cast(g.column("value_cents_count"), pa.int64()),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
         })
 
     from ray.data.aggregate import Sum

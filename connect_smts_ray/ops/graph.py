@@ -268,7 +268,11 @@ def pagerank_copartitioned(edges, work_dir: str, iterations: int = 3,
                 # both files sorted on the shared key range: one
                 # searchsorted resolves every edge's source rank
                 idx = np.searchsorted(rnode, src)
-                if not np.array_equal(rnode[idx], src):
+                # clip before indexing: a src past the shard's max node
+                # would make rnode[idx] raise IndexError and mask the
+                # intended diagnostic below
+                if len(src) and (idx.max(initial=0) >= len(rnode)
+                                 or not np.array_equal(rnode[idx], src)):
                     raise ValueError(
                         "co-partitioning violated: edge src missing from "
                         "its rank shard")

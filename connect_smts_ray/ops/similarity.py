@@ -223,7 +223,12 @@ def _training_sample(ds, cfg: IvfConfig, vec_col: str,
     if n <= cfg.sample_size:
         rows = ds.take_all()
         return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
-    cut = np.uint64(min(1.0, 1.25 * cfg.sample_size / n) * float(1 << 64))
+    # Python-int arithmetic then clamp: a saturated fraction (n within
+    # 1.25× of sample_size) would make np.uint64(1.0 * 2**64) raise
+    # OverflowError — clamp to the max representable cut (keep all rows).
+    cut = np.uint64(min(
+        int(min(1.0, 1.25 * cfg.sample_size / n) * float(1 << 64)),
+        (1 << 64) - 1))
 
     def pick(b: pa.Table) -> pa.Table:
         hv = pd.util.hash_pandas_object(

@@ -212,8 +212,25 @@ def point_lookup(cfg: UpsertConfig, keys: pa.Table,
 
     stats = {"plan_files": plan_files, "candidate_files": candidate_files,
              "unindexed_files": unindexed, "probed_keys": len(ckeys)}
+
+    def empty_like_scan() -> pa.Table:
+        # honor the documented contract (same schema as the scan path)
+        # even when nothing matches: derive it from any plan file
+        for pid in store.all_partitions():
+            base, deltas = store.read_plan(pid, as_of=as_of)
+            f = (store.base_path(pid, base) if base is not None
+                 else (store.state_path(pid, deltas[0]) if deltas else None))
+            if f is not None:
+                schema = pq.read_schema(f)
+                if want is not None:
+                    schema = pa.schema(
+                        [schema.field(c) for c in want
+                         if schema.get_field_index(c) >= 0])
+                return schema.empty_table()
+        return pa.table({})
+
     if not items:
-        return pa.table({}), stats
+        return empty_like_scan(), stats
 
     import ray
 
@@ -222,7 +239,7 @@ def point_lookup(cfg: UpsertConfig, keys: pa.Table,
     ).to_arrow_refs()
     parts = [t for t in ray.get(refs) if t.num_rows]
     if not parts:
-        return pa.table({}), stats
+        return empty_like_scan(), stats
     # Same LWW + tombstone-drop the scan path applies — a lookup can
     # never disagree with read_lake on a probed key.
     return merge_tables(parts, cfg), stats

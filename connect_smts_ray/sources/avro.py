@@ -301,36 +301,30 @@ def decode_container(data: bytes) -> pa.Table:
 
 def write_avro(ds, out_dir: str, codec: str = "deflate"):
     """Write a Dataset to ``{out_dir}/part-*.avro``, one container file
-    per block (atomic rename). Returns the per-file summary Dataset;
-    consuming it drives the distributed write.
+    per block, via a ``Datasink`` (streaming). Runs the write eagerly and
+    returns the per-file summary Dataset (path, n_rows).
 
-    Idempotent under Ray task retries (the repo's sink discipline —
-    same as the DLQ and export manifests): the sync marker AND the file
-    name both derive from a sha256 of the block's Arrow IPC bytes, so a
-    retried / speculatively re-executed task produces byte-identical
-    output at the identical path and os.replace commits it atomically —
-    a duplicate container can never appear for read_avro to double-count.
-    """
-    os.makedirs(out_dir, exist_ok=True)
+    Idempotent under Ray task retries AND multiplicity-preserving: the
+    file name mixes the stable write-task index with the block's content
+    sha (see ``sources/filesink.py``) — a retry rewrites the identical
+    path/bytes atomically, while two different blocks with identical
+    content keep distinct files so directory reads never drop rows. The
+    container's sync marker still derives from the content sha."""
+    import ray.data
 
-    def write_block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "n_rows": pa.array([], pa.int64())})
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, batch.schema) as w:
-            w.write_table(batch)
-        digest = hashlib.sha256(sink.getvalue())
-        path = os.path.join(out_dir, f"part-{digest.hexdigest()[:32]}.avro")
-        tmp = path + f".{os.getpid()}.tmp"
+    from connect_smts_ray.sources.filesink import BlockFileDatasink
+
+    def encode(t: pa.Table, tmp: str, sync: bytes) -> None:
         with open(tmp, "wb") as f:
-            f.write(encode_container(batch, codec=codec,
-                                     sync=digest.digest()[:16]))
-        os.replace(tmp, path)
-        return pa.table({"path": pa.array([path]),
-                         "n_rows": pa.array([batch.num_rows], pa.int64())})
+            f.write(encode_container(t, codec=codec, sync=sync))
 
-    return ds.map_batches(write_block, batch_format="pyarrow")
+    sink = BlockFileDatasink(out_dir, ".avro", encode)
+    ds.write_datasink(sink)
+    if not sink.results:
+        return ray.data.from_arrow(pa.table({
+            "path": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64())}))
+    return ray.data.from_items(sink.results)
 
 
 def _resolve_avro_paths(dir_or_paths) -> list:
@@ -401,23 +395,59 @@ def read_avro(dir_or_paths, split_size: int = 8 * 1024 * 1024):
                 batch.column("start").to_pylist(),
                 batch.column("end").to_pylist(),
                 batch.column("body_start").to_pylist()):
+            size = os.path.getsize(path)
             with open(path, "rb") as f:
-                data = f.read()  # ranged GETs at object-store scale;
-                # the DECODE work (not the IO) is what the split bounds
-            mv = memoryview(data)
-            names, kinds, codec, sync, _ = _parse_header(mv)
-            if start == body_start:
-                pos = start
-            else:
-                # sync to the first block boundary at-or-after `start`:
-                # boundaries sit immediately after a sync marker
-                q = data.find(sync, max(body_start, start - 16))
-                while q != -1 and q + 16 < start:
-                    q = data.find(sync, q + 1)
-                pos = q + 16 if q != -1 else len(data)
-            out: list = [[] for _ in names]
-            while pos < end and pos < len(data):
-                pos = _decode_block(mv, pos, kinds, codec, sync, out)
+                # header (bounded — it ends exactly at body_start)
+                head = f.read(body_start)
+                names, kinds, codec, sync, _ = _parse_header(
+                    memoryview(head))
+                # bounded window: this split's byte range plus slack for
+                # the one block that may START before `end` and overrun
+                # it; extend on demand instead of reading the whole file
+                # (whole-file reads made total IO O(splits × file_size) —
+                # round-5 review finding)
+                buf_off = max(body_start, start - 16)
+                f.seek(buf_off)
+                slack = 1 << 20
+                data = f.read(min(end + slack, size) - buf_off)
+
+                def extend() -> bool:
+                    nonlocal data
+                    have = buf_off + len(data)
+                    if have >= size:
+                        return False
+                    data = data + f.read(min(slack + len(data),
+                                             size - have))
+                    return True
+
+                if start == body_start:
+                    pos = start
+                else:
+                    # sync to the first block boundary at-or-after
+                    # `start`: boundaries sit right after a sync marker
+                    while True:
+                        q = data.find(sync, 0)
+                        while q != -1 and buf_off + q + 16 < start:
+                            q = data.find(sync, q + 1)
+                        if q != -1 or not extend():
+                            break
+                    pos = buf_off + q + 16 if q != -1 else size
+                out: list = [[] for _ in names]
+                while pos < end and pos < size:
+                    try:
+                        nxt = _decode_block(
+                            memoryview(data), pos - buf_off,
+                            kinds, codec, sync, out)
+                        pos = buf_off + nxt
+                    except (IndexError, ValueError, struct.error):
+                        # short buffer (the block overruns the window):
+                        # extend and retry; genuine corruption keeps
+                        # failing until EOF and then raises for real.
+                        # Safe to retry: _decode_block validates the
+                        # trailing sync BEFORE appending any row to out,
+                        # so a short-buffer failure appends nothing.
+                        if not extend():
+                            raise
             tables.append(_columns_to_table(out, names, kinds))
         if not tables:
             return pa.table({})

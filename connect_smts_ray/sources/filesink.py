@@ -1,0 +1,65 @@
+"""One-output-file-per-block Datasink with STABLE block identity.
+
+The connector sinks (ORC, Avro) need a per-file name that is BOTH:
+
+- retry-idempotent — a Ray task retry / speculative re-execution of the
+  same block must rewrite the identical path with identical bytes
+  (atomic ``os.replace``), never a duplicate file (uuid naming failed
+  this, ADVICE r04), and
+- multiplicity-preserving — two DIFFERENT blocks whose content happens
+  to be identical (legitimate duplicate rows upstream) must land in
+  DISTINCT files, or a directory read silently drops rows (pure
+  content-addressing failed this, round-5 review).
+
+``map_batches`` UDFs see no stable block ordinal, but a
+``ray.data.Datasink``'s write tasks do: ``TaskContext.task_idx`` is the
+logical index of the write task in the operator — stable across retries
+of that task. The file name mixes (task_idx, within-task block ordinal,
+content sha) so both properties hold at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+from ray.data import Datasink
+
+
+class BlockFileDatasink(Datasink):
+    """Write each input block to ``{out_dir}/part-{task}-{j}-{sha}{ext}``
+    via ``encode_fn(table, tmp_path)``; collect (path, n_rows) rows in
+    ``self.results`` after the write completes."""
+
+    def __init__(self, out_dir: str, ext: str, encode_fn):
+        self.out_dir = out_dir
+        self.ext = ext
+        self.encode_fn = encode_fn
+        self.results: list = []
+
+    def on_write_start(self) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def write(self, blocks, ctx):
+        out = []
+        for j, block in enumerate(blocks):
+            if not isinstance(block, pa.Table):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            if block.num_rows == 0:
+                continue
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, block.schema) as w:
+                w.write_table(block)
+            digest = hashlib.sha256(sink.getvalue())
+            tag = f"{ctx.task_idx:05d}-{j:03d}-{digest.hexdigest()[:24]}"
+            path = os.path.join(self.out_dir, f"part-{tag}{self.ext}")
+            tmp = path + f".{os.getpid()}.tmp"
+            self.encode_fn(block, tmp, digest.digest()[:16])
+            os.replace(tmp, path)
+            out.append({"path": path, "n_rows": block.num_rows})
+        return out
+
+    def on_write_complete(self, write_result) -> None:
+        rows = [r for ret in write_result.write_returns for r in ret]
+        self.results = sorted(rows, key=lambda r: r["path"])

@@ -39,33 +39,28 @@ def _short_err(e: Exception, limit: int = 160) -> str:
 
 
 def write_orc(ds, out_dir: str):
-    """Write a Dataset to ``{out_dir}/part-*.orc``, one file per block.
-    Returns the per-file summary Dataset (path, n_rows) — consuming it is
-    what drives the distributed write. File names are content-addressed
-    (sha256 of the block's Arrow IPC bytes) so task retries rewrite the
-    same file idempotently; pass the summary's ``path`` column to
-    ``read_orc`` to read back exactly what this call wrote."""
-    os.makedirs(out_dir, exist_ok=True)
+    """Write a Dataset to ``{out_dir}/part-*.orc``, one file per block,
+    via a ``Datasink`` (streaming — blocks write as they arrive). Runs
+    the write eagerly and returns the per-file summary Dataset
+    (path, n_rows). File identity = (stable write-task index, block
+    ordinal, content sha): a task retry rewrites the SAME file
+    idempotently (atomic ``os.replace``), while two different blocks
+    with identical content keep distinct files — directory reads
+    preserve row multiplicity (pure content-addressing collapsed them;
+    round-5 review finding)."""
+    import ray.data
 
-    def write_block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "n_rows": pa.array([], pa.int64())})
-        # Identity of the output file = content of the block (Arrow IPC is
-        # deterministic for a given table), NOT a uuid: a retried task
-        # produces the identical name + bytes, and os.replace is atomic.
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, batch.schema) as w:
-            w.write_table(batch)
-        tag = hashlib.sha256(sink.getvalue()).hexdigest()[:32]
-        path = os.path.join(out_dir, f"part-{tag}.orc")
-        tmp = path + f".{os.getpid()}.tmp"
-        pyarrow.orc.write_table(batch, tmp)
-        os.replace(tmp, path)
-        return pa.table({"path": pa.array([path]),
-                         "n_rows": pa.array([batch.num_rows], pa.int64())})
+    from connect_smts_ray.sources.filesink import BlockFileDatasink
 
-    return ds.map_batches(write_block, batch_format="pyarrow")
+    sink = BlockFileDatasink(
+        out_dir, ".orc",
+        lambda t, tmp, _sync: pyarrow.orc.write_table(t, tmp))
+    ds.write_datasink(sink)
+    if not sink.results:
+        return ray.data.from_arrow(pa.table({
+            "path": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64())}))
+    return ray.data.from_items(sink.results)
 
 
 def _resolve_orc_paths(dir_or_paths) -> list:

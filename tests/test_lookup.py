@@ -94,6 +94,13 @@ def test_tombstoned_and_absent_yield_nothing(lake):
     build_bloom_sidecars(lake)
     got, _ = point_lookup(lake, _keys([("r", "d"), ("zz", "nope")]))
     assert got.num_rows == 0
+    # contract: even an all-miss probe returns the SCAN schema, so
+    # callers can select() on the result unconditionally
+    assert {"repo", "path", "content"} <= set(got.column_names)
+
+    none_at_all, _ = point_lookup(lake, _keys([("zz", "nope")]))
+    assert none_at_all.num_rows == 0
+    assert {"repo", "path", "content"} <= set(none_at_all.column_names)
 
 
 def test_bloom_prunes_unrelated_epoch_files(lake):

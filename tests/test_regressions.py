@@ -722,3 +722,71 @@ def test_dlq_distinct_batches_same_dead_rows_both_recorded(tmp_path):
     w(b2)  # different batch, same dead row → second file
     dead = read_dlq(d)
     assert dead.num_rows == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review findings
+# ---------------------------------------------------------------------------
+
+def test_identical_blocks_keep_distinct_files_orc_avro(ray_session, tmp_path):
+    """Two DIFFERENT blocks with IDENTICAL content must write distinct
+    files — pure content-addressing collapsed them and a directory read
+    silently lost rows (round-5 review)."""
+    import ray.data
+
+    from connect_smts_ray.sources.avro import read_avro, write_avro
+    from connect_smts_ray.sources.orc import read_orc, write_orc
+
+    t = pa.table({"a": pa.array([1, 2, 3] * 2, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(2)  # two identical 3-row blocks
+
+    orc_dir = str(tmp_path / "orc")
+    summary = write_orc(ds, orc_dir).to_pandas()
+    assert summary["n_rows"].sum() == 6
+    assert len(set(summary["path"])) == len(summary)
+    assert read_orc(orc_dir).count() == 6  # directory read, full rows
+
+    avro_dir = str(tmp_path / "avro")
+    summary = write_avro(ds, avro_dir).to_pandas()
+    assert summary["n_rows"].sum() == 6
+    assert read_avro(avro_dir).count() == 6
+
+
+def test_ivf_training_sample_saturated_fraction(ray_session):
+    """n within 1.25× of sample_size made the uint64 cut overflow
+    (round-5 review): the sample must simply keep everything."""
+    import ray.data
+
+    from connect_smts_ray.ops.similarity import IvfConfig, _training_sample
+
+    n = 2100  # 2048 < n <= 2560 → fraction saturates at 1.0
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([[float(i), 1.0] for i in range(n)],
+                              pa.list_(pa.float64())),
+    })
+    cfg = IvfConfig(sample_size=2048)
+    sample = _training_sample(ray.data.from_arrow(t), cfg,
+                              vec_col="embedding", id_col="doc_id")
+    assert len(sample) >= cfg.sample_size
+
+
+def test_avro_split_read_bounded_window(ray_session, tmp_path):
+    """A split whose last block overruns the window must extend and
+    decode exactly once (bounded-IO read path, round-5 review)."""
+    import ray.data
+
+    from connect_smts_ray.sources.avro import read_avro, write_avro
+
+    n = 5000
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "s": pa.array([f"row-{i}" * 8 for i in range(n)], pa.string()),
+    })
+    d = str(tmp_path / "avro_big")
+    write_avro(ray.data.from_arrow(t), d).to_pandas()
+    # tiny split_size → many splits per file, every boundary case hit
+    got = read_avro(d, split_size=4096).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    assert len(got) == n
+    assert got["k"].tolist() == list(range(n))
