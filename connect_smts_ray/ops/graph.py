@@ -641,3 +641,96 @@ def _pagerank_round(edges, ranks, num_partitions: int = 16,
         }),
         batch_format="pyarrow",
     )
+
+
+def bfs_hops(edges, seeds, max_hops: int = 4, num_partitions: int = 16,
+             symmetrize: bool = True):
+    """Minimum hop distance from a seed set — level-synchronous BFS
+    (Pregel frontier rounds) over an edge Dataset[src, dst].
+
+    Returns Dataset[node, hops] for every node reachable within
+    ``max_hops`` (seeds included at hops=0; unreachable nodes absent).
+
+    Per round the data that moves is bounded by the frontier and its
+    one-hop neighborhood: a semi-join keeps only edge rows whose source
+    is in the frontier, a grouped distinct collapses the candidate set,
+    and an anti-join against the visited table drops already-settled
+    nodes — all reduce-side, nothing driver-side. The visited/frontier
+    tables hold ids only (O(|V|) rows, no payloads), the edge table is
+    materialized once and never mutated. BFS level order makes the
+    first time a node is reached its minimum distance, so no
+    min-combine is needed. Early-exits when a frontier empties.
+
+    Direction-optimizing (bottom-up) switching and the co-partitioned
+    edge layout of ``pagerank_copartitioned`` are the known upgrades for
+    high-degree frontiers; this level-synchronous form is the baseline
+    every BFS paper starts from.
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    from ray.data.aggregate import Count
+
+    from connect_smts_ray.ops.components import _to_arrow_schema
+
+    if symmetrize:
+        def _sym(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pa.concat_arrays([
+                    b.column("src").combine_chunks(),
+                    b.column("dst").combine_chunks(),
+                ]),
+                "nbr": pa.concat_arrays([
+                    b.column("dst").combine_chunks(),
+                    b.column("src").combine_chunks(),
+                ]),
+            })
+        e = edges.map_batches(_sym, batch_format="pyarrow")
+    else:
+        e = edges.map_batches(
+            lambda b: pa.table({"node": b.column("src"),
+                                "nbr": b.column("dst")}),
+            batch_format="pyarrow",
+        )
+    e = e.repartition(num_partitions).materialize()
+    id_t = _to_arrow_schema(e.schema()).field("node").type
+    edges_schema = pa.schema([("node", id_t), ("nbr", id_t)])
+    node_schema = pa.schema([("node", id_t)])
+
+    def _distinct(ds):
+        return ds.groupby("node").aggregate(Count()).map_batches(
+            lambda b: b.select(["node"]), batch_format="pyarrow")
+
+    def _with_hops(k: int):
+        def add(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b.column("node"),
+                "hops": pa.array([k] * b.num_rows, pa.int64()),
+            })
+        return add
+
+    frontier = _distinct(seeds).materialize()
+    visited = frontier
+    levels = [frontier.map_batches(_with_hops(0), batch_format="pyarrow")]
+    for k in range(1, max_hops + 1):
+        cand = hash_join(
+            e, frontier, left_on="node", right_on="node", how="left_semi",
+            num_partitions=num_partitions,
+            left_schema=edges_schema, right_schema=node_schema,
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("nbr")}),
+            batch_format="pyarrow",
+        )
+        new = hash_join(
+            _distinct(cand), visited, left_on="node", right_on="node",
+            how="left_anti", num_partitions=num_partitions,
+            left_schema=node_schema, right_schema=node_schema,
+        ).materialize()
+        if new.count() == 0:
+            break
+        levels.append(new.map_batches(_with_hops(k), batch_format="pyarrow"))
+        visited = visited.union(new).materialize()
+        frontier = new
+    out = levels[0]
+    if len(levels) > 1:
+        out = out.union(*levels[1:])
+    return out

@@ -675,3 +675,110 @@ def ngram_similarity_join(left, right, n: int = 3, threshold: float = 0.5,
         return t.filter(pc.greater_equal(j, pa.scalar(threshold)))
 
     return shared.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) join — deletion-neighborhood candidates
+# ---------------------------------------------------------------------------
+
+def _deletion_variants(word: str, d: int) -> set:
+    """All strings reachable from ``word`` by deleting ≤ d characters
+    (the word itself included). SymSpell's key property: two strings
+    with edit distance ≤ d (insert/delete/substitute) always share at
+    least one member of their radius-d deletion neighborhoods — so a
+    join on the variant key is a complete candidate generator."""
+    vs = {word}
+    frontier = {word}
+    for _ in range(d):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1:])
+        frontier = nxt - vs
+        vs |= nxt
+    return vs
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic two-row DP edit distance (exact, unit costs)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def edit_distance_join(left, right, left_col: str, right_col: str,
+                       max_dist: int = 1, num_partitions: int = 8):
+    """All (left, right) string pairs with Levenshtein distance ≤
+    ``max_dist`` — SymSpell-shaped: exact candidates without the cross
+    product.
+
+    Both sides explode each string into its radius-``max_dist``
+    DELETION neighborhood (≤ 1 + L + L² keys per string at d=2); an
+    inner hash join on the variant key yields candidates (complete by
+    the SymSpell property — see ``_deletion_variants``), a grouped
+    distinct collapses multi-variant hits, and an exact DP verify
+    filters false positives. The only shuffle moves (variant, word)
+    key pairs — never the corpus — and the verify step touches only
+    candidate pairs, whose count is bounded by neighborhood collisions,
+    not |L|×|R|. Strings shorter than ``max_dist+1`` collapse toward
+    the empty-string variant (a hot key); at web scale pre-bucket those
+    few lengths separately or raise the length floor upstream.
+
+    Output: Dataset[word_a, word_b, dist] (dist int64, exact).
+
+    Reference analog: none (engine op beyond the reference's surface);
+    oracle-checked against DuckDB's levenshtein() cross join.
+    """
+    from ray.data.aggregate import Count
+
+    from connect_smts_ray.ops.components import hash_join
+
+    def _explode(col: str, out: str):
+        def fn(b: pa.Table) -> pa.Table:
+            variants, words = [], []
+            for w in b.column(col).to_pylist():
+                if w is None:
+                    continue
+                for v in _deletion_variants(w, max_dist):
+                    variants.append(v)
+                    words.append(w)
+            return pa.table({
+                f"variant_{out}": pa.array(variants, pa.string()),
+                out: pa.array(words, pa.string()),
+            })
+        return fn
+
+    lv = left.map_batches(_explode(left_col, "word_a"),
+                          batch_format="pyarrow")
+    rv = right.map_batches(_explode(right_col, "word_b"),
+                           batch_format="pyarrow")
+    sch_l = pa.schema([("variant_word_a", pa.string()),
+                       ("word_a", pa.string())])
+    sch_r = pa.schema([("variant_word_b", pa.string()),
+                       ("word_b", pa.string())])
+    cand = hash_join(
+        lv, rv, left_on="variant_word_a", right_on="variant_word_b",
+        how="inner", num_partitions=num_partitions,
+        left_schema=sch_l, right_schema=sch_r,
+    )
+    cand = cand.groupby(["word_a", "word_b"]).aggregate(Count())
+
+    def _verify(b: pa.Table) -> pa.Table:
+        wa = b.column("word_a").to_pylist()
+        wb = b.column("word_b").to_pylist()
+        dist = [levenshtein(a, c) for a, c in zip(wa, wb)]
+        keep = [i for i, d in enumerate(dist) if d <= max_dist]
+        return pa.table({
+            "word_a": pa.array([wa[i] for i in keep], pa.string()),
+            "word_b": pa.array([wb[i] for i in keep], pa.string()),
+            "dist": pa.array([dist[i] for i in keep], pa.int64()),
+        })
+
+    return cand.map_batches(_verify, batch_format="pyarrow")

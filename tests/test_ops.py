@@ -1703,3 +1703,188 @@ def test_temporal_join_gapped_history_expires(ray_session):
     import pandas as pd
     vals = [None if pd.isna(v) else v for v in out["version"]]
     assert vals == [None, "v1", None, "v2"]
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container codec
+# ---------------------------------------------------------------------------
+
+def test_mp4_codec_roundtrip_and_random_access():
+    """Full round-trip through the real box writer/parser; sample k must
+    be recoverable via the stco×stsc×stsz-resolved offsets without
+    touching any other sample's bytes."""
+    import struct
+
+    from connect_smts_ray.ops.multimodal import (
+        decode_mp4,
+        decode_mp4_sample,
+        encode_mp4,
+    )
+
+    samples = [bytes((7 * i + k) % 256 for k in range(15 + 11 * i))
+               for i in range(6)]
+    p = encode_mp4(samples, timescale=600, sample_delta=20,
+                   width=320, height=240)
+    m = decode_mp4(p)
+    assert m["timescale"] == 600
+    assert m["duration"] == 120 and m["media_duration"] == 120
+    assert m["n_samples"] == 6
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["codec"] == "avc1"
+    assert list(m["sample_sizes"]) == [len(s) for s in samples]
+    for k in range(6):
+        assert decode_mp4_sample(p, m, k) == samples[k]
+
+    # size==1 largesize form: rebuild the mdat with a 16-byte header —
+    # parsing must still walk past it (offsets shift by 8; parse only)
+    mdat_body = b"".join(samples)
+    i = p.index(b"mdat") - 4
+    large = (struct.pack(">I", 1) + b"mdat"
+             + struct.pack(">Q", 16 + len(mdat_body)) + mdat_body)
+    p2 = p[:i] + large + p[i + 8 + len(mdat_body):]
+    assert decode_mp4(p2)["n_samples"] == 6
+
+    # truncated box must raise, and the error must not embed payload
+    try:
+        decode_mp4(p[:40])
+        raise AssertionError("truncated mp4 parsed")
+    except ValueError as e:
+        assert len(str(e)) < 200
+
+    # empty-track edge: zero samples
+    m0 = decode_mp4(encode_mp4([], sample_delta=40))
+    assert m0["n_samples"] == 0 and m0["duration"] == 0
+
+
+def test_mp4_multi_chunk_stsc_resolution():
+    """Hand-build sample tables with TWO chunks and a stsc run so the
+    chunk-expansion path (first_chunk ranges) is exercised, not just the
+    single-chunk layout the encoder writes. Boxes are laid flat (the
+    collector flattens containers anyway), with chunk 2 at a
+    non-contiguous offset — only a correct stsc×stco×stsz walk can
+    produce these positions."""
+    import struct
+
+    from connect_smts_ray.ops.multimodal import (
+        _box,
+        _full_box,
+        decode_mp4,
+    )
+
+    sizes = [10, 20, 30, 40, 50]
+    mvhd = _full_box(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 200)
+                     + b"\x00" * 80)
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _box(b"avc1", b"\x00" * 78))
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, 5, 40))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 5)
+                     + b"".join(struct.pack(">I", s) for s in sizes))
+    # chunk 1: samples 1-2 at offset 1000; chunk 2: samples 3-5 at 5000
+    stsc = _full_box(b"stsc", 0, 0,
+                     struct.pack(">IIIIIII", 2, 1, 2, 1, 2, 3, 1))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">III", 2, 1000, 5000))
+    m = decode_mp4(mvhd + stsd + stts + stsz + stsc + stco)
+    assert list(m["sample_offsets"]) == [1000, 1010, 5000, 5030, 5070]
+    assert list(m["sample_sizes"]) == sizes
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances
+# ---------------------------------------------------------------------------
+
+def test_bfs_hops_hand_graph(ray_session):
+    """Path 0-1-2-3-4-5 plus an off-path triangle (10,11,12) and an
+    isolated edge (20,21): hops from seed {0} must be exact, bounded by
+    max_hops, and unreachable nodes absent."""
+    import ray.data
+
+    from connect_smts_ray.ops.graph import bfs_hops
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3, 4, 10, 11, 12, 20], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 5, 11, 12, 10, 21], pa.int64()),
+    }))
+    seeds = ray.data.from_arrow(
+        pa.table({"node": pa.array([0], pa.int64())}))
+    got = {r["node"]: r["hops"]
+           for r in bfs_hops(edges, seeds, max_hops=3).take_all()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond max_hops
+
+    # symmetrize: seed at the END of the path reaches backwards too
+    seeds5 = ray.data.from_arrow(
+        pa.table({"node": pa.array([5], pa.int64())}))
+    got5 = {r["node"]: r["hops"]
+            for r in bfs_hops(edges, seeds5, max_hops=2).take_all()}
+    assert got5 == {5: 0, 4: 1, 3: 2}
+
+    # duplicate seeds collapse; two seeds race — min distance wins
+    seeds2 = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 0, 5], pa.int64())}))
+    got2 = {r["node"]: r["hops"]
+            for r in bfs_hops(edges, seeds2, max_hops=5).take_all()}
+    assert got2[0] == 0 and got2[5] == 0
+    assert got2[2] == 2 and got2[3] == 2  # met in the middle
+    assert 10 not in got2 and 20 not in got2
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance join
+# ---------------------------------------------------------------------------
+
+def test_deletion_variants_complete_for_d1():
+    """SymSpell completeness at d=1, checked exhaustively over a small
+    alphabet: every pair with levenshtein ≤ 1 shares a deletion
+    variant; every pair sharing a variant is within distance 2 (the
+    verify step prunes those)."""
+    from itertools import product
+
+    from connect_smts_ray.ops.similarity import (
+        _deletion_variants,
+        levenshtein,
+    )
+
+    words = ["".join(t) for n in (1, 2, 3)
+             for t in product("ab", repeat=n)]
+    for a in words:
+        va = _deletion_variants(a, 1)
+        for b in words:
+            d = levenshtein(a, b)
+            shared = bool(va & _deletion_variants(b, 1))
+            if d <= 1:
+                assert shared, (a, b)
+            if shared:
+                assert d <= 2, (a, b)
+
+
+def test_levenshtein_dp():
+    from connect_smts_ray.ops.similarity import levenshtein
+
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("flaw", "lawn") == 2
+
+
+def test_edit_distance_join_matches_bruteforce(ray_session):
+    """Engine candidates+verify vs a brute-force cross join on a word
+    set with dist-0, dist-1 (sub/ins/del) and dist-2 pairs."""
+    import ray.data
+
+    from connect_smts_ray.ops.similarity import (
+        edit_distance_join,
+        levenshtein,
+    )
+
+    left = ["merge", "batch", "shard", "scan", "row"]
+    right = ["merge", "merg", "merges", "barch", "shird", "scans",
+             "rows", "xx", "scab"]
+    lds = ray.data.from_arrow(pa.table({"w": pa.array(left)}))
+    rds = ray.data.from_arrow(pa.table({"p": pa.array(right)}))
+    got = sorted(
+        (r["word_a"], r["word_b"], r["dist"])
+        for r in edit_distance_join(lds, rds, "w", "p",
+                                    max_dist=1).take_all())
+    want = sorted(
+        (a, b, levenshtein(a, b))
+        for a in left for b in right if levenshtein(a, b) <= 1)
+    assert got == want
