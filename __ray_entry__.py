@@ -1408,6 +1408,45 @@ def q_bfs_hops_parts(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=4).sort("node")
 
 
+def q_sssp_bounded_parts(sf_dir: str):
+    """Bounded weighted shortest paths (ops/graph.py: sssp_bounded — 3
+    synchronous Bellman-Ford relaxation rounds, min-plus over integer
+    weights) from the {node % 50 == 0} seed set over the symmetrized
+    lineitem co-occurrence graph with weight 1 + (src+dst) % 7
+    (symmetric in the endpoints, so direction-free). Bounded K is what
+    makes it SQL-mirrorable: the oracle enumerates ≤3-edge paths in a
+    depth-bounded recursive CTE and takes min(total weight)."""
+    from connect_smts_ray.ops.graph import sssp_bounded
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_quantity"])
+    edges = _distinct_mod_edges(
+        ds, 500, "l_orderkey", "l_partkey",
+        row_filter=lambda b: b.filter(
+            pc.less_equal(b.column("l_quantity"), 1)),
+    )
+
+    def with_weight(b: pa.Table) -> pa.Table:
+        s = b.column("src").combine_chunks().to_numpy()
+        d = b.column("dst").combine_chunks().to_numpy()
+        return pa.table({
+            "src": b.column("src"), "dst": b.column("dst"),
+            "weight": pa.array(1 + (s + d) % 7, pa.int64()),
+        })
+
+    def seed_batch(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            b.column("src").combine_chunks().to_numpy(),
+            b.column("dst").combine_chunks().to_numpy(),
+        ]) if b.num_rows else np.array([], dtype=np.int64)
+        return pa.table({"node": pa.array(nodes[nodes % 50 == 0],
+                                          pa.int64())})
+
+    weighted = edges.map_batches(with_weight, batch_format="pyarrow")
+    seeds = edges.map_batches(seed_batch, batch_format="pyarrow")
+    return sssp_bounded(weighted, seeds, max_edges=3).sort("node")
+
+
 def q_fuzzy_match_words(sf_dir: str):
     """Exact Levenshtein-distance-≤1 join (ops/similarity.py:
     edit_distance_join — SymSpell deletion-neighborhood candidates, NO
@@ -3666,6 +3705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_mp4_stats": q_media_mp4_stats,
         "connected_components_parts": q_connected_components_parts,
         "bfs_hops_parts": q_bfs_hops_parts,
+        "sssp_bounded_parts": q_sssp_bounded_parts,
         "fuzzy_match_words": q_fuzzy_match_words,
     }
 
@@ -5999,6 +6039,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(min(d) AS BIGINT) AS hops
             FROM bfs GROUP BY node ORDER BY node
+        """,
+        # Min total weight over paths of ≤3 edges: the CTE carries
+        # (node, running weight, edge count) and the outer min settles
+        # the Bellman-Ford bound. Weight 1+(a+b)%7 is endpoint-symmetric
+        # so symmetrization assigns both directions the same cost.
+        "sssp_bounded_parts": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT l_orderkey % 500 AS a, l_partkey % 500 AS b
+              FROM lineitem WHERE l_quantity <= 1
+            ),
+            sym AS (
+              SELECT a, b, 1 + (a + b) % 7 AS wt FROM e
+              UNION SELECT b, a, 1 + (a + b) % 7 FROM e
+            ),
+            paths(node, d, k) AS (
+              SELECT DISTINCT a, 0, 0 FROM sym WHERE a % 50 = 0
+              UNION
+              SELECT s.b, paths.d + s.wt, paths.k + 1
+              FROM paths JOIN sym s ON s.a = paths.node
+              WHERE paths.k < 3
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(d) AS BIGINT) AS dist
+            FROM paths GROUP BY node ORDER BY node
         """,
         # The oracle MAY cross join (24-word vocab at sf0.01); the engine
         # may not (SymSpell deletion-neighborhood candidates + DP verify).

@@ -149,7 +149,10 @@ def run_bench() -> dict:
                      "zorder_pruned_scan", "merge_into_orders",
                      "unpivot_orders", "mode_event_type",
                      "user_event_path", "temporal_join_events",
-                     "dlq_replay", "wap_upsert_events"):
+                     "dlq_replay", "wap_upsert_events",
+                     "media_mp4_stats", "connected_components_parts",
+                     "bfs_hops_parts", "sssp_bounded_parts",
+                     "fuzzy_match_words"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

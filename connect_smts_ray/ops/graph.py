@@ -734,3 +734,101 @@ def bfs_hops(edges, seeds, max_hops: int = 4, num_partitions: int = 16,
     if len(levels) > 1:
         out = out.union(*levels[1:])
     return out
+
+
+def sssp_bounded(edges, seeds, weight_col: str = "weight",
+                 max_edges: int = 3, num_partitions: int = 16,
+                 symmetrize: bool = True):
+    """Minimum path WEIGHT from a seed set over paths of at most
+    ``max_edges`` edges — K synchronous Bellman-Ford relaxation rounds.
+
+    Unlike ``bfs_hops`` (first touch = final distance), a weighted
+    distance can improve after a node is first reached, so every round
+    re-minimizes over (previous dists ∪ newly relaxed candidates):
+    one hash join routes the current dist table to out-edges, one
+    union-groupby(min) settles the round — the same two-primitives-per-
+    round shape as ``pagerank``, with min-plus replacing sum. (Delta
+    relaxation — shipping only nodes whose dist improved last round —
+    is the known upgrade for large K; at bounded small K the full-table
+    round keeps the plan two stages deep.) All
+    reduce-side; dist tables hold (node, dist) ids only; the edge table
+    (with its weight column) is materialized once. Integer weights keep
+    min-plus exact and layout-invariant at any parallelism.
+
+    The bounded-K contract (not run-to-convergence) is what makes the
+    result SQL-mirrorable: the oracle enumerates paths of ≤ K edges in
+    a depth-bounded recursive CTE. For converged SSSP, loop until the
+    round's min-sum fixpoint like ``connected_components`` does.
+
+    Returns Dataset[node, dist] for nodes reachable within ``max_edges``
+    edges (seeds at dist 0). Reference analog: none (engine op beyond
+    the reference's surface).
+    """
+    from ray.data.aggregate import Count, Min
+
+    from connect_smts_ray.ops.components import _to_arrow_schema
+
+    if symmetrize:
+        def _sym(b: pa.Table) -> pa.Table:
+            w = b.column(weight_col).combine_chunks()
+            return pa.table({
+                "node": pa.concat_arrays([
+                    b.column("src").combine_chunks(),
+                    b.column("dst").combine_chunks(),
+                ]),
+                "nbr": pa.concat_arrays([
+                    b.column("dst").combine_chunks(),
+                    b.column("src").combine_chunks(),
+                ]),
+                "w": pa.concat_arrays([w, w]),
+            })
+        e = edges.map_batches(_sym, batch_format="pyarrow")
+    else:
+        e = edges.map_batches(
+            lambda b: pa.table({"node": b.column("src"),
+                                "nbr": b.column("dst"),
+                                "w": b.column(weight_col)}),
+            batch_format="pyarrow",
+        )
+    e = e.repartition(num_partitions).materialize()
+    sch = _to_arrow_schema(e.schema())
+    id_t, w_t = sch.field("node").type, sch.field("w").type
+    edges_schema = pa.schema([("node", id_t), ("nbr", id_t), ("w", w_t)])
+    dist_schema = pa.schema([("node", id_t), ("dist", pa.int64())])
+
+    def _seed0(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "dist": pa.array([0] * b.num_rows, pa.int64()),
+        })
+
+    def _remin(ds):
+        out = ds.groupby("node").aggregate(Min("dist")).map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "dist": pc.cast(b.column("min(dist)"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        return out.materialize()
+
+    dist = _remin(seeds.groupby("node").aggregate(Count()).map_batches(
+        lambda b: b.select(["node"]), batch_format="pyarrow",
+    ).map_batches(_seed0, batch_format="pyarrow"))
+
+    for _ in range(max_edges):
+        relaxed = hash_join(
+            e, dist, left_on="node", right_on="node", how="inner",
+            num_partitions=num_partitions,
+            left_schema=edges_schema, right_schema=dist_schema,
+        ).map_batches(
+            lambda b: pa.table({
+                "node": b.column("nbr"),
+                "dist": pc.add(
+                    pc.cast(b.column("w"), pa.int64()),
+                    b.column("dist")),
+            }),
+            batch_format="pyarrow",
+        )
+        dist = _remin(dist.union(relaxed))
+    return dist

@@ -1888,3 +1888,40 @@ def test_edit_distance_join_matches_bruteforce(ray_session):
         (a, b, levenshtein(a, b))
         for a in left for b in right if levenshtein(a, b) <= 1)
     assert got == want
+
+
+def test_sssp_bounded_hand_graph(ray_session):
+    """Weighted path 0→1→2 (1+1=2) vs direct heavy edge 0→2 (5): the
+    two-edge path must win at K≥2 but NOT at K=1; a node first reached
+    expensively must improve when a cheaper longer path fits the
+    bound."""
+    import ray.data
+
+    from connect_smts_ray.ops.graph import sssp_bounded
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 0, 2], pa.int64()),
+        "dst": pa.array([1, 2, 2, 3], pa.int64()),
+        "weight": pa.array([1, 1, 5, 2], pa.int64()),
+    }))
+    seeds = ray.data.from_arrow(
+        pa.table({"node": pa.array([0], pa.int64())}))
+
+    got1 = {r["node"]: r["dist"]
+            for r in sssp_bounded(edges, seeds, max_edges=1).take_all()}
+    assert got1 == {0: 0, 1: 1, 2: 5}
+
+    got2 = {r["node"]: r["dist"]
+            for r in sssp_bounded(edges, seeds, max_edges=2).take_all()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 7}
+
+    got3 = {r["node"]: r["dist"]
+            for r in sssp_bounded(edges, seeds, max_edges=3).take_all()}
+    assert got3[3] == 4  # 0→1→2→3 = 1+1+2
+
+    # symmetrize: distances flow backwards over undirected edges too
+    seeds3 = ray.data.from_arrow(
+        pa.table({"node": pa.array([3], pa.int64())}))
+    back = {r["node"]: r["dist"]
+            for r in sssp_bounded(edges, seeds3, max_edges=3).take_all()}
+    assert back == {3: 0, 2: 2, 1: 3, 0: 4}
