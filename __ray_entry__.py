@@ -3574,6 +3574,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every one of them (and the full registry) stays covered by
     # tests/test_oracle_parity.py, which runs the identical
     # rows+schema+hash protocol over all entries at sf0.01.
+    # Five queries added after this round's window was frozen
+    # (media_mp4_stats, connected_components_parts, bfs_hops_parts,
+    # sssp_bounded_parts, fuzzy_match_words) sit at the registry tail:
+    # they carry parity-suite + unit-test evidence only, never a driver
+    # row — stated here so no reader over-credits them.
     return {
         # -- driver window (first 50) --------------------------------
         "ivm_repo_stats": q_ivm_repo_stats,
