@@ -1296,6 +1296,31 @@ def _distinct_mod_edges(ds, mod: int, src_col: str, dst_col: str,
         {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})])
 
 
+def _lineitem_cooccur_edges(sf_dir: str, max_quantity: int):
+    """The shared sparse co-occurrence graph the graph-query family
+    (connected components / BFS / SSSP / triangles) runs on: distinct
+    (l_orderkey % 500, l_partkey % 500) edges of low-quantity lineitem
+    rows, via the bounded-bitmap derivation above. ONE definition so the
+    engine queries and their SQL oracles cannot drift apart per-site."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_quantity"])
+    return _distinct_mod_edges(
+        ds, 500, "l_orderkey", "l_partkey",
+        row_filter=lambda b: b.filter(
+            pc.less_equal(b.column("l_quantity"), max_quantity)),
+    )
+
+
+def _mod50_seed_batch(b: pa.Table) -> pa.Table:
+    """Seed rule shared by BFS and bounded SSSP: every endpoint with
+    node % 50 == 0 (mirrored verbatim in their oracle CTEs)."""
+    nodes = np.concatenate([
+        b.column("src").combine_chunks().to_numpy(),
+        b.column("dst").combine_chunks().to_numpy(),
+    ]) if b.num_rows else np.array([], dtype=np.int64)
+    return pa.table({"node": pa.array(nodes[nodes % 50 == 0], pa.int64())})
+
+
 def q_pagerank_orders(sf_dir: str):
     """Distributed fixed-point PageRank (3 rounds) over the order→part
     bipartite-ish digraph derived from lineitem (keys folded mod 500 so
@@ -1339,13 +1364,7 @@ def q_triangle_counts(sf_dir: str):
     ops/graph.py:triangle_counts for the scale contract."""
     from connect_smts_ray.ops.graph import triangle_counts
 
-    ds = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_partkey", "l_quantity"])
-    edges = _distinct_mod_edges(
-        ds, 500, "l_orderkey", "l_partkey",
-        row_filter=lambda b: b.filter(
-            pc.less_equal(b.column("l_quantity"), 2)),
-    )
+    edges = _lineitem_cooccur_edges(sf_dir, max_quantity=2)
     return triangle_counts(edges).sort("node")
 
 
@@ -1359,13 +1378,7 @@ def q_connected_components_parts(sf_dir: str):
     is a recursive-CTE transitive min-label closure."""
     from connect_smts_ray.ops.components import connected_components
 
-    ds = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_partkey", "l_quantity"])
-    edges = _distinct_mod_edges(
-        ds, 500, "l_orderkey", "l_partkey",
-        row_filter=lambda b: b.filter(
-            pc.less_equal(b.column("l_quantity"), 1)),
-    )
+    edges = _lineitem_cooccur_edges(sf_dir, max_quantity=1)
     pairs = edges.map_batches(
         lambda b: pa.table({"id_a": b.column("src"),
                             "id_b": b.column("dst")}),
@@ -1388,23 +1401,8 @@ def q_bfs_hops_parts(sf_dir: str):
     with min(d)."""
     from connect_smts_ray.ops.graph import bfs_hops
 
-    ds = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_partkey", "l_quantity"])
-    edges = _distinct_mod_edges(
-        ds, 500, "l_orderkey", "l_partkey",
-        row_filter=lambda b: b.filter(
-            pc.less_equal(b.column("l_quantity"), 1)),
-    )
-
-    def seed_batch(b: pa.Table) -> pa.Table:
-        nodes = np.concatenate([
-            b.column("src").combine_chunks().to_numpy(),
-            b.column("dst").combine_chunks().to_numpy(),
-        ]) if b.num_rows else np.array([], dtype=np.int64)
-        return pa.table({"node": pa.array(nodes[nodes % 50 == 0],
-                                          pa.int64())})
-
-    seeds = edges.map_batches(seed_batch, batch_format="pyarrow")
+    edges = _lineitem_cooccur_edges(sf_dir, max_quantity=1)
+    seeds = edges.map_batches(_mod50_seed_batch, batch_format="pyarrow")
     return bfs_hops(edges, seeds, max_hops=4).sort("node")
 
 
@@ -1418,13 +1416,7 @@ def q_sssp_bounded_parts(sf_dir: str):
     depth-bounded recursive CTE and takes min(total weight)."""
     from connect_smts_ray.ops.graph import sssp_bounded
 
-    ds = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_partkey", "l_quantity"])
-    edges = _distinct_mod_edges(
-        ds, 500, "l_orderkey", "l_partkey",
-        row_filter=lambda b: b.filter(
-            pc.less_equal(b.column("l_quantity"), 1)),
-    )
+    edges = _lineitem_cooccur_edges(sf_dir, max_quantity=1)
 
     def with_weight(b: pa.Table) -> pa.Table:
         s = b.column("src").combine_chunks().to_numpy()
@@ -1434,16 +1426,8 @@ def q_sssp_bounded_parts(sf_dir: str):
             "weight": pa.array(1 + (s + d) % 7, pa.int64()),
         })
 
-    def seed_batch(b: pa.Table) -> pa.Table:
-        nodes = np.concatenate([
-            b.column("src").combine_chunks().to_numpy(),
-            b.column("dst").combine_chunks().to_numpy(),
-        ]) if b.num_rows else np.array([], dtype=np.int64)
-        return pa.table({"node": pa.array(nodes[nodes % 50 == 0],
-                                          pa.int64())})
-
     weighted = edges.map_batches(with_weight, batch_format="pyarrow")
-    seeds = edges.map_batches(seed_batch, batch_format="pyarrow")
+    seeds = edges.map_batches(_mod50_seed_batch, batch_format="pyarrow")
     return sssp_bounded(weighted, seeds, max_edges=3).sort("node")
 
 

@@ -1125,47 +1125,77 @@ def decode_mp4(payload: bytes) -> dict:
         version = buf[s]
         return version, s + 4, e
 
-    _, s, _ = full(b"mvhd")
-    timescale, duration = struct.unpack(">II", buf[s + 8:s + 16])
+    v, s, _ = full(b"mvhd")
+    if v == 1:
+        # v1: 8 creation + 8 modification, then 4 timescale + 8 duration
+        (timescale,) = struct.unpack(">I", buf[s + 16:s + 20])
+        (duration,) = struct.unpack(">Q", buf[s + 20:s + 28])
+    else:
+        # v0: 4 creation + 4 modification, then 4 timescale + 4 duration
+        timescale, duration = struct.unpack(">II", buf[s + 8:s + 16])
+    if timescale == 0:
+        raise ValueError("mp4: mvhd timescale is zero")
 
     width = height = 0
     if b"tkhd" in boxes:
         v, s, e = full(b"tkhd")
-        # v0: ...duration ends at s+20; then 8 reserved, 8 layer/alt/vol,
-        # 36 matrix → width at s+72
-        off = s + (92 if v == 1 else 72)
+        # v0: creation/modification/track_ID/reserved/duration = 20 bytes;
+        # v1 widens the two times and the duration to 64-bit = 32 bytes.
+        # Both then have 8 reserved + 8 layer/alt/volume/reserved2 +
+        # 36 matrix before width — so width sits at +72 (v0) / +84 (v1).
+        off = s + (84 if v == 1 else 72)
         w_fx, h_fx = struct.unpack(">II", buf[off:off + 8])
         width, height = w_fx >> 16, h_fx >> 16
 
     _, s, _ = full(b"stsd")
     codec = bytes(buf[s + 8:s + 12]).decode("latin1")
 
-    _, s, _ = full(b"stts")
+    def table_bytes(typ: bytes, s: int, e: int, n: int, width: int,
+                    skip: int) -> memoryview:
+        """Slice ``n`` fixed-width entries out of a box body, refusing to
+        read past the box end — an oversized count field must raise here,
+        not silently consume the next box's bytes (the same overrun
+        philosophy ``_mp4_boxes`` applies to box sizes)."""
+        lo, hi = s + skip, s + skip + width * n
+        if hi > e:
+            raise ValueError(
+                f"mp4: {typ.decode('latin1')} entry count {n} overruns "
+                f"its box body ({hi - s} bytes needed, {e - s} present)")
+        return buf[lo:hi]
+
+    _, s, e = full(b"stts")
     (n_ent,) = struct.unpack(">I", buf[s:s + 4])
-    stts = np.frombuffer(buf[s + 4:s + 4 + 8 * n_ent],
+    stts = np.frombuffer(table_bytes(b"stts", s, e, n_ent, 8, 4),
                          dtype=">u4").reshape(n_ent, 2).astype(np.int64)
     n_samples = int(stts[:, 0].sum())
     media_dur = int((stts[:, 0] * stts[:, 1]).sum())
 
-    _, s, _ = full(b"stsz")
+    _, s, e = full(b"stsz")
     fixed, count = struct.unpack(">II", buf[s:s + 8])
     if fixed:
         sizes = np.full(count, fixed, dtype=np.int64)
     else:
-        sizes = np.frombuffer(buf[s + 8:s + 8 + 4 * count],
+        sizes = np.frombuffer(table_bytes(b"stsz", s, e, count, 4, 8),
                               dtype=">u4").astype(np.int64)
+    if n_samples != count:
+        raise ValueError(
+            f"mp4: stts sample total {n_samples} != stsz count {count}")
 
-    _, s, _ = full(b"stco")
+    _, s, e = full(b"stco")
     (n_chunks,) = struct.unpack(">I", buf[s:s + 4])
-    chunk_off = np.frombuffer(buf[s + 4:s + 4 + 4 * n_chunks],
+    chunk_off = np.frombuffer(table_bytes(b"stco", s, e, n_chunks, 4, 4),
                               dtype=">u4").astype(np.int64)
 
-    _, s, _ = full(b"stsc")
+    _, s, e = full(b"stsc")
     (n_sc,) = struct.unpack(">I", buf[s:s + 4])
-    stsc = np.frombuffer(buf[s + 4:s + 4 + 12 * n_sc],
+    stsc = np.frombuffer(table_bytes(b"stsc", s, e, n_sc, 12, 4),
                          dtype=">u4").reshape(n_sc, 3).astype(np.int64)
-    # expand samples-per-chunk runs to one value per chunk
-    spc = np.empty(n_chunks, dtype=np.int64)
+    # expand samples-per-chunk runs to one value per chunk; the first run
+    # must start at chunk 1 (ISO 14496-12 §8.7.4) or chunks before it
+    # would have undefined samples-per-chunk
+    if n_sc and int(stsc[0, 0]) != 1:
+        raise ValueError("mp4: stsc first entry does not start at chunk 1")
+    spc = np.zeros(n_chunks, dtype=np.int64)
     for i in range(n_sc):
         first = stsc[i, 0] - 1
         last = stsc[i + 1, 0] - 1 if i + 1 < n_sc else n_chunks
@@ -1214,11 +1244,13 @@ class DecodeMp4:
                     out[k].append(None)
                 continue
             m = decode_mp4(p)
-            buf = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+            # zero-copy uint8 view; accumulate in int64 via sum dtype —
+            # an .astype(np.int64) here would copy the whole file 8× wide
+            buf = np.frombuffer(p, dtype=np.uint8)
             psum = 0
             for j in range(m["n_samples"]):
                 o, s = int(m["sample_offsets"][j]), int(m["sample_sizes"][j])
-                psum += int(buf[o:o + s].sum())
+                psum += int(buf[o:o + s].sum(dtype=np.int64))
             out["n_samples"].append(m["n_samples"])
             out["duration_ms"].append(
                 m["duration"] * 1000 // m["timescale"])

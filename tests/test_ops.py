@@ -1788,6 +1788,72 @@ def test_mp4_multi_chunk_stsc_resolution():
     assert list(m["sample_sizes"]) == sizes
 
 
+def test_mp4_version1_boxes_and_malformed_tables():
+    """Spec-valid VERSION-1 mvhd/tkhd (64-bit times) must parse to the
+    same timescale/duration/dimensions as v0 (review finding: v1 tkhd
+    width was read 8 bytes late; v1 mvhd was read with the v0 layout,
+    yielding timescale=0 → ZeroDivisionError downstream). Malformed
+    tables must raise descriptive ValueErrors at parse time, not
+    IndexError/garbage later."""
+    import struct
+
+    import pytest
+
+    from connect_smts_ray.ops.multimodal import (
+        _box,
+        _full_box,
+        decode_mp4,
+    )
+
+    sizes = [10, 20, 30]
+    # v1 mvhd: 8B creation + 8B modification, 4B timescale, 8B duration
+    mvhd1 = _full_box(b"mvhd", 1, 0,
+                      b"\x00" * 16 + struct.pack(">IQ", 1000, 120)
+                      + b"\x00" * 80)
+    # v1 tkhd: 8+8 times, 4 track, 4 reserved, 8 duration (32B), then
+    # 8 reserved + 8 layer/alt/volume + 36 matrix, then 16.16 w/h
+    tkhd1 = _full_box(b"tkhd", 1, 0,
+                      b"\x00" * 32 + b"\x00" * 52
+                      + struct.pack(">II", 320 << 16, 240 << 16))
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _box(b"avc1", b"\x00" * 78))
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, 3, 40))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 3)
+                     + b"".join(struct.pack(">I", s) for s in sizes))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 3, 1))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, 1000))
+    m = decode_mp4(mvhd1 + tkhd1 + stsd + stts + stsz + stsc + stco)
+    assert (m["timescale"], m["duration"]) == (1000, 120)
+    assert (m["width"], m["height"]) == (320, 240)
+    assert list(m["sample_sizes"]) == sizes
+
+    tail = stsd + stts + stsz + stsc + stco
+    # zero timescale must raise at parse time (not ZeroDivisionError later)
+    mvhd_zero = _full_box(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 0, 0)
+                          + b"\x00" * 80)
+    with pytest.raises(ValueError, match="timescale"):
+        decode_mp4(mvhd_zero + tail)
+
+    mvhd0 = _full_box(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 120)
+                      + b"\x00" * 80)
+    # stts claiming MORE samples than stsz holds → parse-time ValueError
+    stts_bad = _full_box(b"stts", 0, 0, struct.pack(">III", 1, 5, 40))
+    with pytest.raises(ValueError, match="stts sample total"):
+        decode_mp4(mvhd0 + stsd + stts_bad + stsz + stsc + stco)
+
+    # stsz count field overrunning its own box body → bounded-read error
+    stsz_over = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 99)
+                          + b"".join(struct.pack(">I", s) for s in sizes))
+    with pytest.raises(ValueError, match="overruns its box body"):
+        decode_mp4(mvhd0 + stsd + stts + stsz_over + stsc + stco)
+
+    # stsc first run not starting at chunk 1 → undefined chunks rejected
+    stsc_bad = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 2, 3, 1))
+    stco2 = _full_box(b"stco", 0, 0, struct.pack(">III", 2, 1000, 2000))
+    with pytest.raises(ValueError, match="chunk 1"):
+        decode_mp4(mvhd0 + stsd + stts + stsz + stsc_bad + stco2)
+
+
 # ---------------------------------------------------------------------------
 # BFS hop distances
 # ---------------------------------------------------------------------------
