@@ -550,41 +550,67 @@ def range_join(left, right_small, left_key: str, right_key: str,
 
 
 def ordered_group_windows(ds, key_col: str, ts_col: str, order_tiebreak: str,
-                          value_col: str):
+                          value_col: str, num_partitions: int = 64):
     """Ordered window functions per key — ``row_number()``, ``lag``-gap and
     running max — the SQL-window family Ray Data has no primitive for
     (reference analog: none; engine capability for event-stream features).
 
-    One ``groupby(key)`` shuffle, then a per-group vectorized reduce
-    (argsort + diff + maximum.accumulate); a group = one key's rows, the
-    natural partitioning for per-entity sequences. Assumes a single key's
-    history fits one task (same contract as SQL engines' hash windowing;
-    salt/split entity histories upstream if a key is pathologically hot).
+    Scale shape (the sessionization pattern — the r4 version was one
+    Python call PER KEY, 10⁸ calls at 10⁸ users): keys are hash-bucketed
+    into ``num_partitions`` groups, each whole bucket sorts ONCE by
+    (key, ts, tiebreak), and the three windows reduce segmented over the
+    sorted bucket — row_number = arange minus each segment's start, gap =
+    diff masked at segment starts, running max = a single Cython
+    ``groupby(segment).cummax`` — one Python call per BUCKET. Still one
+    shuffle; a key's history must fit one bucket task (same contract as
+    SQL engines' hash windowing).
 
     Output: (order_tiebreak, key, seq BIGINT, gap_us BIGINT nullable,
     run_max DOUBLE) — integer/max-only windows, so a DuckDB window-function
     oracle matches bit-exactly (no order-dependent float summation).
     """
 
-    def per_key(group: pa.Table) -> pa.Table:
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({
+                order_tiebreak: group.column(order_tiebreak),
+                key_col: group.column(key_col),
+                "seq": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+                "run_max": pa.array([], pa.float64()),
+            })
         ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
         tie = group.column(order_tiebreak).to_numpy(zero_copy_only=False)
-        order = np.lexsort((tie, ts))
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
         s = group.take(pa.array(order))
-        ts_s = ts[order]
-        gaps = np.empty(len(ts_s), dtype=np.int64)
+        ks, ts_s = keys[order], ts[order]
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = ks[1:] != ks[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        # row_number within key: global arange minus the segment's start
+        starts = np.flatnonzero(new_seg)
+        idx = np.arange(n, dtype=np.int64)
+        seq = idx - starts[seg_id] + 1
+        gaps = np.empty(n, dtype=np.int64)
         gaps[1:] = np.diff(ts_s)
         vals = s.column(value_col).to_numpy(zero_copy_only=False)
+        run_max = (pd.Series(vals).groupby(seg_id).cummax()
+                   .to_numpy(dtype=np.float64))
         return pa.table({
             order_tiebreak: s.column(order_tiebreak),
             key_col: s.column(key_col),
-            "seq": pa.array(np.arange(1, len(ts_s) + 1, dtype=np.int64)),
-            "gap_us": pa.array(gaps, pa.int64(),
-                               mask=np.arange(len(ts_s)) == 0),
-            "run_max": pa.array(np.maximum.accumulate(vals), pa.float64()),
+            "seq": pa.array(seq),
+            "gap_us": pa.array(gaps, pa.int64(), mask=new_seg),
+            "run_max": pa.array(run_max, pa.float64()),
         })
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return (
+        ds.map_batches(_add_key_bucket(key_col, num_partitions),
+                       batch_format="pyarrow")
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def grouped_count_distinct(ds, group_col: str, distinct_col: str):
@@ -631,40 +657,63 @@ def scd2_history(ds, key_col: str, ts_col: str, tiebreak_col: str,
     current row) — the temporal-table output mode of a CDC engine, where
     the LWW sink keeps only final state but SCD2 keeps every version.
 
-    One ``groupby(key)`` shuffle + vectorized per-key gaps-and-islands
-    (argsort + run-length encode); same per-entity partitioning contract
-    as ``ordered_group_windows``. Output: (key, value, valid_from,
-    valid_to, n_events BIGINT, is_current BOOL)."""
+    Scale shape (the sessionization pattern — the r4 version was one
+    Python call PER KEY): keys hash-bucket into ``num_partitions``
+    groups, each bucket sorts ONCE by (key, ts, tiebreak), and the
+    gaps-and-islands pass runs segmented over the sorted bucket — a run
+    starts where the key changes OR the value changes, a run is current
+    when the NEXT run belongs to a different key — one Python call per
+    BUCKET. Output: (key, value, valid_from, valid_to, n_events BIGINT,
+    is_current BOOL)."""
 
-    def per_key(group: pa.Table) -> pa.Table:
+    num_partitions = 64
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ts_type = group.schema.field(ts_col).type
+        if n == 0:
+            return pa.table({
+                key_col: group.column(key_col),
+                value_col: group.column(value_col),
+                "valid_from": pa.array([], pa.int64()).cast(ts_type),
+                "valid_to": pa.array([], pa.int64()).cast(ts_type),
+                "n_events": pa.array([], pa.int64()),
+                "is_current": pa.array([], pa.bool_()),
+            })
         ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
         tie = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((tie, ts))
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
         s = group.take(pa.array(order))
+        ks, ts_s = keys[order], ts[order]
         vals = np.asarray(s.column(value_col).to_pylist(), dtype=object)
-        n = len(vals)
-        change = np.ones(n, dtype=bool)
-        change[1:] = vals[1:] != vals[:-1]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = ks[1:] != ks[:-1]
+        change = new_key.copy()
+        change[1:] |= vals[1:] != vals[:-1]
         starts = np.flatnonzero(change)
-        ts_s = ts[order]
         valid_from = ts_s[starts]
-        valid_to = np.empty(len(starts), dtype=np.int64)
-        valid_to[:-1] = valid_from[1:]
         counts = np.diff(np.append(starts, n))
-        ts_type = group.schema.field(ts_col).type
-        to_mask = np.zeros(len(starts), dtype=bool)
-        to_mask[-1] = True  # current version: open interval
+        # a run is current iff the next run opens a NEW key (or none does)
+        is_current = np.ones(len(starts), dtype=bool)
+        is_current[:-1] = new_key[starts[1:]]
+        valid_to = np.zeros(len(starts), dtype=np.int64)
+        valid_to[:-1] = valid_from[1:]
         return pa.table({
             key_col: s.column(key_col).take(pa.array(starts)),
             value_col: pa.array(vals[starts].tolist()),
             "valid_from": pa.array(valid_from, pa.int64()).cast(ts_type),
             "valid_to": pa.array(valid_to, pa.int64(),
-                                 mask=to_mask).cast(ts_type),
+                                 mask=is_current).cast(ts_type),
             "n_events": pa.array(counts.astype(np.int64), pa.int64()),
-            "is_current": pa.array(to_mask),
+            "is_current": pa.array(is_current),
         })
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return (
+        ds.map_batches(_add_key_bucket(key_col, num_partitions),
+                       batch_format="pyarrow")
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def salted_grouped_sum(ds, key_col: str, value_cols, num_salts: int = 16):
