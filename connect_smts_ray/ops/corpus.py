@@ -34,6 +34,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -222,26 +223,68 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 10,
 
     partials = td.map_batches(block_partial, batch_format="pyarrow")
 
-    def per_term(group: pa.Table) -> pa.Table:
-        df = int(pc.sum(group.column("df")).as_py())
-        if df < min_df:
-            return pa.table({
-                "term": pa.array([], pa.string()),
-                "df": pa.array([], pa.int64()),
-                "postings": pa.array([], pa.string()),
-            })
-        ids = np.sort(np.concatenate(
-            [np.asarray(x, dtype=np.int64)
-             for x in group.column("ids").to_pylist()]
-        ))
-        post = ",".join(str(i) for i in ids[:max_postings])
+    empty = pa.table({
+        "term": pa.array([], pa.string()),
+        "df": pa.array([], pa.int64()),
+        "postings": pa.array([], pa.string()),
+    })
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # Bucketed final reduce (one Python call per BUCKET, not per term
+        # — the r4 per-term map_groups was one call per vocabulary entry):
+        # sort the bucket's partials by term, segment on term change, df =
+        # segmented sum, postings = the ascending-sorted flattened id list
+        # of each surviving segment truncated to max_postings.
+        n = group.num_rows
+        if n == 0:
+            return empty
+        s = group.sort_by([("term", "ascending")])
+        terms = s.column("term").to_numpy(zero_copy_only=False)
+        dfv = s.column("df").to_numpy(zero_copy_only=False)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = terms[1:] != terms[:-1]
+        seg = np.cumsum(new_seg) - 1
+        n_seg = int(seg[-1]) + 1
+        df_sum = np.bincount(seg, weights=dfv, minlength=n_seg).astype(
+            np.int64)
+        keep = df_sum >= min_df
+        if not keep.any():
+            return empty
+        ids_col = s.column("ids").combine_chunks()
+        flat = pc.list_flatten(ids_col).to_numpy(zero_copy_only=False)
+        pseg = seg[pc.list_parent_indices(ids_col).to_numpy()]
+        m = keep[pseg]
+        flat, pseg = flat[m], pseg[m]
+        order = np.lexsort((flat, pseg))
+        flat, pseg = flat[order], pseg[order]
+        # rank within segment → keep the first max_postings ids of each
+        new_p = np.ones(len(pseg), dtype=bool)
+        new_p[1:] = pseg[1:] != pseg[:-1]
+        starts = np.flatnonzero(new_p)
+        rank = np.arange(len(pseg)) - starts[np.cumsum(new_p) - 1]
+        tk = rank < max_postings
+        flat, pseg = flat[tk], pseg[tk]
+        joined = (pd.Series(flat.astype(str))
+                  .groupby(pseg, sort=True).agg(",".join))
+        kept_seg = joined.index.to_numpy()
+        first_row = np.flatnonzero(new_seg)  # first partial row per segment
         return pa.table({
-            "term": pa.array([group.column("term")[0].as_py()]),
-            "df": pa.array([df], pa.int64()),
-            "postings": pa.array([post], pa.string()),
+            "term": pa.array(terms[first_row[kept_seg]], pa.string()),
+            "df": pa.array(df_sum[kept_seg], pa.int64()),
+            "postings": pa.array(joined.to_numpy(), pa.string()),
         })
 
-    return partials.groupby("term").map_groups(per_term, batch_format="pyarrow")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column("term").to_pandas(), index=False).to_numpy()
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(
+            pa.field("__tbucket", pa.int32()), pa.array(part, pa.int32()))
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__tbucket").map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def grouped_topk(ds, group_cols, by: str, k: int, descending: bool = True,

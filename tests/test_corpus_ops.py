@@ -185,6 +185,34 @@ def test_inverted_index_small_group_boundary(ray_session):
     assert got == {"aaa": (2, "0,2"), "zzz": (2, "0,1")}
 
 
+def test_inverted_index_many_terms_one_bucket(ray_session):
+    """The bucketed final reduce must segment correctly with MANY terms
+    in one bucket (num_partitions=1): per-term df sums, min_df filtering
+    BETWEEN surviving neighbors, and per-segment posting truncation."""
+    from connect_smts_ray.ops.corpus import inverted_index
+
+    # 50 terms t00..t49: term k appears in docs k..k+2 (df=3) except every
+    # 7th term, which appears once (df=1) and must be filtered out
+    docs = {}
+    for k in range(50):
+        term = f"t{k:02d}"
+        reach = 1 if k % 7 == 0 else 3
+        for d in range(k, k + reach):
+            docs.setdefault(d, []).append(term)
+    ds = _docs_ds(ray_session,
+                  [(d, " ".join(ws)) for d, ws in sorted(docs.items())])
+    rows = inverted_index(ds, min_df=2, max_postings=2,
+                          num_partitions=1).take_all()
+    got = {r["term"]: (r["df"], r["postings"]) for r in rows}
+    assert len(got) == 50 - len([k for k in range(50) if k % 7 == 0])
+    for k in range(50):
+        term = f"t{k:02d}"
+        if k % 7 == 0:
+            assert term not in got
+        else:
+            assert got[term] == (3, f"{k},{k + 1}")
+
+
 def test_normalize_and_redact(ray_session):
     from connect_smts_ray.ops.text import normalize_text, redact_pii
 
