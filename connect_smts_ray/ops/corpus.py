@@ -288,11 +288,14 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 10,
 
 
 def grouped_topk(ds, group_cols, by: str, k: int, descending: bool = True,
-                 tiebreak=None):
+                 tiebreak=None, num_partitions: int = 32):
     """Per-group top-k without materializing groups: every block first
     reduces to its own per-group top-k (the combiner — at most k rows per
-    group per block cross the shuffle), then a grouped reduce keeps the
-    global per-group top-k. ``tiebreak`` = (col, ascending)."""
+    group per block cross the shuffle), then groups hash-BUCKET and each
+    bucket runs the same segmented rank-within-group pass once — one
+    Python call per bucket, never per group (the r4 final sorted and
+    sliced each group in its own map_groups call). ``tiebreak`` =
+    (col, ascending)."""
     order = [(by, "descending" if descending else "ascending")]
     if tiebreak is not None:
         col, asc = tiebreak
@@ -318,12 +321,26 @@ def grouped_topk(ds, group_cols, by: str, k: int, descending: bool = True,
 
     partials = ds.map_batches(block_partial, batch_format="pyarrow")
 
-    def per_group(group: pa.Table) -> pa.Table:
-        return group.sort_by(order).slice(0, k)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # polynomial combine (not plain xor: equal-valued columns would
+        # cancel to 0 and collapse every row into one bucket)
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in group_cols:
+                h = h * np.uint64(1000003) ^ pd.util.hash_pandas_object(
+                    batch.column(c).to_pandas(), index=False).to_numpy()
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(
+            pa.field("__gbucket", pa.int32()), pa.array(part, pa.int32()))
 
-    return partials.groupby(group_cols[0] if len(group_cols) == 1
-                            else group_cols).map_groups(
-        per_group, batch_format="pyarrow"
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # same segmented rank pass as the combiner, now over the bucket's
+        # complete per-group partials → the global per-group top-k
+        return block_partial(group.drop_columns(["__gbucket"]))
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__gbucket").map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
