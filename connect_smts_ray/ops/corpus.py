@@ -401,31 +401,67 @@ def group_quantiles(ds, group_col: str, value_col: str, qs,
 
     counts = ds.map_batches(partial, batch_format="pyarrow")
 
-    def per_group(group: pa.Table) -> pa.Table:
-        s = group.sort_by([(value_col, "ascending")])
-        vals = s.column(value_col).to_numpy(zero_copy_only=False)
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # Bucketed final reduce (one Python call per bucket, not per
+        # group): sort by (group, value), collapse duplicate (group,
+        # value) partials with reduceat, then answer every quantile with
+        # ONE searchsorted over the global cumulative-count array — a
+        # rank inside group g maps to global target offset(g) + rank, and
+        # the non-decreasing global cumsum makes the found index land
+        # inside g's segment.
+        n_rows = group.num_rows
+        if n_rows == 0:
+            return pa.table({
+                group_col: group.column(group_col),
+                "q_pct": pa.array([], pa.int64()),
+                value_col: group.column(value_col),
+            })
+        s = group.sort_by([(group_col, "ascending"),
+                           (value_col, "ascending")])
+        gv = s.column(group_col).to_numpy(zero_copy_only=False)
+        vv = s.column(value_col).to_numpy(zero_copy_only=False)
         ns = s.column("n").to_numpy(zero_copy_only=False)
-        # merge duplicate values from different blocks
-        uniq, inv = np.unique(vals, return_inverse=True)
-        cnt = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(cnt, inv, ns)
-        cum = np.cumsum(cnt)
-        n = int(cum[-1])
-        out_q, out_v = [], []
+        new_gv = np.ones(n_rows, dtype=bool)
+        new_gv[1:] = (gv[1:] != gv[:-1]) | (vv[1:] != vv[:-1])
+        idx = np.flatnonzero(new_gv)          # collapsed → original row
+        cnt = np.add.reduceat(ns, idx)
+        g2 = gv[idx]
+        new_g = np.ones(len(idx), dtype=bool)
+        new_g[1:] = g2[1:] != g2[:-1]
+        gstart = np.flatnonzero(new_g)
+        gcum = np.cumsum(cnt)
+        offset = np.where(gstart > 0, gcum[gstart - 1], 0)
+        gend = np.append(gstart[1:], len(idx)) - 1
+        n_group = gcum[gend] - offset
+        take_group, take_value, out_q = [], [], []
         for q in qs:
-            rank = max(1, int(np.ceil(q * n - 1e-9)))
-            out_q.append(int(round(q * 100)))
-            out_v.append(uniq[np.searchsorted(cum, rank)])
-        key = group.column(group_col)[0].as_py()
+            rank = np.maximum(
+                1, np.ceil(q * n_group - 1e-9).astype(np.int64))
+            pos = np.searchsorted(gcum, offset + rank, side="left")
+            take_group.append(idx[gstart])    # first row of each group
+            take_value.append(idx[pos])
+            out_q.append(np.full(len(gstart), int(round(q * 100)),
+                                 dtype=np.int64))
+        tg = pa.array(np.concatenate(take_group))
+        tv = pa.array(np.concatenate(take_value))
         return pa.table({
-            group_col: pa.array([key] * len(qs),
-                                type=group.schema.field(group_col).type),
-            "q_pct": pa.array(out_q, pa.int64()),
-            value_col: pa.array(out_v, type=group.schema.field(value_col).type),
+            group_col: s.column(group_col).take(tg),
+            "q_pct": pa.array(np.concatenate(out_q)),
+            value_col: s.column(value_col).take(tv),
         })
 
-    return counts.groupby(group_col).map_groups(
-        per_group, batch_format="pyarrow"
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column(group_col).to_pandas(), index=False).to_numpy()
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(
+            pa.field("__qbucket", pa.int32()), pa.array(part, pa.int32()))
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__qbucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["__qbucket"])),
+            batch_format="pyarrow")
     )
 
 

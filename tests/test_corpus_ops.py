@@ -74,6 +74,36 @@ def test_group_quantiles_matches_numpy_disc(ray_session):
                    25: s[int(np.ceil(0.25 * 8)) - 1]}
 
 
+def test_group_quantiles_many_groups_one_bucket(ray_session):
+    """Bucketed quantile reduce: many groups in one bucket — each group's
+    ranks must resolve inside its own segment of the global CDF, with
+    unequal group sizes and cross-group duplicate values."""
+    from connect_smts_ray.ops.corpus import group_quantiles
+
+    rng = np.random.RandomState(7)
+    gs, vs = [], []
+    sizes = {f"g{k:02d}": 3 + (k * 5) % 40 for k in range(30)}
+    for g, sz in sizes.items():
+        gs += [g] * sz
+        vs += rng.randint(0, 25, size=sz).tolist()
+    t = pa.table({"g": pa.array(gs, pa.string()),
+                  "v": pa.array(vs, pa.int64())})
+    out = group_quantiles(
+        ray_session.data.from_arrow(t), "g", "v", [0.25, 0.5, 0.9],
+        num_partitions=1,
+    ).take_all()
+    got = {(r["g"], r["q_pct"]): r["v"] for r in out}
+    assert len(got) == 3 * len(sizes)
+    by_g = {}
+    for g, v in zip(gs, vs):
+        by_g.setdefault(g, []).append(v)
+    for g, xs in by_g.items():
+        s = sorted(xs)
+        for q, pct in ((0.25, 25), (0.5, 50), (0.9, 90)):
+            want = s[max(1, int(np.ceil(q * len(s) - 1e-9))) - 1]
+            assert got[(g, pct)] == want, (g, pct)
+
+
 def test_pack_sequences_offsets_and_straddle(ray_session):
     from connect_smts_ray.ops.corpus import pack_sequences
 
