@@ -203,22 +203,36 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 10,
     td = term_doc_counts(ds, id_col=id_col, text_col=text_col)
 
     def block_partial(batch: pa.Table) -> pa.Table:
+        # fully segmented (no Python loop over term runs — this combiner
+        # runs on EVERY block): sort, segment on term change, df = run
+        # lengths, posting prefix = rank-within-run < max_postings
+        # assembled as a ListArray straight from offsets
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "ids": pa.array([], pa.list_(pa.int64())),
+            })
         s = batch.sort_by([("term", "ascending"), (id_col, "ascending")])
         terms = s.column("term").to_numpy(zero_copy_only=False)
         ids = s.column(id_col).to_numpy(zero_copy_only=False)
-        out_t, out_df, out_ids = [], [], []
-        start = 0
-        n = len(terms)
-        for i in range(1, n + 1):
-            if i == n or terms[i] != terms[start]:
-                out_t.append(terms[start])
-                out_df.append(i - start)
-                out_ids.append(ids[start:min(i, start + max_postings)].tolist())
-                start = i
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = terms[1:] != terms[:-1]
+        seg = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        df = np.diff(np.append(starts, n)).astype(np.int64)
+        rank = np.arange(n) - starts[seg]
+        keep = rank < max_postings
+        kept = np.minimum(df, max_postings)
+        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(kept, out=offsets[1:])
         return pa.table({
-            "term": pa.array(out_t, pa.string()),
-            "df": pa.array(out_df, pa.int64()),
-            "ids": pa.array(out_ids, pa.list_(pa.int64())),
+            "term": pa.array(terms[starts], pa.string()),
+            "df": pa.array(df, pa.int64()),
+            "ids": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(ids[keep].astype(np.int64), pa.int64())),
         })
 
     partials = td.map_batches(block_partial, batch_format="pyarrow")
