@@ -3160,6 +3160,23 @@ def q_lake_time_travel(sf_dir: str):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
+def q_trailing_hour_value(sf_dir: str):
+    """Per-event trailing 1-hour same-user value sum with exact SQL
+    RANGE-frame semantics (closed both ends, equal-ts peers share the
+    frame) — ops/relational.py: trailing_window_sum, the bucketed
+    sessionization shape. Oracle: SUM OVER (PARTITION BY user ORDER BY
+    ts RANGE INTERVAL 1 HOUR PRECEDING)."""
+    from connect_smts_ray.ops.relational import trailing_window_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = trailing_window_sum(
+        ds, key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        value_col="value", window_us=3_600_000_000,
+    )
+    return out.sort("event_id")
+
+
 def q_watermark_window_events(sf_dir: str):
     """Tumbling 1-hour windows under a 2-hour watermark: only windows
     fully closed at watermark = max(ts) − 2h are emitted — the streaming
@@ -3656,6 +3673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "lake_time_travel": q_lake_time_travel,
         "watermark_window_events": q_watermark_window_events,
+        "trailing_hour_value": q_trailing_hour_value,
         "similarity_join": q_similarity_join,
         "declarative_expand": q_declarative_expand,
         "rollup_events": q_rollup_events,
@@ -5179,6 +5197,15 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "trailing_hour_value": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                             AND CURRENT ROW) AS trail_cents
+            FROM events
+            ORDER BY event_id
         """,
         "watermark_window_events": """
             WITH wm AS (

@@ -456,6 +456,78 @@ def _windowed_reduce(ds, key_cols, aggs):
     )
 
 
+def trailing_window_sum(ds, key_col: str, ts_col: str, tiebreak_col: str,
+                        value_col: str, window_us: int,
+                        num_partitions: int = 64):
+    """Per-event TRAILING time-window sum with exact SQL RANGE-frame
+    semantics: for each row, the sum of ``value`` (in integer cents) over
+    all same-key rows whose ts lies in ``[ts - window_us, ts]`` — both
+    ends closed, and PEERS INCLUDED: rows sharing the key and exact ts
+    all report the same frame sum, like ``SUM(...) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN <w> PRECEDING AND CURRENT ROW)``.
+
+    Scale shape (the sessionization pattern): keys hash-bucket, each
+    bucket sorts ONCE by (key, ts, tiebreak) and a single Cython
+    time-rolling pass (``groupby(segment).rolling(window, closed='both')``)
+    computes every frame; a segmented last-of-peer broadcast then lifts
+    each (key, ts) peer group to its final row's sum — one Python call
+    per bucket, never per key. Output: (tiebreak, key, trail_cents
+    BIGINT), NULL where every value in the frame is NULL.
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({
+                tiebreak_col: group.column(tiebreak_col),
+                key_col: group.column(key_col),
+                "trail_cents": pa.array([], pa.int64()),
+            })
+        ts = _ts_us_int64(group.column(ts_col)).to_numpy(zero_copy_only=False)
+        tie = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        s = group.take(pa.array(order))
+        ks, ts_s = keys[order], ts[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = ks[1:] != ks[:-1]
+        seg = np.cumsum(new_key) - 1
+        cents = pc.cast(
+            pc.round(pc.multiply(s.column(value_col), pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.float64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(ts_s, unit="us"),
+            "c": cents,
+        })
+        roll = (df.groupby(seg, sort=False)
+                .rolling(pd.Timedelta(microseconds=window_us), on="ts",
+                         closed="both", min_periods=1)["c"]
+                .sum().to_numpy())
+        # SQL RANGE CURRENT ROW includes FOLLOWING peers with the same
+        # ts: broadcast each (key, ts) peer group's LAST rolling value
+        new_peer = new_key.copy()
+        new_peer[1:] |= ts_s[1:] != ts_s[:-1]
+        peer = np.cumsum(new_peer) - 1
+        peer_last = np.append(np.flatnonzero(new_peer)[1:], n) - 1
+        trail = roll[peer_last[peer]]
+        return pa.table({
+            tiebreak_col: s.column(tiebreak_col),
+            key_col: s.column(key_col),
+            "trail_cents": pa.array(
+                np.where(np.isnan(trail), 0, trail).astype(np.int64),
+                pa.int64(), mask=np.isnan(trail)),
+        })
+
+    return (
+        ds.map_batches(_add_key_bucket(key_col, num_partitions),
+                       batch_format="pyarrow")
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def tumbling_window(ds, ts_col: str, width_seconds: int, key_cols, aggs):
     """Event-time tumbling windows (see ``_windowed_reduce`` for the
     aggregate spec and shuffle shape)."""

@@ -381,6 +381,48 @@ def test_scd2_history_islands(ray_session):
     assert len(u9) == 1 and u9[0]["is_current"] and u9[0]["n_events"] == 1
 
 
+def test_trailing_window_sum_peers_nulls_and_edges(ray_session):
+    """Exact RANGE-frame semantics: equal-ts peers share the frame sum
+    (including FOLLOWING peers), both window ends closed (a row exactly
+    window_us older is IN), NULL values skipped, all-NULL frames NULL,
+    and no cross-key bleed in a shared bucket."""
+    import datetime as dt
+
+    import ray.data
+
+    from connect_smts_ray.ops.relational import trailing_window_sum
+
+    def ts(m, s=0):
+        return dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(
+            minutes=m, seconds=s)
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([ts(0), ts(30), ts(30), ts(60), ts(61),
+                        ts(10), ts(10), ts(5)], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0,
+                           None, 32.0, None], pa.float64()),
+    })
+    out = trailing_window_sum(
+        ray.data.from_arrow(t), key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id", value_col="value",
+        window_us=3_600_000_000, num_partitions=1,
+    ).take_all()
+    got = {r["event_id"]: r["trail_cents"] for r in out}
+    assert got[1] == 100
+    # peers at :30 both see 1+2+4
+    assert got[2] == 700 and got[3] == 700
+    # :60 still includes :00 (closed lower bound, exactly 1h old)
+    assert got[4] == 1500
+    # :61 drops the :00 row
+    assert got[5] == 3000
+    # NULL value row still gets its peer's sum; peers share it
+    assert got[6] == 3200 and got[7] == 3200
+    # an all-NULL frame is NULL, like SQL SUM
+    assert got[8] is None
+
+
 def test_bucketed_window_kernels_many_keys_one_bucket(ray_session):
     """The bucketed sessionization kernels (ordered_group_windows /
     scd2_history) must segment correctly when MANY distinct keys land in
