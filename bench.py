@@ -118,15 +118,26 @@ def run_bench() -> dict:
     if quiet_budget > 0:
         _wait_quiet(quiet_budget)
 
-    j0 = _cpu_jiffies()
-    t0 = time.perf_counter()
-    replay(cfg, fresh=True)
-    state = final_state(cfg)
-    replay_sec = time.perf_counter() - t0
-    j1 = _cpu_jiffies()
+    # MEDIAN of GRAFT_BENCH_REPEATS (default 3) fresh replays: single-shot
+    # wall time on this host swings ±25% run-to-run even at zero steal
+    # (worker respawn / allocator state — measured 2.54–3.10 s across
+    # back-to-back clean runs), so one sample is a coin flip, not a
+    # sustained-throughput measurement. All samples are reported.
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
+    samples = []  # (sec, delivered_core_sec, steal_core_sec)
+    for _ in range(repeats):
+        j0 = _cpu_jiffies()
+        t0 = time.perf_counter()
+        replay(cfg, fresh=True)
+        state = final_state(cfg)
+        sec = time.perf_counter() - t0
+        j1 = _cpu_jiffies()
+        assert state.num_rows > 0
+        samples.append((sec, (j1[0] - j0[0]) / 100.0, (j1[1] - j0[1]) / 100.0))
+        shutil.rmtree(lake, ignore_errors=True)
+    samples.sort()
+    replay_sec, delivered, steal = samples[len(samples) // 2]
     queries["cdc_replay"] = round(replay_sec, 3)
-    assert state.num_rows > 0
-    shutil.rmtree(lake, ignore_errors=True)
 
     # secondary pipelines (skippable with GRAFT_BENCH_HEADLINE_ONLY=1)
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
@@ -172,10 +183,11 @@ def run_bench() -> dict:
         "num_cpus": cpus,
         "events": total_events,
         "events_per_sec": round(total_events / replay_sec, 1),
-        # Host-granted CPU during ONLY the measured replay window
+        # Host-granted CPU during ONLY the median replay's window
         # (/proc/stat busy/steal jiffies) — scaling analysis input.
-        "delivered_core_sec": round((j1[0] - j0[0]) / 100.0, 1),
-        "steal_core_sec": round((j1[1] - j0[1]) / 100.0, 1),
+        "delivered_core_sec": round(delivered, 1),
+        "steal_core_sec": round(steal, 1),
+        "replay_samples_sec": [round(s[0], 3) for s in samples],
     }
     ray.shutdown()
     return result
