@@ -2021,6 +2021,85 @@ def q_cohort_retention(sf_dir: str):
     return out.sort(["cohort_period", "period_offset"])
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-pruned semi join: lineitem rows belonging to high-value
+    orders (o_totalprice > 450000). The filtered order keys build a Bloom
+    filter (per-block bitmaps OR'd on the driver — values never leave the
+    workers); the 128 KiB bitmap broadcasts ONCE via ``ray.put`` and every
+    lineitem batch drops definitely-absent keys BEFORE the exact
+    reduce-side semi join. At 100 TB the bloom cuts the key shuffle to
+    ~|matches| + false positives while the exact join keeps the result
+    bit-identical to SQL ``IN`` — false positives only, never negatives
+    (ops/components.py:bloom_build). Output: per-returnflag item count and
+    quantity sum over the surviving rows."""
+    import ray
+
+    from connect_smts_ray.ops.components import (
+        bloom_build,
+        bloom_maybe_contains,
+        hash_join,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    hot = orders.map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 450000.0)),
+        batch_format="pyarrow",
+    ).select_columns(["o_orderkey"])
+    hot = hot.materialize()  # consumed twice: bloom build + exact join
+    bitmap_ref = ray.put(bloom_build(hot, "o_orderkey"))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_quantity"])
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        mask = bloom_maybe_contains(b.column("l_orderkey"),
+                                    ray.get(bitmap_ref))
+        return b.filter(pa.array(mask))
+
+    cand = li.map_batches(prefilter, batch_format="pyarrow")
+    matched = hash_join(
+        cand, hot, left_on="l_orderkey", right_on="o_orderkey",
+        how="left_semi",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_returnflag", pa.string()),
+                               ("l_quantity", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _arrow_fixed_sum_partial(
+            b, ["l_returnflag"], {"qty_c": (b.column("l_quantity"), 100)},
+            count_as="n_items", mask_keys=["l_returnflag"])
+
+    partials = matched.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        return _unmask_null_keys(pa.table({
+            "l_returnflag": [g.column("l_returnflag")[0].as_py()],
+            "n_items": pa.array(
+                [pc.sum(g.column("n_items")).as_py()], pa.int64()),
+            "sum_qty": pa.array(
+                [pc.sum(g.column("qty_c")).as_py() / 100.0], pa.float64()),
+        }), ["l_returnflag"])
+
+    return partials.groupby("l_returnflag").map_groups(
+        final, batch_format="pyarrow")
+
+
+def q_interval_coverage(sf_dir: str):
+    """Gaps-and-islands: each event opens a 5-minute activity interval;
+    per user, overlapping-or-touching intervals merge into islands —
+    emits (user_id, n_islands, covered_us, first_start_us, last_end_us).
+    One bucket shuffle, one vectorized pass per bucket (segmented
+    running-max) — see ops/relational.py:interval_coverage."""
+    from connect_smts_ray.ops.relational import interval_coverage
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = interval_coverage(ds, key_col="user_id", ts_col="ts",
+                            duration_seconds=300)
+    return out.sort("user_id")
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user event-type transition (bigram) counts, ordered by
     (ts, event_id) — Markov-chain estimation over clickstreams. One
@@ -3577,9 +3656,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every one of them (and the full registry) stays covered by
     # tests/test_oracle_parity.py, which runs the identical
     # rows+schema+hash protocol over all entries at sf0.01.
-    # Five queries added after this round's window was frozen
+    # Seven queries added after this round's window was frozen
     # (media_mp4_stats, connected_components_parts, bfs_hops_parts,
-    # sssp_bounded_parts, fuzzy_match_words) sit at the registry tail:
+    # sssp_bounded_parts, fuzzy_match_words, interval_coverage_events,
+    # bloom_semi_join_lineitem) sit at the registry tail:
     # they carry parity-suite + unit-test evidence only, never a driver
     # row — stated here so no reader over-credits them.
     return {
@@ -3716,6 +3796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_bounded_parts": q_sssp_bounded_parts,
         "fuzzy_match_words": q_fuzzy_match_words,
+        "interval_coverage_events": q_interval_coverage,
+        "bloom_semi_join_lineitem": q_bloom_semi_join,
     }
 
 
@@ -6102,5 +6184,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(w.word, p.probe) AS BIGINT) AS dist
             FROM w, p WHERE levenshtein(w.word, p.probe) <= 1
             ORDER BY word_a, word_b
+        """,
+        # Bloom prefilter is pruning-only: the exact semi join makes the
+        # result identical to a plain IN-subquery.
+        "bloom_semi_join_lineitem": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                       AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+            )
+            GROUP BY l_returnflag
+        """,
+        # Island numbering mirror: a row opens a new island unless its
+        # start is ≤ the running max end of its user's PRIOR rows.
+        "interval_coverage_events": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 300000000 AS e
+                FROM events
+            ),
+            marked AS (
+                SELECT user_id, s, e,
+                       CASE WHEN s <= max(e) OVER (
+                                PARTITION BY user_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                            THEN 0 ELSE 1 END AS new_island
+            FROM iv
+            ),
+            isl AS (
+                SELECT user_id, s, e,
+                       sum(new_island) OVER (
+                           PARTITION BY user_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island_id
+                FROM marked
+            ),
+            ext AS (
+                SELECT user_id, island_id,
+                       min(s) AS i_start, max(e) AS i_end
+                FROM isl GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   count(*) AS n_islands,
+                   CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+                   min(i_start) AS first_start_us,
+                   max(i_end) AS last_end_us
+            FROM ext GROUP BY user_id ORDER BY user_id
         """,
     }

@@ -1778,3 +1778,63 @@ def temporal_join(fact, dim, fact_key: str, fact_ts: str, dim_key: str,
         return df
 
     return joined.map_batches(apply_validity, batch_format="pandas")
+
+
+def interval_coverage(ds, key_col: str, ts_col: str, duration_seconds: int,
+                      num_partitions: int = 64):
+    """Gaps-and-islands interval merge: each event opens an interval
+    ``[ts, ts + duration)``; per key, overlapping-or-touching intervals
+    (next start ≤ running max end) merge into ISLANDS. Emits one row per
+    key: (key, n_islands BIGINT, covered_us BIGINT, first_start_us,
+    last_end_us) — the "how much wall-clock was this user active"
+    question that double-counts under a plain sum of durations.
+
+    Scale shape (the sessionization pattern): keys hash-bucket into
+    ``num_partitions`` groups; each whole bucket runs ONE vectorized
+    pass — sort by (key, start), segmented running-max of end
+    (pandas ``groupby(...).cummax``, C kernel), island breaks where
+    ``start > shifted cummax`` — then two C-level groupby reductions
+    (island → extent, key → counts). One shuffle; one Python call per
+    bucket, never per key. Mirror of SQL
+    ``max(e) OVER (PARTITION BY key ORDER BY s ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` island numbering.
+    """
+    dur_us = duration_seconds * 1_000_000
+    add_bucket = _add_key_bucket(key_col, num_partitions)
+
+    def islands(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: group.column(key_col).to_pandas(),
+            "s": _ts_us_int64(group.column(ts_col)).to_pandas(),
+        })
+        df["e"] = df["s"] + dur_us
+        df = df.sort_values([key_col, "s"], kind="mergesort",
+                            ignore_index=True)
+        # running max end per key, EXCLUSIVE of the current row
+        run_e = df.groupby(key_col, sort=False)["e"].cummax()
+        keys = df[key_col].to_numpy()
+        n = len(df)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = keys[1:] != keys[:-1]
+        prev_run = np.empty(n, dtype=np.int64)
+        prev_run[0] = 0
+        if n > 1:
+            prev_run[1:] = run_e.to_numpy()[:-1]
+        new_island = first | (df["s"].to_numpy() > prev_run)
+        df["island"] = np.cumsum(new_island)
+        ext = df.groupby("island", sort=False).agg(
+            key=(key_col, "first"), is_=("s", "min"), ie=("e", "max"))
+        ext["span"] = ext["ie"] - ext["is_"]
+        out = ext.groupby("key", sort=False).agg(
+            n_islands=("span", "size"), covered_us=("span", "sum"),
+            first_start_us=("is_", "min"), last_end_us=("ie", "max"),
+        ).reset_index().rename(columns={"key": key_col})
+        out["n_islands"] = out["n_islands"].astype("int64")
+        return _from_pandas(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(islands, batch_format="pyarrow")
+    )

@@ -2086,3 +2086,88 @@ def test_sssp_bounded_hand_graph(ray_session):
     back = {r["node"]: r["dist"]
             for r in sssp_bounded(edges, seeds3, max_edges=3).take_all()}
     assert back == {3: 0, 2: 2, 1: 3, 0: 4}
+
+
+def test_interval_coverage_islands(ray_session):
+    """Overlap-or-touch merges; a gap > duration starts a new island;
+    many keys sharing ONE bucket stay segmented (num_partitions=1 forces
+    every key through the same vectorized pass)."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import interval_coverage
+
+    D = 10  # seconds; intervals [ts, ts+10s)
+    rows = [
+        (1, 0), (1, 5), (1, 10),   # chain: 0-10, 5-15, 10-20 → one island
+        (1, 100),                  # far gap → second island
+        (2, 0), (2, 11),           # 0-10 then 11-21: gap of 1us+ → 2 islands
+        (3, 7),                    # single event, one island
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+    })
+    want = {
+        1: (2, (20 + 10) * 1_000_000),   # island 0-20s + island 100-110s
+        2: (2, 20 * 1_000_000),
+        3: (1, 10 * 1_000_000),
+    }
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = interval_coverage(ds, key_col="u", ts_col="ts",
+                                duration_seconds=D, num_partitions=1)
+        got = {r["u"]: (r["n_islands"], r["covered_us"])
+               for r in out.take_all()}
+        assert got == want, f"blocks={blocks}"
+
+
+def test_interval_coverage_touching_merges(ray_session):
+    """start == running end merges (half-open adjacency), start == end+1us
+    does not."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import interval_coverage
+
+    t = pa.table({
+        "u": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([0, 1_000_000, 0, 1_000_001], pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t)
+    out = interval_coverage(ds, key_col="u", ts_col="ts",
+                            duration_seconds=1, num_partitions=2)
+    got = {r["u"]: r["n_islands"] for r in out.take_all()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_bloom_semi_join_exactness(ray_session):
+    """The bloom prefilter + exact semi join equals a plain semi join even
+    with a tiny bitmap (high FP rate) — false positives die in the exact
+    pass, false negatives cannot exist."""
+    import ray
+
+    from connect_smts_ray.ops.components import (
+        bloom_build,
+        bloom_maybe_contains,
+        hash_join,
+    )
+
+    keep = pa.table({"k": pa.array(list(range(0, 100, 7)), pa.int64())})
+    big = pa.table({
+        "k": pa.array(list(range(100)), pa.int64()),
+        "v": pa.array([i * 2 for i in range(100)], pa.int64()),
+    })
+    keep_ds = ray.data.from_arrow(keep).materialize()
+    bm = bloom_build(keep_ds, "k", bits=64, k=2)  # deliberately saturated
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(bloom_maybe_contains(b.column("k"), bm,
+                                                      bits=64, k=2)))
+
+    cand = ray.data.from_arrow(big).repartition(4).map_batches(
+        prefilter, batch_format="pyarrow")
+    out = hash_join(
+        cand, keep_ds, left_on="k", right_on="k", how="left_semi",
+        left_schema=big.schema, right_schema=keep.schema)
+    got = sorted(r["k"] for r in out.take_all())
+    assert got == list(range(0, 100, 7))
