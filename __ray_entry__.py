@@ -2021,6 +2021,20 @@ def q_cohort_retention(sf_dir: str):
     return out.sort(["cohort_period", "period_offset"])
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-ES, 25 docs, weight = n_chars): score -ln(u)/w with u
+    drawn from md5(doc_id), keep the k smallest scores — long documents
+    proportionally likelier, identical at any parallelism. Per-block
+    local top-k partials; only 2k candidate rows cross block boundaries
+    (ops/corpus.py:weighted_sample)."""
+    from connect_smts_ray.ops.corpus import weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
+    out = weighted_sample(ds, id_col="doc_id", weight_col="n_chars", k=25)
+    return out.sort("doc_id")
+
+
 def q_bloom_semi_join(sf_dir: str):
     """Bloom-pruned semi join: lineitem rows belonging to high-value
     orders (o_totalprice > 450000). The filtered order keys build a Bloom
@@ -3656,10 +3670,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every one of them (and the full registry) stays covered by
     # tests/test_oracle_parity.py, which runs the identical
     # rows+schema+hash protocol over all entries at sf0.01.
-    # Seven queries added after this round's window was frozen
+    # Eight queries added after this round's window was frozen
     # (media_mp4_stats, connected_components_parts, bfs_hops_parts,
     # sssp_bounded_parts, fuzzy_match_words, interval_coverage_events,
-    # bloom_semi_join_lineitem) sit at the registry tail:
+    # bloom_semi_join_lineitem, weighted_sample_docs) sit at the registry
+    # tail:
     # they carry parity-suite + unit-test evidence only, never a driver
     # row — stated here so no reader over-credits them.
     return {
@@ -3798,6 +3813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_words": q_fuzzy_match_words,
         "interval_coverage_events": q_interval_coverage,
         "bloom_semi_join_lineitem": q_bloom_semi_join,
+        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -6233,5 +6249,20 @@ def oracle_sql() -> dict[str, str]:
                    min(i_start) AS first_start_us,
                    max(i_end) AS last_end_us
             FROM ext GROUP BY user_id ORDER BY user_id
+        """,
+        # A-ES weighted reservoir mirror: u from md5_number_lower(doc_id)
+        # halved-plus-one over 2^63 (the engine's md5-rank convention),
+        # score = -ln(u)/weight, k smallest win. Both sides compute the
+        # same IEEE-double expression; a last-ulp libm disagreement would
+        # need two scores within ~1e-15 relative to flip the cut.
+        "weighted_sample_docs": """
+            SELECT doc_id, n_chars, lang FROM (
+                SELECT doc_id, n_chars, lang,
+                       -ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                                 // 2 AS BIGINT) + 1)
+                           / 9223372036854775808.0) / n_chars AS score
+                FROM documents
+                WHERE n_chars > 0
+            ) ORDER BY score, doc_id LIMIT 25
         """,
     }

@@ -164,7 +164,8 @@ def run_bench() -> dict:
                      "media_mp4_stats", "connected_components_parts",
                      "bfs_hops_parts", "sssp_bounded_parts",
                      "fuzzy_match_words", "interval_coverage_events",
-                     "bloom_semi_join_lineitem"):
+                     "bloom_semi_join_lineitem",
+                     "weighted_sample_docs"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

@@ -956,3 +956,53 @@ def global_shuffle_rank(ds, id_col: str = "doc_id", seed: str = "s",
     return keyed.groupby("__bucket").map_groups(
         per_bucket, batch_format="pyarrow"
     )
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws u ∈ (0, 1] from the md5 of its id
+    (``md5_number_lower`` convention — seedless, uniform, SQL-mirrorable),
+    scores ``-ln(u) / w`` (an Exponential(rate=w) variate — the smaller
+    the score the luckier the row, proportionally to its weight), and the
+    k SMALLEST scores win. P(row in sample) is exactly the A-ES
+    weighted-reservoir law; rows with weight ≤ 0 or null never qualify.
+
+    Scale shape: the score is a per-batch vectorized pass; selection is
+    the global ``topk`` (each block keeps its local k, one tiny final
+    reduce) — nothing but 2k candidate rows ever crosses a block
+    boundary. The float ln() is computed identically (IEEE double) on
+    the SQL side; a last-ulp libm disagreement would need two scores
+    within ~1e-15 relative to flip the cut, vanishing for non-adversarial
+    ids (ties inside the engine break on the id).
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    import hashlib
+
+    from connect_smts_ray.ops.relational import topk
+
+    def add_score(b: pa.Table) -> pa.Table:
+        w = pc.cast(b.column(weight_col), pa.float64())
+        keep = pc.fill_null(pc.greater(w, 0.0), False)
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return b.append_column(
+                pa.field("__score", pa.float64()),
+                pa.array([], pa.float64()))
+        ids = pc.cast(b.column(id_col), pa.string()).to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                            "little") >> 1 for v in ids),
+            dtype=np.int64, count=len(ids))
+        u = (h.astype(np.float64) + 1.0) / 9223372036854775808.0
+        wv = pc.cast(b.column(weight_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        score = -np.log(u) / wv
+        return b.append_column(pa.field("__score", pa.float64()),
+                               pa.array(score, pa.float64()))
+
+    scored = ds.map_batches(add_score, batch_format="pyarrow")
+    out = topk(scored, by="__score", k=k, descending=False,
+               tiebreak=(id_col, True))
+    return out.map_batches(lambda b: b.drop_columns(["__score"]),
+                           batch_format="pyarrow")

@@ -696,3 +696,38 @@ def test_grouped_hll_parallelism_invariant(ray_session):
         sub = t8[t8["group"] == g][["reg", "max_rank"]]
         est = hll_estimate_from_table(pa.Table.from_pandas(sub), p=8)
         assert abs(est - len(vals)) / len(vals) < 0.25
+
+
+def test_weighted_sample_deterministic(ray_session):
+    """A-ES winners equal an independent NumPy-free recomputation of
+    -ln(u)/w, at any parallelism; weight ≤ 0 / null rows never qualify."""
+    import hashlib
+    import math
+
+    import ray.data
+
+    from connect_smts_ray.ops.corpus import weighted_sample
+
+    ids = list(range(1, 41))
+    weights = [(i % 7) * 10 or None for i in ids]  # some None, rest > 0
+    weights[3] = 0  # and an explicit zero
+    t = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "w": pa.array(weights, pa.int64()),
+    })
+
+    def score(i, w):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                           "little") >> 1
+        u = (h + 1.0) / 9223372036854775808.0
+        return -math.log(u) / w
+
+    eligible = [(score(i, w), i) for i, w in zip(ids, weights)
+                if w is not None and w > 0]
+    want = sorted(i for _, i in sorted(eligible)[:10])
+
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = weighted_sample(ds, id_col="id", weight_col="w", k=10)
+        got = sorted(r["id"] for r in out.take_all())
+        assert got == want, f"blocks={blocks}"
