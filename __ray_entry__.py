@@ -2021,6 +2021,39 @@ def q_cohort_retention(sf_dir: str):
     return out.sort(["cohort_period", "period_offset"])
 
 
+def q_corr_value_hour(sf_dir: str):
+    """Per-event-type Pearson correlation of value (integer cents) vs
+    hour-of-day — exact integer moment sums, final float formula
+    evaluated identically on both sides from identical integers
+    (ops/relational.py:grouped_corr)."""
+    from connect_smts_ray.ops.relational import (
+        _floor_div_us,
+        _ts_us_int64,
+        grouped_corr,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = _ts_us_int64(b.column("ts"))
+        hour_idx = _floor_div_us(ts, 3_600_000_000)
+        # floor-mod 24 (matches SQL // then % on post-epoch data; exact
+        # mirror for pre-1970 too since hour_idx is already floored)
+        hour = pc.subtract(
+            hour_idx,
+            pc.multiply(_floor_div_us(hour_idx, 24),
+                        pa.scalar(24, pa.int64())))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "x": hour,
+            "y": _fixed_point_arrow(b.column("value"), 100),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_corr(prepped, key_col="event_type", x_col="x", y_col="y")
+    return out.sort("event_type")
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Deterministic weighted sample without replacement (Efraimidis–
     Spirakis A-ES, 25 docs, weight = n_chars): score -ln(u)/w with u
@@ -3670,11 +3703,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every one of them (and the full registry) stays covered by
     # tests/test_oracle_parity.py, which runs the identical
     # rows+schema+hash protocol over all entries at sf0.01.
-    # Eight queries added after this round's window was frozen
+    # Nine queries added after this round's window was frozen
     # (media_mp4_stats, connected_components_parts, bfs_hops_parts,
     # sssp_bounded_parts, fuzzy_match_words, interval_coverage_events,
-    # bloom_semi_join_lineitem, weighted_sample_docs) sit at the registry
-    # tail:
+    # bloom_semi_join_lineitem, weighted_sample_docs, corr_value_hour)
+    # sit at the registry tail:
     # they carry parity-suite + unit-test evidence only, never a driver
     # row — stated here so no reader over-credits them.
     return {
@@ -3814,6 +3847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage_events": q_interval_coverage,
         "bloom_semi_join_lineitem": q_bloom_semi_join,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "corr_value_hour": q_corr_value_hour,
     }
 
 
@@ -6264,5 +6298,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
                 WHERE n_chars > 0
             ) ORDER BY score, doc_id LIMIT 25
+        """,
+        # Exact-integer moments (HUGEINT mirrors the engine's Python-int
+        # final accumulation); both sides evaluate the SAME float formula
+        # over the SAME integers → bit-identical corr.
+        "corr_value_hour": """
+            WITH m AS (
+                SELECT event_type,
+                       count(*) AS n,
+                       sum(CAST(x AS HUGEINT)) AS sx,
+                       sum(CAST(y AS HUGEINT)) AS sy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(y AS HUGEINT) * y) AS syy,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy
+                FROM (
+                    SELECT event_type,
+                           (epoch_us(ts) // 3600000000) % 24 AS x,
+                           CAST(round(value * 100) AS BIGINT) AS y
+                    FROM events
+                )
+                GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN n < 2 OR n * sxx - sx * sx <= 0
+                             OR n * syy - sy * sy <= 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                   END AS corr
+            FROM m ORDER BY event_type
         """,
     }

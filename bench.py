@@ -165,7 +165,7 @@ def run_bench() -> dict:
                      "bfs_hops_parts", "sssp_bounded_parts",
                      "fuzzy_match_words", "interval_coverage_events",
                      "bloom_semi_join_lineitem",
-                     "weighted_sample_docs"):
+                     "weighted_sample_docs", "corr_value_hour"):
             t0 = time.perf_counter()
             res = e.queries()[name](d)
             # consume lazily-built datasets

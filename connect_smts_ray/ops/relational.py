@@ -1838,3 +1838,73 @@ def interval_coverage(ds, key_col: str, ts_col: str, duration_seconds: int,
         .groupby("__bucket")
         .map_groups(islands, batch_format="pyarrow")
     )
+
+
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
+    """Per-group Pearson correlation of two INT64 columns, computed
+    EXACTLY from integer moment sums — bit-identical at any parallelism
+    and to the SQL mirror, because both sides evaluate the SAME float
+    expression over the SAME exact integers:
+
+        corr = (n·Σxy − Σx·Σy)
+               / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+
+    Per-block partials sum (n, Σx, Σy, Σx², Σy², Σxy) in int64 via one
+    Arrow group_by (caller guarantees per-BLOCK headroom: |x|·|y| and
+    x², y² summed over one block must fit int64 — hour-of-day ×
+    price-cents style features have ~10⁸ rows/block of headroom); the
+    tiny final reduce accumulates per-block partials in PYTHON ints
+    (arbitrary precision — cross-block totals can exceed int64 safely,
+    mirroring SQL's HUGEINT) and runs the float formula once per group.
+    Degenerate groups (n < 2 or zero variance in either column) emit
+    NULL. Output: (key, n BIGINT, corr DOUBLE).
+
+    Reference analog: none (engine op beyond the reference's surface).
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column(x_col)
+        y = b.column(y_col)
+        t = pa.table({
+            "k": b.column(key_col),
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        })
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ([], "count_all")])
+        return pa.table({
+            "k": g.column("k"),
+            "sx": g.column("x_sum"), "sy": g.column("y_sum"),
+            "sxx": g.column("xx_sum"), "syy": g.column("yy_sum"),
+            "sxy": g.column("xy_sum"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        # Python-int accumulation: exact past int64 across blocks.
+        n = sum(g.column("n").to_pylist())
+        sx = sum(g.column("sx").to_pylist())
+        sy = sum(g.column("sy").to_pylist())
+        sxx = sum(g.column("sxx").to_pylist())
+        syy = sum(g.column("syy").to_pylist())
+        sxy = sum(g.column("sxy").to_pylist())
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            corr = None
+        else:
+            corr = float(n * sxy - sx * sy) / (
+                math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        return pa.table({
+            "k": [g.column("k")[0].as_py()],
+            "n": pa.array([n], pa.int64()),
+            "corr": pa.array([corr], pa.float64()),
+        }).rename_columns([key_col, "n", "corr"])
+
+    return partials.groupby("k").map_groups(final, batch_format="pyarrow")

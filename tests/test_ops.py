@@ -2171,3 +2171,38 @@ def test_bloom_semi_join_exactness(ray_session):
         left_schema=big.schema, right_schema=keep.schema)
     got = sorted(r["k"] for r in out.take_all())
     assert got == list(range(0, 100, 7))
+
+
+def test_grouped_corr_exact(ray_session):
+    """corr matches the closed-form moment formula (numpy cross-check);
+    degenerate groups (n < 2, zero variance) emit NULL; layout-invariant."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import grouped_corr
+
+    rows = {
+        "pos": ([1, 2, 3, 4], [10, 20, 30, 40]),      # corr = +1
+        "neg": ([1, 2, 3, 4], [40, 30, 20, 10]),      # corr = -1
+        "mix": ([0, 1, 2, 3, 4], [5, 1, 4, 2, 8]),    # some value
+        "one": ([7], [3]),                             # n < 2 → NULL
+        "flat": ([5, 5, 5], [1, 2, 3]),                # zero x-var → NULL
+    }
+    ks, xs, ys = [], [], []
+    for k, (x, y) in rows.items():
+        ks += [k] * len(x)
+        xs += x
+        ys += y
+    t = pa.table({
+        "k": pa.array(ks, pa.string()),
+        "x": pa.array(xs, pa.int64()),
+        "y": pa.array(ys, pa.int64()),
+    })
+    want_mix = np.corrcoef(rows["mix"][0], rows["mix"][1])[0, 1]
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = {r["k"]: r["corr"] for r in grouped_corr(
+            ds, key_col="k", x_col="x", y_col="y").take_all()}
+        assert abs(out["pos"] - 1.0) < 1e-12
+        assert abs(out["neg"] + 1.0) < 1e-12
+        assert abs(out["mix"] - want_mix) < 1e-12
+        assert out["one"] is None and out["flat"] is None, f"blocks={blocks}"
