@@ -644,22 +644,35 @@ def _pagerank_round(edges, ranks, num_partitions: int = 16,
 
 
 def bfs_hops(edges, seeds, max_hops: int = 4, num_partitions: int = 16,
-             symmetrize: bool = True):
+             symmetrize: bool = True, broadcast_limit: int = 2_000_000):
     """Minimum hop distance from a seed set — level-synchronous BFS
     (Pregel frontier rounds) over an edge Dataset[src, dst].
 
     Returns Dataset[node, hops] for every node reachable within
     ``max_hops`` (seeds included at hops=0; unreachable nodes absent).
 
-    Per round the data that moves is bounded by the frontier and its
-    one-hop neighborhood: a semi-join keeps only edge rows whose source
-    is in the frontier, a grouped distinct collapses the candidate set,
-    and an anti-join against the visited table drops already-settled
-    nodes — all reduce-side, nothing driver-side. The visited/frontier
-    tables hold ids only (O(|V|) rows, no payloads), the edge table is
-    materialized once and never mutated. BFS level order makes the
-    first time a node is reached its minimum distance, so no
-    min-combine is needed. Early-exits when a frontier empties.
+    Two per-round regimes, the ``auto_join`` pattern applied to BFS:
+
+    - **broadcast frontier** (while frontier+visited ids fit
+      ``broadcast_limit``; ids only, so 2M int64 ids ≈ 16 MB): the
+      frontier and visited sets ship once per round via ``ray.put`` and
+      every edge batch runs a vectorized ``is_in`` semi-filter + anti-
+      filter + per-batch unique — map-only over the materialized edge
+      table, ONE tiny shuffle (grouped distinct of candidate ids) per
+      round instead of three. Frontiers are tiny relative to |E| in
+      every real BFS round, so this is the common path; it also never
+      re-shuffles the edge table, which the semi-join regime must.
+    - **partitioned exchange** (past the limit): a reduce-side semi-join
+      keeps edge rows whose source is in the frontier, a grouped
+      distinct collapses candidates, and an anti-join against the
+      visited table drops settled nodes — nothing driver-side, the
+      3-shuffle fallback that works at any frontier size.
+
+    The visited/frontier tables hold ids only (O(|V|) rows, no
+    payloads), the edge table is materialized once and never mutated.
+    BFS level order makes the first time a node is reached its minimum
+    distance, so no min-combine is needed. Early-exits when a frontier
+    empties. Results are identical in both regimes (pinned in pytest).
 
     Direction-optimizing (bottom-up) switching and the co-partitioned
     edge layout of ``pagerank_copartitioned`` are the known upgrades for
@@ -668,6 +681,9 @@ def bfs_hops(edges, seeds, max_hops: int = 4, num_partitions: int = 16,
 
     Reference analog: none (engine op beyond the reference's surface).
     """
+    import numpy as np
+    import ray
+    import ray.data
     from ray.data.aggregate import Count
 
     from connect_smts_ray.ops.components import _to_arrow_schema
@@ -708,28 +724,65 @@ def bfs_hops(edges, seeds, max_hops: int = 4, num_partitions: int = 16,
             })
         return add
 
+    def _gather_ids(ds) -> np.ndarray:
+        # bounded: only called on id-only tables counted <= broadcast_limit
+        return ds.to_pandas()["node"].to_numpy()
+
     frontier = _distinct(seeds).materialize()
     visited = frontier
     levels = [frontier.map_batches(_with_hops(0), batch_format="pyarrow")]
+    frontier_ids = visited_ids = None
+    if frontier.count() <= broadcast_limit:
+        frontier_ids = _gather_ids(frontier)
+        visited_ids = frontier_ids
     for k in range(1, max_hops + 1):
-        cand = hash_join(
-            e, frontier, left_on="node", right_on="node", how="left_semi",
-            num_partitions=num_partitions,
-            left_schema=edges_schema, right_schema=node_schema,
-        ).map_batches(
-            lambda b: pa.table({"node": b.column("nbr")}),
-            batch_format="pyarrow",
-        )
-        new = hash_join(
-            _distinct(cand), visited, left_on="node", right_on="node",
-            how="left_anti", num_partitions=num_partitions,
-            left_schema=node_schema, right_schema=node_schema,
-        ).materialize()
-        if new.count() == 0:
+        if frontier_ids is not None:
+            fr_ref = ray.put(pa.array(frontier_ids, type=id_t))
+            vis_ref = ray.put(pa.array(visited_ids, type=id_t))
+
+            def expand(b: pa.Table) -> pa.Table:
+                mask = pc.is_in(b.column("node"), value_set=ray.get(fr_ref))
+                nbrs = b.column("nbr").filter(mask).combine_chunks()
+                nbrs = nbrs.filter(
+                    pc.invert(pc.is_in(nbrs, value_set=ray.get(vis_ref))))
+                return pa.table({"node": pc.unique(nbrs)})
+
+            new = _distinct(
+                e.map_batches(expand, batch_format="pyarrow")).materialize()
+        else:
+            cand = hash_join(
+                e, frontier, left_on="node", right_on="node", how="left_semi",
+                num_partitions=num_partitions,
+                left_schema=edges_schema, right_schema=node_schema,
+            ).map_batches(
+                lambda b: pa.table({"node": b.column("nbr")}),
+                batch_format="pyarrow",
+            )
+            new = hash_join(
+                _distinct(cand), visited, left_on="node", right_on="node",
+                how="left_anti", num_partitions=num_partitions,
+                left_schema=node_schema, right_schema=node_schema,
+            ).materialize()
+        n_new = new.count()
+        if n_new == 0:
             break
         levels.append(new.map_batches(_with_hops(k), batch_format="pyarrow"))
-        visited = visited.union(new).materialize()
-        frontier = new
+        if (frontier_ids is not None
+                and len(visited_ids) + n_new <= broadcast_limit):
+            new_ids = _gather_ids(new)
+            visited_ids = np.concatenate([visited_ids, new_ids])
+            frontier_ids = new_ids
+        else:
+            if frontier_ids is not None:
+                # leaving broadcast mode: rebuild the distributed visited
+                # table from the driver ids (<= limit) plus this round
+                visited = ray.data.from_arrow(pa.table(
+                    {"node": pa.array(visited_ids, type=id_t)}
+                )).union(new).materialize()
+                frontier_ids = visited_ids = None
+            else:
+                visited = visited.union(new).materialize()
+            frontier = new
     out = levels[0]
     if len(levels) > 1:
         out = out.union(*levels[1:])

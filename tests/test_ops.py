@@ -1988,6 +1988,41 @@ def test_bfs_hops_hand_graph(ray_session):
     assert 10 not in got2 and 20 not in got2
 
 
+def test_bfs_hops_regimes_identical(ray_session):
+    """Broadcast-frontier and partitioned-exchange BFS rounds return the
+    identical (node, hops) table — including the mid-run handoff when
+    the visited set outgrows the broadcast limit."""
+    import ray.data
+
+    from connect_smts_ray.ops.graph import bfs_hops
+
+    # 3-regular-ish deterministic graph: 200 nodes, i -> (i*3+1)%200,
+    # i -> (i*7+2)%200 — frontiers grow fast so a tiny limit forces the
+    # broadcast -> distributed transition inside the loop.
+    n = 200
+    src = list(range(n)) * 2
+    dst = [(i * 3 + 1) % n for i in range(n)] + \
+          [(i * 7 + 2) % n for i in range(n)]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    }))
+    seeds = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 17], pa.int64())}))
+
+    def run(limit):
+        return sorted(
+            (r["node"], r["hops"])
+            for r in bfs_hops(edges, seeds, max_hops=4,
+                              broadcast_limit=limit).take_all())
+
+    pure_broadcast = run(10**9)
+    pure_exchange = run(0)
+    handoff = run(25)  # overflows after a round or two
+    assert pure_broadcast == pure_exchange == handoff
+    assert len(pure_broadcast) > 50  # the graph actually expanded
+
+
 # ---------------------------------------------------------------------------
 # Edit-distance join
 # ---------------------------------------------------------------------------
