@@ -791,22 +791,34 @@ def bfs_hops(edges, seeds, max_hops: int = 4, num_partitions: int = 16,
 
 def sssp_bounded(edges, seeds, weight_col: str = "weight",
                  max_edges: int = 3, num_partitions: int = 16,
-                 symmetrize: bool = True):
+                 symmetrize: bool = True, broadcast_limit: int = 2_000_000):
     """Minimum path WEIGHT from a seed set over paths of at most
     ``max_edges`` edges — K synchronous Bellman-Ford relaxation rounds.
 
     Unlike ``bfs_hops`` (first touch = final distance), a weighted
     distance can improve after a node is first reached, so every round
-    re-minimizes over (previous dists ∪ newly relaxed candidates):
-    one hash join routes the current dist table to out-edges, one
-    union-groupby(min) settles the round — the same two-primitives-per-
-    round shape as ``pagerank``, with min-plus replacing sum. (Delta
-    relaxation — shipping only nodes whose dist improved last round —
-    is the known upgrade for large K; at bounded small K the full-table
-    round keeps the plan two stages deep.) All
-    reduce-side; dist tables hold (node, dist) ids only; the edge table
-    (with its weight column) is materialized once. Integer weights keep
-    min-plus exact and layout-invariant at any parallelism.
+    re-minimizes over (previous dists ∪ newly relaxed candidates).
+    Two regimes per round, like ``bfs_hops``:
+
+    - **broadcast dist table** (while it fits ``broadcast_limit`` rows;
+      (node, dist) pairs only, ~24 MB at 2M int64 pairs): the dist map
+      ships once per round via ``ray.put``; every edge batch relaxes
+      via vectorized ``index_in`` + gather + add and pre-minimizes its
+      candidates per batch — map-only over the materialized edge table,
+      ONE groupby(min) shuffle of (candidates ∪ dists) per round. The
+      edge table never re-shuffles.
+    - **partitioned exchange** (past the limit): one hash join routes
+      the current dist table to out-edges, one union-groupby(min)
+      settles the round — the same two-primitives-per-round shape as
+      ``pagerank``, with min-plus replacing sum. (Delta relaxation —
+      shipping only nodes whose dist improved last round — is the known
+      upgrade for large K; at bounded small K the full-table round
+      keeps the plan two stages deep.) All reduce-side.
+
+    Dist tables hold (node, dist) ids only; the edge table (with its
+    weight column) is materialized once. Integer weights keep min-plus
+    exact and layout-invariant at any parallelism; both regimes return
+    identical tables (pinned in pytest).
 
     The bounded-K contract (not run-to-convergence) is what makes the
     result SQL-mirrorable: the oracle enumerates paths of ≤ K edges in
@@ -817,6 +829,8 @@ def sssp_bounded(edges, seeds, weight_col: str = "weight",
     edges (seeds at dist 0). Reference analog: none (engine op beyond
     the reference's surface).
     """
+    import ray
+    import ray.data
     from ray.data.aggregate import Count, Min
 
     from connect_smts_ray.ops.components import _to_arrow_schema
@@ -869,19 +883,54 @@ def sssp_bounded(edges, seeds, weight_col: str = "weight",
         lambda b: b.select(["node"]), batch_format="pyarrow",
     ).map_batches(_seed0, batch_format="pyarrow"))
 
+    def _gather_dist(ds) -> pa.Table:
+        # bounded: only called on (node, dist) tables counted <= limit
+        df = ds.to_pandas()
+        return pa.table({"node": pa.array(df["node"], type=id_t),
+                         "dist": pa.array(df["dist"], type=pa.int64())})
+
+    dist_tab = _gather_dist(dist) if dist.count() <= broadcast_limit else None
+
     for _ in range(max_edges):
-        relaxed = hash_join(
-            e, dist, left_on="node", right_on="node", how="inner",
-            num_partitions=num_partitions,
-            left_schema=edges_schema, right_schema=dist_schema,
-        ).map_batches(
-            lambda b: pa.table({
-                "node": b.column("nbr"),
-                "dist": pc.add(
-                    pc.cast(b.column("w"), pa.int64()),
-                    b.column("dist")),
-            }),
-            batch_format="pyarrow",
-        )
-        dist = _remin(dist.union(relaxed))
+        if dist_tab is not None:
+            ref = ray.put(dist_tab)
+
+            def relax(b: pa.Table) -> pa.Table:
+                d = ray.get(ref)
+                idx = pc.index_in(b.column("node").combine_chunks(),
+                                  value_set=d.column("node").combine_chunks())
+                mask = pc.is_valid(idx)
+                cand = pa.table({
+                    "node": b.column("nbr").filter(mask),
+                    "dist": pc.add(
+                        pc.cast(b.column("w").filter(mask), pa.int64()),
+                        d.column("dist").take(idx.filter(mask))),
+                })
+                # per-batch pre-min: bounds the shuffle to distinct nbrs
+                g = cand.group_by("node").aggregate([("dist", "min")])
+                return pa.table({"node": g.column("node"),
+                                 "dist": g.column("dist_min")})
+
+            relaxed = e.map_batches(relax, batch_format="pyarrow")
+            dist = _remin(
+                ray.data.from_arrow(dist_tab).union(relaxed))
+            if dist.count() <= broadcast_limit:
+                dist_tab = _gather_dist(dist)
+            else:
+                dist_tab = None
+        else:
+            relaxed = hash_join(
+                e, dist, left_on="node", right_on="node", how="inner",
+                num_partitions=num_partitions,
+                left_schema=edges_schema, right_schema=dist_schema,
+            ).map_batches(
+                lambda b: pa.table({
+                    "node": b.column("nbr"),
+                    "dist": pc.add(
+                        pc.cast(b.column("w"), pa.int64()),
+                        b.column("dist")),
+                }),
+                batch_format="pyarrow",
+            )
+            dist = _remin(dist.union(relaxed))
     return dist

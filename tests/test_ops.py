@@ -2123,6 +2123,42 @@ def test_sssp_bounded_hand_graph(ray_session):
     assert back == {3: 0, 2: 2, 1: 3, 0: 4}
 
 
+def test_sssp_bounded_regimes_identical(ray_session):
+    """Broadcast-dist and partitioned-exchange Bellman-Ford rounds
+    return the identical (node, dist) table — including the mid-run
+    handoff when the dist table outgrows the broadcast limit."""
+    import ray.data
+
+    from connect_smts_ray.ops.graph import sssp_bounded
+
+    # expander with deterministic non-uniform weights so cheap long
+    # paths beat expensive short ones in several places
+    n = 120
+    src = list(range(n)) * 2
+    dst = [(i * 5 + 3) % n for i in range(n)] + \
+          [(i * 11 + 7) % n for i in range(n)]
+    w = [(i % 7) + 1 for i in range(n)] + [(i % 3) + 2 for i in range(n)]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "weight": pa.array(w, pa.int64()),
+    }))
+    seeds = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 42], pa.int64())}))
+
+    def run(limit):
+        return sorted(
+            (r["node"], r["dist"])
+            for r in sssp_bounded(edges, seeds, max_edges=3,
+                                  broadcast_limit=limit).take_all())
+
+    pure_broadcast = run(10**9)
+    pure_exchange = run(0)
+    handoff = run(20)  # overflows after a round
+    assert pure_broadcast == pure_exchange == handoff
+    assert len(pure_broadcast) > 40
+
+
 def test_interval_coverage_islands(ray_session):
     """Overlap-or-touch merges; a gap > duration starts a new island;
     many keys sharing ONE bucket stay segmented (num_partitions=1 forces
