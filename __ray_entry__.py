@@ -257,9 +257,7 @@ def q_merge_into_orders(sf_dir: str):
                        key_columns=("o_orderkey",))
 
     def to_target(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(
-            b.column("o_totalprice"), pa.scalar(100.0)),
-            round_mode="half_towards_infinity"), pa.int64())
+        cents = _fixed_point_arrow(b.column("o_totalprice"), 100)
         n = b.num_rows
         return pa.table({
             "o_orderkey": b.column("o_orderkey"),
@@ -290,9 +288,7 @@ def q_merge_into_orders(sf_dir: str):
                 (u, "u", 0, None, 100), (d, "d", 0, None, 0),
                 (i, "i", int(max_key) + 1, "N", 0)):
             kk = pc.add(t.column("o_orderkey"), pa.scalar(key_shift))
-            cc = pc.cast(pc.round(pc.multiply(
-                t.column("o_totalprice"), pa.scalar(100.0)),
-                round_mode="half_towards_infinity"), pa.int64())
+            cc = _fixed_point_arrow(t.column("o_totalprice"), 100)
             parts.append(pa.table({
                 "o_orderkey": kk,
                 "status": pa.array(["U"] * t.num_rows, pa.string())
@@ -3650,11 +3646,7 @@ def q_regex_extract(sf_dir: str):
     per event, then ONE vectorized RE2 extract_regex kernel splits it back
     into typed columns — the standard log-parsing stage."""
     def build_and_extract(b: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)),
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
+        cents = _fixed_point_arrow(b.column("value"), 100)
         line = pc.binary_join_element_wise(
             pa.array(["user="] * b.num_rows),
             pc.cast(b.column("user_id"), pa.string()),

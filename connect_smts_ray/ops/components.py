@@ -110,7 +110,14 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
                 "pass left_schema so right-only rows can be shaped")
         return left  # inner/semi: empty; left_outer/anti: empty left rows
     if right_schema is None:  # empty right: anti/outer keep left, inner/semi drop
-        if how in ("left_anti", "left_outer", "full_outer"):
+        if how == "full_outer":
+            # mirror of the empty-left case above: returning bare left
+            # would silently drop every right column from the output
+            # schema, flipping result shape on the empty-right day
+            raise ValueError(
+                "full_outer join with a schema-less empty right dataset: "
+                "pass right_schema so the output keeps the right columns")
+        if how in ("left_anti", "left_outer"):
             return left  # left_outer: right cols unknowable; caller handles
         return left.limit(0)
     left_cols = list(left_schema.names)

@@ -994,7 +994,10 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int):
             (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
                             "little") >> 1 for v in ids),
             dtype=np.int64, count=len(ids))
-        u = (h.astype(np.float64) + 1.0) / 9223372036854775808.0
+        # float64(h + 1) exactly as the oracle's BIGINT + 1 converts —
+        # float64(h) + 1.0 differs by 1 ulp whenever h (> 2^53) sits on
+        # a rounding boundary (~1/512 of ids); integer add FIRST
+        u = (h + 1).astype(np.float64) / 9223372036854775808.0
         wv = pc.cast(b.column(weight_col), pa.float64()).to_numpy(
             zero_copy_only=False)
         score = -np.log(u) / wv

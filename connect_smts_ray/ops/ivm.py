@@ -298,7 +298,11 @@ def changelog_aggregate_epochs(make_epoch_ds, epochs: int, state_dir: str,
             dn, dm = merged.get(g, (0, 0))
             merged[g] = (dn + row["sum(dn)"], dm + row["sum(dm)"])
 
-    live = sorted((g, n, m) for g, (n, m) in merged.items() if n > 0)
+    # NULL group keys sort first (None is uncomparable to str — a live
+    # NULL-group row must not crash the final sort; single-pass
+    # changelog_aggregate handles the same input through Arrow groupby)
+    live = sorted(((g, n, m) for g, (n, m) in merged.items() if n > 0),
+                  key=lambda t: (t[0] is not None, t[0] or ""))
     return pa.table({
         "group": pa.array([g for g, _, _ in live], pa.string()),
         n_name: pa.array([n for _, n, _ in live], pa.int64()),

@@ -1702,12 +1702,14 @@ def grouped_string_agg(ds, group_col: str, value_col: str, order_col: str,
     """Ordered string_agg per group: hash-bucket the groups, ONE sort per
     bucket by (group, order, tiebreak), then a single vectorized
     ``pc.binary_join`` over a ListArray built from the group boundary
-    offsets — no per-key Python anywhere. NULL values are skipped before
-    aggregation (SQL string_agg semantics). Output: (group_col, agg)."""
+    offsets — no per-key Python anywhere. NULL values are skipped inside
+    each group but the GROUP itself is kept (SQL string_agg semantics:
+    a group whose values are all NULL still appears, with agg NULL —
+    dropping the rows pre-bucket lost those groups entirely).
+    Output: (group_col, agg)."""
 
     def prep(b: pa.Table) -> pa.Table:
-        b = b.select([group_col, value_col, order_col, tiebreak_col])
-        return b.filter(pc.is_valid(b.column(value_col)))
+        return b.select([group_col, value_col, order_col, tiebreak_col])
 
     def agg_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -1720,11 +1722,23 @@ def grouped_string_agg(ds, group_col: str, value_col: str, order_col: str,
         s = g.take(order)
         keys = s.column(group_col).to_pandas()
         starts = np.flatnonzero(~keys.duplicated().to_numpy())
-        offsets = np.append(starts, len(keys)).astype(np.int32)
-        vals = pc.cast(s.column(value_col), pa.string()).combine_chunks()
+        # group boundaries come from ALL rows; the value lists skip the
+        # null entries via a cumulative-valid-count offset remap
+        valid = pc.is_valid(s.column(value_col)).to_numpy(
+            zero_copy_only=False)
+        cum = np.concatenate(([0], np.cumsum(valid)))
+        bounds = np.append(starts, len(keys))
+        offsets = cum[bounds].astype(np.int32)
+        vals = pc.cast(
+            s.column(value_col).filter(pa.array(valid)),
+            pa.string()).combine_chunks()
         lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                          vals)
         joined = pc.binary_join(lists, pa.scalar(sep))
+        # binary_join gives "" for an empty list; SQL gives NULL
+        n_valid = np.diff(offsets)
+        joined = pc.if_else(pa.array(n_valid > 0), joined,
+                            pa.nulls(len(starts), pa.string()))
         return pa.table({
             group_col: s.column(group_col).take(
                 pa.array(starts, pa.int64())),
@@ -1887,13 +1901,21 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pa.Table) -> pa.Table:
-        # Python-int accumulation: exact past int64 across blocks.
-        n = sum(g.column("n").to_pylist())
-        sx = sum(g.column("sx").to_pylist())
-        sy = sum(g.column("sy").to_pylist())
-        sxx = sum(g.column("sxx").to_pylist())
-        syy = sum(g.column("syy").to_pylist())
-        sxy = sum(g.column("sxy").to_pylist())
+        # Python-int accumulation: exact past int64 across blocks. A
+        # block whose group values are ALL null gives a null Arrow sum
+        # partial — it contributes nothing, same as SQL sum() skipping
+        # nulls (and the zero-variance guard below emits NULL corr when
+        # every block was null, matching the oracle's CASE).
+        def tot(col):
+            return sum(v for v in g.column(col).to_pylist()
+                       if v is not None)
+
+        n = tot("n")
+        sx = tot("sx")
+        sy = tot("sy")
+        sxx = tot("sxx")
+        syy = tot("syy")
+        sxy = tot("sxy")
         vx = n * sxx - sx * sx
         vy = n * syy - sy * sy
         if n < 2 or vx <= 0 or vy <= 0:

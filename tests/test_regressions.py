@@ -790,3 +790,93 @@ def test_avro_split_read_bounded_window(ray_session, tmp_path):
         .reset_index(drop=True)
     assert len(got) == n
     assert got["k"].tolist() == list(range(n))
+
+
+def test_grouped_corr_all_null_block_partial(ray_session):
+    """A block whose y values are ALL null for a group produces a null
+    Arrow sum partial — the final Python-int reduce must skip it (SQL
+    sum() semantics), not crash on int + None."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import grouped_corr
+
+    # block 1: group 'a' all-null y; block 2: real pairs for both groups
+    t1 = pa.table({"k": ["a", "a"], "x": pa.array([1, 2], pa.int64()),
+                   "y": pa.array([None, None], pa.int64())})
+    t2 = pa.table({"k": ["a", "a", "b", "b", "b"],
+                   "x": pa.array([1, 2, 1, 2, 3], pa.int64()),
+                   "y": pa.array([10, 20, 5, 9, 13], pa.int64())})
+    ds = ray.data.from_arrow([t1, t2])
+    got = {r["k"]: (r["n"], r["corr"])
+           for r in grouped_corr(ds, "k", "x", "y").take_all()}
+    # 'b' is perfectly linear; 'a' keeps its count(*) of 4 rows
+    assert got["b"][1] == pytest.approx(1.0)
+    assert got["a"][0] == 4
+
+    # group that is all-null in EVERY block: zero variance -> NULL corr
+    t3 = pa.table({"k": ["c", "c"], "x": pa.array([1, 2], pa.int64()),
+                   "y": pa.array([None, None], pa.int64())})
+    got3 = {r["k"]: r["corr"]
+            for r in grouped_corr(ray.data.from_arrow([t3]),
+                                  "k", "x", "y").take_all()}
+    assert got3["c"] is None
+
+
+def test_changelog_aggregate_epochs_null_group_live(ray_session, tmp_path):
+    """A live changelog row whose group value is NULL must not crash the
+    final sort (None is uncomparable to str); it groups under NULL like
+    the single-pass variant and SQL GROUP BY."""
+    import ray.data
+
+    from connect_smts_ray.ops.ivm import changelog_aggregate_epochs
+
+    ch = pa.table({
+        "key": pa.array([1, 2, 3], pa.int64()),
+        "grp": pa.array(["x", None, "x"], pa.string()),
+        "val": pa.array([10, 20, 30], pa.int64()),
+        "lsn": pa.array([1, 2, 3], pa.int64()),
+        "deleted": pa.array([False, False, False], pa.bool_()),
+    })
+    out = changelog_aggregate_epochs(
+        lambda e: ray.data.from_arrow(ch), epochs=1,
+        state_dir=str(tmp_path), key_cols=("key",), lsn_col="lsn",
+        delete_col="deleted", group_col="grp", measure_col="val")
+    rows = {r["group"]: (r["n_keys"], r["total"])
+            for r in out.to_pylist()}
+    assert rows[None] == (1, 20)
+    assert rows["x"] == (2, 40)
+
+
+def test_grouped_string_agg_all_null_group_kept(ray_session):
+    """SQL string_agg keeps a group whose values are all NULL (agg NULL);
+    nulls inside a mixed group are skipped without breaking the order."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import grouped_string_agg
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array(["a", None, "b", None, None, "z"], pa.string()),
+        "ts": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    out = {r["u"]: r["agg"]
+           for r in grouped_string_agg(
+               ray.data.from_arrow(t), "u", "v", "ts", "id",
+               sep=">").take_all()}
+    assert out == {1: "a>b", 2: None, 3: "z"}
+
+
+def test_hash_join_full_outer_schemaless_empty_right(ray_session):
+    """full_outer with a schema-less empty RIGHT side raises (mirror of
+    the empty-left guard) instead of silently dropping right columns."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()), "a": pa.array([2], pa.int64())}))
+    empty_right = ray.data.from_items([])
+    with pytest.raises(ValueError, match="schema-less empty right"):
+        hash_join(left, empty_right, left_on="k", right_on="k",
+                  how="full_outer")
