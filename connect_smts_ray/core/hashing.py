@@ -203,3 +203,29 @@ def sha256_hex_many(values) -> list:
 # which would break the pure-SQL oracles (md5_number_lower/_upper). The
 # hashlib loops stay: 0.8 µs/row ≈ 13 CPU-minutes per 10⁹ rows across a
 # cluster — not a bottleneck next to the parquet scan feeding it.
+
+
+def md5_rank64(values, upper: bool = False) -> np.ndarray:
+    """Per-value md5 rank in the two DuckDB-mirrorable conventions the
+    SQL-oracled sampling/sketch ops rely on — ONE definition so the
+    byte-slice / endianness / sign-guard can't drift per call site:
+
+    - ``upper=False`` (default): ``md5_number_lower // 2`` — little-endian
+      uint64 of digest bytes 8..16, ``>> 1`` into a non-negative int64
+      (uniform sampling rank; ``CAST(md5_number_lower(v) // 2 AS BIGINT)``).
+    - ``upper=True``: ``md5_number_upper`` — little-endian uint64 of
+      digest bytes 0..8, returned as uint64 (HLL register hashing).
+
+    ``values`` are stringified exactly like the SQL side's VARCHAR cast.
+    Per-row hashlib loop by design — see the vectorization NOTE above.
+    """
+    vals = list(values)
+    if upper:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8],
+                            "little") for v in vals),
+            dtype=np.uint64, count=len(vals))
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                        "little") >> 1 for v in vals),
+        dtype=np.int64, count=len(vals))

@@ -157,6 +157,12 @@ def bpe_train(ds, num_merges: int, text_col: str = "text",
     alphabet = _initial_alphabet(words)
     vocab = list(alphabet)
     char_id = {c: i for i, c in enumerate(vocab)}
+    # id <-> string stays a BIJECTION: merged symbols intern by string, so
+    # two merge paths producing the same string (e.g. 'a'+'ba' and
+    # 'ab'+'a' -> 'aba') share ONE id and their adjacency counts pool —
+    # string identity is what the sequential reference trainer uses;
+    # duplicate ids would split the counts and skew later argmaxes
+    sym_id = dict(char_id)
     table = words.map_batches(_encode_words(char_id),
                               batch_format="pyarrow").materialize()
 
@@ -179,9 +185,13 @@ def bpe_train(ds, num_merges: int, text_col: str = "text",
                 best, best_w, best_ids = key, w, (li, ri)
         if best_w < min_pair_count:
             break
-        new_id = len(vocab)
-        vocab.append(best[0] + best[1])
-        merges.append((rank, best[0], best[1], vocab[new_id], best_w))
+        merged_str = best[0] + best[1]
+        new_id = sym_id.get(merged_str)
+        if new_id is None:
+            new_id = len(vocab)
+            vocab.append(merged_str)
+            sym_id[merged_str] = new_id
+        merges.append((rank, best[0], best[1], merged_str, best_w))
         table = table.map_batches(
             _apply_merge(best_ids[0], best_ids[1], new_id),
             batch_format="pyarrow").materialize()

@@ -288,16 +288,14 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 10,
             "postings": pa.array(joined.to_numpy(), pa.string()),
         })
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            batch.column("term").to_pandas(), index=False).to_numpy()
-        part = (h % np.uint64(num_partitions)).astype(np.int32)
-        return batch.append_column(
-            pa.field("__tbucket", pa.int32()), pa.array(part, pa.int32()))
+    from connect_smts_ray.ops.relational import _add_key_bucket
 
     return (
-        partials.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__tbucket").map_groups(per_bucket, batch_format="pyarrow")
+        partials.map_batches(_add_key_bucket("term", num_partitions),
+                             batch_format="pyarrow")
+        .groupby("__bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow")
     )
 
 
@@ -369,14 +367,11 @@ def sample_k_per_group(ds, group_cols, id_col: str, k: int):
 
     Reference analog: none (engine op beyond the reference's surface).
     """
-    import hashlib
+    from connect_smts_ray.core.hashing import md5_rank64
 
     def add_rank(b: pa.Table) -> pa.Table:
         ids = pc.cast(b.column(id_col), pa.string()).to_pylist()
-        rk = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
-                            "little") >> 1 for v in ids),
-            dtype=np.int64, count=len(ids))  # >>1: keep int64-positive
+        rk = md5_rank64(ids)  # md5_number_lower // 2 — core/hashing.py
         return b.append_column(pa.field("__rk", pa.int64()), pa.array(rk))
 
     ranked = ds.map_batches(add_rank, batch_format="pyarrow")
@@ -464,17 +459,13 @@ def group_quantiles(ds, group_col: str, value_col: str, qs,
             value_col: s.column(value_col).take(tv),
         })
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            batch.column(group_col).to_pandas(), index=False).to_numpy()
-        part = (h % np.uint64(num_partitions)).astype(np.int32)
-        return batch.append_column(
-            pa.field("__qbucket", pa.int32()), pa.array(part, pa.int32()))
+    from connect_smts_ray.ops.relational import _add_key_bucket
 
     return (
-        counts.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__qbucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["__qbucket"])),
+        counts.map_batches(_add_key_bucket(group_col, num_partitions),
+                           batch_format="pyarrow")
+        .groupby("__bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["__bucket"])),
             batch_format="pyarrow")
     )
 
@@ -977,7 +968,7 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int):
 
     Reference analog: none (engine op beyond the reference's surface).
     """
-    import hashlib
+    from connect_smts_ray.core.hashing import md5_rank64
 
     from connect_smts_ray.ops.relational import topk
 
@@ -990,10 +981,7 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int):
                 pa.field("__score", pa.float64()),
                 pa.array([], pa.float64()))
         ids = pc.cast(b.column(id_col), pa.string()).to_pylist()
-        h = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
-                            "little") >> 1 for v in ids),
-            dtype=np.int64, count=len(ids))
+        h = md5_rank64(ids)  # md5_number_lower // 2 — core/hashing.py
         # float64(h + 1) exactly as the oracle's BIGINT + 1 converts —
         # float64(h) + 1.0 differs by 1 ulp whenever h (> 2^53) sits on
         # a rounding boundary (~1/512 of ids); integer add FIRST

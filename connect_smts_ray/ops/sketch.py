@@ -98,9 +98,9 @@ def hll_register_table(ds, col: str, p: int = 12):
     (driver-side, O(2^p)). The pandas-hash ``approx_distinct`` above stays
     the fast path; this one trades ~0.8 µs/row of C md5 (core/hashing.py
     note) for a DuckDB-exact oracle."""
-    import hashlib
-
     from ray.data.aggregate import Max
+
+    from connect_smts_ray.core.hashing import md5_rank64
 
     nbits = 64 - p
     m = 1 << p
@@ -112,11 +112,7 @@ def hll_register_table(ds, col: str, p: int = 12):
                 col, use_threads=False).aggregate([]).column(col)
             vals = vals.drop_null()
             if len(vals):
-                h = np.fromiter(
-                    (int.from_bytes(
-                        hashlib.md5(str(v).encode()).digest()[:8], "little")
-                     for v in vals.to_pylist()),
-                    dtype=np.uint64, count=len(vals))
+                h = md5_rank64(vals.to_pylist(), upper=True)
                 idx = (h & np.uint64(m - 1)).astype(np.int64)
                 rest = h >> np.uint64(p)
                 rank = np.full(len(h), nbits + 1, dtype=np.uint8)
@@ -150,9 +146,9 @@ def grouped_hll_register_table(ds, group_col: str, col: str, p: int = 8):
     hll_register_table, so the oracle rebuilds every group's sketch
     cell-for-cell in SQL; estimate any group with
     ``hll_estimate_from_table`` over its rows."""
-    import hashlib
-
     from ray.data.aggregate import Max
+
+    from connect_smts_ray.core.hashing import md5_rank64
 
     nbits = 64 - p
     m = 1 << p
@@ -173,10 +169,7 @@ def grouped_hll_register_table(ds, group_col: str, col: str, p: int = 8):
         if not gv.num_rows:
             return empty
         vals = gv.column(col).to_pylist()
-        h = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8],
-                            "little") for v in vals),
-            dtype=np.uint64, count=len(vals))
+        h = md5_rank64(vals, upper=True)
         reg = (h & np.uint64(m - 1)).astype(np.int64)
         rest = h >> np.uint64(p)
         rank = np.full(len(h), nbits + 1, dtype=np.int64)
