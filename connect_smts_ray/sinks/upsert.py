@@ -56,6 +56,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from connect_smts_ray.core.hashing import murmur2_positive_many
+from connect_smts_ray.core.metrics import emit_merge_lineage
 from connect_smts_ray.sinks.manifest import ManifestStore
 
 KEY_SEP = "\x1f"
@@ -361,6 +362,7 @@ def merge_partition(
         # Still ensure the deterministic compaction for this epoch exists
         # (the interrupted run may have died between commit and compact).
         _maybe_compact(store, cfg, pid, epoch)
+        emit_merge_lineage(existing_manifest, skipped=True)
         return _lineage_row(existing_manifest, skipped=True)
 
     has_telemetry = "__rows_rep" in group.column_names
@@ -409,6 +411,7 @@ def merge_partition(
         },
     )
     _maybe_compact(store, cfg, pid, epoch)
+    emit_merge_lineage(manifest, skipped=False)
     return _lineage_row(manifest, skipped=False)
 
 

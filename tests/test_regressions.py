@@ -880,3 +880,26 @@ def test_hash_join_full_outer_schemaless_empty_right(ray_session):
     with pytest.raises(ValueError, match="schema-less empty right"):
         hash_join(left, empty_right, left_on="k", right_on="k",
                   how="full_outer")
+
+
+def test_merge_lineage_metrics_emission(ray_session):
+    """The north-star contract emits per-partition lineage as Ray
+    metrics: emitting from inside a Ray session must register the
+    counter/gauge instances, and emission must be a no-op (never a
+    raise) on malformed input — a metrics failure can't fail a merge
+    whose manifest is already durable."""
+    from connect_smts_ray.core import metrics as m
+
+    manifest = {"partition_id": 3, "rows_in": 10, "rows_merged": 7,
+                "deletes_applied": 1, "bytes_written": 4096,
+                "offset_range": [0, 99]}
+    m.emit_merge_lineage(manifest, skipped=False)
+    m.emit_merge_lineage(manifest, skipped=True)
+    assert "csr_replay_rows_merged" in m._cache
+    assert "csr_replay_max_source_offset" in m._cache
+    assert "csr_replay_epochs_skipped" in m._cache
+
+    # malformed manifests are swallowed, not raised
+    m.emit_merge_lineage({}, skipped=False)
+    m.emit_merge_lineage({"partition_id": None, "rows_in": "x"},
+                         skipped=False)
