@@ -3282,6 +3282,35 @@ def q_lake_time_travel(sf_dir: str):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
+def q_lake_tag_read(sf_dir: str):
+    """Named snapshot tag on the epoch-delta lake: replay 3 epochs, tag
+    the end-of-epoch-1 cut, VACUUM with a retention that would reclaim
+    it (the tag pins the cut — sinks/manifest.py: create_tag/vacuum),
+    then read through the tag. The oracle is the same epoch-1 replay
+    cut as lake_time_travel — a tag is a named, vacuum-protected
+    as_of, so the bytes must be identical."""
+    from connect_smts_ray.pipelines.replay import ReplayConfig, replay
+    from connect_smts_ray.sinks.manifest import create_tag, vacuum
+    from connect_smts_ray.sinks.upsert import read_lake
+
+    lake = tempfile.mkdtemp(prefix="csr_lake_tag_")
+    cfg = ReplayConfig(
+        sf_dir=sf_dir, lake_dir=lake, events_per_key=6, num_partitions=8,
+        epochs=3, compact_every=2, expand_concurrency=2,
+        crypto_concurrency=2,
+    )
+    replay(cfg, fresh=True)
+    ucfg = cfg.upsert().resolve()
+    store = ucfg.store()
+    create_tag(store, "release", as_of=1)
+    vacuum(store, retain_epochs=0)  # would reclaim epoch 1 but for the tag
+    out = read_lake(ucfg, tag="release")
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.select(
+        ["repo", "path", "commit", "lang", "content", "version", "commit_lsn"]
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
 def q_trailing_hour_value(sf_dir: str):
     """Per-event trailing 1-hour same-user value sum with exact SQL
     RANGE-frame semantics (closed both ends, equal-ts peers share the
@@ -3695,11 +3724,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every one of them (and the full registry) stays covered by
     # tests/test_oracle_parity.py, which runs the identical
     # rows+schema+hash protocol over all entries at sf0.01.
-    # Nine queries added after this round's window was frozen
+    # Ten queries added after this round's window was frozen
     # (media_mp4_stats, connected_components_parts, bfs_hops_parts,
     # sssp_bounded_parts, fuzzy_match_words, interval_coverage_events,
-    # bloom_semi_join_lineitem, weighted_sample_docs, corr_value_hour)
-    # sit at the registry tail:
+    # bloom_semi_join_lineitem, weighted_sample_docs, corr_value_hour,
+    # lake_tag_read) sit at the registry tail:
     # they carry parity-suite + unit-test evidence only, never a driver
     # row — stated here so no reader over-credits them.
     return {
@@ -3840,6 +3869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": q_bloom_semi_join,
         "weighted_sample_docs": q_weighted_sample_docs,
         "corr_value_hour": q_corr_value_hour,
+        "lake_tag_read": q_lake_tag_read,
     }
 
 
@@ -4464,6 +4494,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_resume": _replay_final_state_sql(events_per_key=6, seed=42),
         # state as of the end of epoch 1 of 3 = events [0, 4) per key
         "lake_time_travel": _replay_final_state_sql(events_per_key=4, seed=42),
+        # a tag is a named, vacuum-pinned as_of: identical epoch-1 cut
+        "lake_tag_read": _replay_final_state_sql(events_per_key=4, seed=42),
         "replay_lineage": _replay_lineage_sql(
             events_per_key=6, seed=42, num_partitions=8
         ),

@@ -275,15 +275,23 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
     partition in the table meta) instead of returning a silently partial
     state.
 
+    Snapshot TAGS pin their cuts: the reclamation target is clamped to
+    the oldest tagged ``as_of``, so every tag stays exactly readable
+    until deleted (see ``create_tag`` below).
+
     Returns {pid: horizon} for the partitions vacuumed this call."""
     meta = store.read_table_meta() or {}
     horizons = dict(meta.get("vacuum_horizon", {}))
+    tag_cuts = [int(t["as_of"]) for t in meta.get("tags", {}).values()]
+    pin = min(tag_cuts) if tag_cuts else None
     changed = {}
     for pid in store.all_partitions():
         epochs = store.committed_epochs(pid)
         if not epochs:
             continue
         target = max(epochs) - retain_epochs
+        if pin is not None:
+            target = min(target, pin)
         eligible = [
             b for b in store.committed_base_epochs(pid)
             if store.base_covers_through(pid, b) <= target
@@ -315,3 +323,74 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
         meta["vacuum_horizon"] = horizons
         store.write_table_meta(meta)
     return changed
+
+
+# -- snapshot tags (named, vacuum-protected time-travel refs) ---------------
+#
+# A tag is an IMMUTABLE named cut of the delta log — Iceberg-style
+# `CREATE TAG` semantics re-expressed over this manifest protocol: zero
+# data movement (the tag references the same immutable delta/base files
+# every plan reads), O(1) metadata (one entry in _table.json), and
+# vacuum-protection (``vacuum`` clamps its reclamation target so every
+# tagged cut stays exactly reconstructible until the tag is deleted).
+# Tags are resolved to an ``as_of`` epoch at read time, so the read path
+# is the existing ``read_plan(as_of)`` — no second code path to diverge.
+# Single-writer discipline like the rest of the table meta (the driver
+# owns _table.json; partition commits never touch it).
+
+def create_tag(store: "ManifestStore", name: str,
+               as_of: int | None = None) -> dict:
+    """Tag the table state as of the end of epoch ``as_of`` (default: the
+    current head = newest committed epoch across partitions). Raises if
+    the cut is already below any partition's vacuum horizon (a tag must
+    be readable the moment it exists), or on a name collision with a
+    DIFFERENT cut (re-tagging the same cut is an idempotent no-op —
+    driver-retry safe, like the manifest commits)."""
+    if not name or "/" in name or name.startswith("_"):
+        raise ValueError(f"invalid tag name {name!r}")
+    meta = store.read_table_meta() or {}
+    if as_of is None:
+        heads = [max(store.committed_epochs(p))
+                 for p in store.all_partitions()
+                 if store.committed_epochs(p)]
+        if not heads:
+            raise ValueError("cannot tag an empty lake")
+        as_of = max(heads)
+    horizons = meta.get("vacuum_horizon") or {}
+    for pid, h in horizons.items():
+        if as_of < int(h):
+            raise ValueError(
+                f"as_of={as_of} below partition {pid}'s vacuum horizon "
+                f"{h} — that cut was reclaimed")
+    tags = dict(meta.get("tags", {}))
+    prev = tags.get(name)
+    if prev is not None and int(prev["as_of"]) != int(as_of):
+        raise ValueError(
+            f"tag {name!r} already points at as_of={prev['as_of']}")
+    tags[name] = {"as_of": int(as_of)}
+    meta["tags"] = tags
+    store.write_table_meta(meta)
+    return tags[name]
+
+
+def list_tags(store: "ManifestStore") -> dict:
+    return dict((store.read_table_meta() or {}).get("tags", {}))
+
+
+def resolve_tag(store: "ManifestStore", name: str) -> int:
+    tags = list_tags(store)
+    if name not in tags:
+        raise KeyError(f"unknown tag {name!r}")
+    return int(tags[name]["as_of"])
+
+
+def delete_tag(store: "ManifestStore", name: str) -> bool:
+    """Remove a tag (idempotent). The next ``vacuum`` may then reclaim
+    epochs the tag was pinning."""
+    meta = store.read_table_meta() or {}
+    tags = dict(meta.get("tags", {}))
+    existed = tags.pop(name, None) is not None
+    if existed:
+        meta["tags"] = tags
+        store.write_table_meta(meta)
+    return existed

@@ -652,18 +652,33 @@ def run_upsert(ds, cfg: UpsertConfig, epoch: int = 0):
     )
 
 
-def read_lake_ds(cfg: UpsertConfig, as_of: int | None = None):
+def _resolve_cut(store, as_of: int | None, tag: str | None) -> int | None:
+    """One read-time cut from (as_of | tag) — a tag is just a named,
+    vacuum-pinned as_of (sinks/manifest.py: create_tag)."""
+    if tag is None:
+        return as_of
+    if as_of is not None:
+        raise ValueError("pass either as_of or tag, not both")
+    from connect_smts_ray.sinks.manifest import resolve_tag
+
+    return resolve_tag(store, tag)
+
+
+def read_lake_ds(cfg: UpsertConfig, as_of: int | None = None,
+                 tag: str | None = None):
     """Distributed merge-on-read: one task per partition runs
     ``merge_tables`` over that partition's (base + deltas) — partitions are
     independent, so the read scales with partitions and no single node ever
     holds more than one partition's state. This is the 100-TB read path;
     ``read_lake`` below is the small-scale driver-side convenience.
     ``as_of``: time-travel to the state after epoch ``as_of`` (the delta
-    log keeps every epoch immutable, so any cut reconstructs exactly)."""
+    log keeps every epoch immutable, so any cut reconstructs exactly).
+    ``tag``: read a named snapshot tag instead (mutually exclusive)."""
     import ray.data
 
     cfg = cfg.resolve()
     store = cfg.store()
+    as_of = _resolve_cut(store, as_of, tag)
     items = []
     for pid in store.all_partitions():
         base, deltas = store.read_plan(pid, as_of=as_of)
@@ -688,14 +703,17 @@ def read_lake_ds(cfg: UpsertConfig, as_of: int | None = None):
     )
 
 
-def read_lake(cfg: UpsertConfig, as_of: int | None = None) -> pa.Table:
+def read_lake(cfg: UpsertConfig, as_of: int | None = None,
+              tag: str | None = None) -> pa.Table:
     """Final table state = f(committed manifests): per partition, LWW
     merge-on-read of (latest base + subsequent deltas), tombstones applied.
     Small-scale driver read; at scale run the same per-partition
     ``merge_tables`` distributed — one task per partition over
-    ``store.read_plan(pid)``'s files (partitions are independent)."""
+    ``store.read_plan(pid)``'s files (partitions are independent).
+    ``tag`` reads a named snapshot tag (see sinks/manifest.create_tag)."""
     cfg = cfg.resolve()
     store = cfg.store()
+    as_of = _resolve_cut(store, as_of, tag)
     parts = []
     for pid in store.all_partitions():
         base, deltas = store.read_plan(pid, as_of=as_of)
