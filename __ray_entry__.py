@@ -315,6 +315,87 @@ def q_merge_into_orders(sf_dir: str):
     return out.sort_by("o_orderkey")
 
 
+def q_lake_branch_publish(sf_dir: str):
+    """Writable branch end-to-end (sinks/branch.py): seed orders into the
+    lake at epoch 0, fork a branch at the head, apply the merge_into
+    change matrix ON THE BRANCH as plain LWW rows (updates at lsn 1,
+    deletes as tombstones, shifted-key inserts; main stays untouched),
+    then publish (fast-forward: branch epoch 0 → main epoch 1) and read
+    MAIN. A published branch must land exactly what a direct merge would
+    have — the oracle is merge_into_orders' FULL OUTER CASE matrix."""
+    from connect_smts_ray.sinks.branch import (
+        branch_cfg,
+        create_branch,
+        publish_branch,
+    )
+    from connect_smts_ray.sinks.upsert import (
+        UpsertConfig,
+        read_lake,
+        run_upsert,
+    )
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    lake = tempfile.mkdtemp(prefix="csr_lake_br_")
+    cfg = UpsertConfig(lake_dir=lake, num_partitions=8,
+                       key_columns=("o_orderkey",))
+
+    def to_target(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "status": b.column("o_orderstatus"),
+            "cents": _fixed_point_arrow(b.column("o_totalprice"), 100),
+            "commit_lsn": pa.array([0] * n, pa.int64()),
+            "source_offset": b.column("o_orderkey"),
+            "is_tombstone": pa.array([False] * n, pa.bool_()),
+        })
+
+    run_upsert(orders.map_batches(to_target, batch_format="pyarrow"),
+               cfg, epoch=0).materialize()
+    create_branch(cfg, "fix", at=0)
+    bcfg = branch_cfg(cfg, "fix")
+
+    max_key = orders.map_batches(
+        lambda b: pa.table({"m": [pc.max(b.column("o_orderkey")).as_py()
+                                  or 0]}),
+        batch_format="pyarrow").to_pandas()["m"].max()
+
+    def to_branch_rows(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        u = b.filter(pa.array((k % 7 == 0) & (k % 11 != 0)))
+        d = b.filter(pa.array(k % 11 == 0))
+        i = b.filter(pa.array(k % 13 == 0))
+        parts = []
+        for t, kind in ((u, "u"), (d, "d"), (i, "i")):
+            n = t.num_rows
+            kk = (pc.add(t.column("o_orderkey"),
+                         pa.scalar(int(max_key) + 1))
+                  if kind == "i" else t.column("o_orderkey"))
+            cc = _fixed_point_arrow(t.column("o_totalprice"), 100)
+            parts.append(pa.table({
+                "o_orderkey": kk,
+                "status": pa.array(
+                    ["U"] * n if kind == "u"
+                    else ["N"] * n if kind == "i"
+                    else t.column("o_orderstatus").to_pylist(),
+                    pa.string()),
+                "cents": pc.add(cc, pa.scalar(100))
+                if kind == "u" else cc,
+                "commit_lsn": pa.array([1] * n, pa.int64()),
+                "source_offset": kk,
+                "is_tombstone": pa.array([kind == "d"] * n, pa.bool_()),
+            }))
+        return pa.concat_tables(parts)
+
+    run_upsert(orders.map_batches(to_branch_rows, batch_format="pyarrow"),
+               bcfg, epoch=0).materialize()
+    publish_branch(cfg, "fix")
+    out = read_lake(cfg).select(["o_orderkey", "status", "cents"])
+    shutil.rmtree(lake, ignore_errors=True)
+    return out.sort_by("o_orderkey")
+
+
 def q_unpivot_orders(sf_dir: str):
     """UNPIVOT / melt: orders' numeric measures stacked wide → long
     entirely inside each batch (zero shuffle, `ops/relational.unpivot`);
@@ -3724,11 +3805,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every one of them (and the full registry) stays covered by
     # tests/test_oracle_parity.py, which runs the identical
     # rows+schema+hash protocol over all entries at sf0.01.
-    # Ten queries added after this round's window was frozen
+    # Eleven queries added after this round's window was frozen
     # (media_mp4_stats, connected_components_parts, bfs_hops_parts,
     # sssp_bounded_parts, fuzzy_match_words, interval_coverage_events,
     # bloom_semi_join_lineitem, weighted_sample_docs, corr_value_hour,
-    # lake_tag_read) sit at the registry tail:
+    # lake_tag_read, lake_branch_publish) sit at the registry tail:
     # they carry parity-suite + unit-test evidence only, never a driver
     # row — stated here so no reader over-credits them.
     return {
@@ -3870,6 +3951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "corr_value_hour": q_corr_value_hour,
         "lake_tag_read": q_lake_tag_read,
+        "lake_branch_publish": q_lake_branch_publish,
     }
 
 
@@ -4463,6 +4545,23 @@ def oracle_sql() -> dict[str, str]:
             FROM tgt WHERE k % 13 = 0
             ORDER BY o_orderkey
         """,
+        "lake_branch_publish": """
+            WITH tgt AS (
+              SELECT o_orderkey AS k, o_orderstatus AS status,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT k AS o_orderkey,
+                   CASE WHEN k % 7 = 0 THEN 'U' ELSE status END AS status,
+                   CASE WHEN k % 7 = 0 THEN cents + 100
+                        ELSE cents END AS cents
+            FROM tgt WHERE k % 11 <> 0
+            UNION ALL
+            SELECT k + (SELECT max(k) + 1 FROM tgt) AS o_orderkey,
+                   'N' AS status, cents
+            FROM tgt WHERE k % 13 = 0
+            ORDER BY o_orderkey
+        """,
         # Point lookup: the probed ~1/4 key subset of the same LWW state —
         # bloom pruning must be invisible to the answer.
         "lake_point_lookup": f"""
@@ -4496,6 +4595,8 @@ def oracle_sql() -> dict[str, str]:
         "lake_time_travel": _replay_final_state_sql(events_per_key=4, seed=42),
         # a tag is a named, vacuum-pinned as_of: identical epoch-1 cut
         "lake_tag_read": _replay_final_state_sql(events_per_key=4, seed=42),
+        # a published branch lands exactly what the direct merge would:
+        # shares merge_into_orders' FULL OUTER CASE oracle verbatim
         "replay_lineage": _replay_lineage_sql(
             events_per_key=6, seed=42, num_partitions=8
         ),

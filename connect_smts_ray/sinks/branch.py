@@ -1,0 +1,251 @@
+"""Writable branches over the epoch-delta lake (Nessie/Iceberg-style
+`CREATE BRANCH` re-expressed on this manifest protocol).
+
+A branch forks the table at an epoch cut and gives writers an ISOLATED
+delta log — main's readers never see branch epochs, branch readers see
+(main as of the fork) + (branch deltas), and `publish_branch` fast-
+forwards the branch's deltas into main as ordinary committed epochs.
+Everything reuses the existing exactly-once machinery:
+
+- **Fork is metadata.** A branch is one `_table.json` entry
+  (`{"fork": epoch}`) plus a manifest/data namespace under
+  `lake/_branches/{name}/` — no data is copied at creation, and the
+  fork cut is vacuum-pinned exactly like a snapshot tag so the branch's
+  view of main stays byte-reconstructible for the branch's lifetime.
+- **Branch writes are plain upserts.** `branch_cfg()` returns an
+  `UpsertConfig` rooted at the branch namespace with main's RESOLVED
+  partition count copied in (recorded in the branch's own `_table.json`
+  so `resolve()` agrees forever after); `run_upsert(ds, bcfg, epoch=k)`
+  then commits per-partition manifests with the same atomic
+  write-then-rename, idempotent-replay gate, and lineage as main.
+- **Branch reads are one merge.** Per partition the read plan is main's
+  `read_plan(as_of=fork)` files followed by the branch's own plan;
+  `merge_tables` LWW-resolves them — branch events carry later
+  `(commit_lsn, source_offset)` than anything at the fork, so updates
+  and tombstones written on the branch win exactly as they would have
+  on main.
+- **Publish is a fast-forward.** Branch epoch k maps to main epoch
+  `fork + 1 + rank(k)` (one global mapping over the union of branch
+  epochs, so cross-partition epoch alignment — and therefore main's
+  time travel — stays coherent). Each mapped commit goes through
+  `ManifestStore.commit`, which is idempotent, so a publish that
+  crashes midway re-runs to completion without double-applying.
+  Publishing requires main's head to still be at the fork
+  (`require_fast_forward` — a diverged main raises instead of silently
+  interleaving logs); the branch entry is removed only after every
+  partition's every epoch is committed.
+
+Published epochs enter main as raw deltas (no compaction is triggered —
+compaction belongs to `merge_partition`'s deterministic schedule and
+will fold them into the next due base); merge-on-read semantics make
+that purely a read-amplification question, never a correctness one.
+
+Reference analog: none (engine capability beyond the reference's
+surface; the reference delegates environments/promotion to Kafka
+Connect deployments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import pyarrow.parquet as pq
+
+from connect_smts_ray.sinks.manifest import ManifestStore
+from connect_smts_ray.sinks.upsert import UpsertConfig
+
+
+def _branch_dir(lake_dir: str, name: str) -> str:
+    return os.path.join(lake_dir, "_branches", name)
+
+
+def create_branch(cfg: UpsertConfig, name: str,
+                  at: int | None = None) -> dict:
+    """Fork the table at epoch ``at`` (default: current head). Same
+    naming/horizon/idempotence rules as ``create_tag``: re-creating the
+    identical fork is a no-op, a different fork for an existing name
+    raises, and forking below the vacuum horizon raises."""
+    if not name or "/" in name or name.startswith("_"):
+        raise ValueError(f"invalid branch name {name!r}")
+    cfg = cfg.resolve()
+    store = cfg.store()
+    meta = store.read_table_meta() or {}
+    if at is None:
+        heads = [max(store.committed_epochs(p))
+                 for p in store.all_partitions()
+                 if store.committed_epochs(p)]
+        if not heads:
+            raise ValueError("cannot branch an empty lake")
+        at = max(heads)
+    for pid, h in (meta.get("vacuum_horizon") or {}).items():
+        if at < int(h):
+            raise ValueError(
+                f"fork at={at} below partition {pid}'s vacuum horizon {h}")
+    branches = dict(meta.get("branches", {}))
+    prev = branches.get(name)
+    if prev is not None and int(prev["fork"]) != int(at):
+        raise ValueError(
+            f"branch {name!r} already forked at {prev['fork']}")
+    branches[name] = {"fork": int(at)}
+    meta["branches"] = branches
+    store.write_table_meta(meta)
+    # the branch namespace records the parent's RESOLVED partition count
+    # so branch-side resolve() routes identically even if constructed
+    # from a stale config later
+    bstore = ManifestStore(_branch_dir(cfg.lake_dir, name))
+    bmeta = bstore.read_table_meta() or {}
+    bmeta.setdefault("num_partitions", cfg.num_partitions)
+    bmeta.setdefault("fork", int(at))
+    bstore.write_table_meta(bmeta)
+    return branches[name]
+
+
+def list_branches(cfg: UpsertConfig) -> dict:
+    return dict(
+        (cfg.store().read_table_meta() or {}).get("branches", {}))
+
+
+def _fork_of(cfg: UpsertConfig, name: str) -> int:
+    branches = list_branches(cfg)
+    if name not in branches:
+        raise KeyError(f"unknown branch {name!r}")
+    return int(branches[name]["fork"])
+
+
+def branch_cfg(cfg: UpsertConfig, name: str) -> UpsertConfig:
+    """The UpsertConfig branch writers pass to ``run_upsert``: same key /
+    order / tombstone semantics, manifest+data namespace under the
+    branch dir, partition count pinned to main's resolved value."""
+    cfg = cfg.resolve()
+    _fork_of(cfg, name)  # existence check
+    return dataclasses.replace(
+        cfg, lake_dir=_branch_dir(cfg.lake_dir, name))
+
+
+def read_branch(cfg: UpsertConfig, name: str):
+    """Branch state = LWW merge of (main as of the fork) + (branch
+    deltas): per partition, main's plan files at ``as_of=fork`` followed
+    by the branch's plan files through one ``merge_tables`` — branch
+    rows win per key by their later (commit_lsn, source_offset), the
+    same order rule every other read uses. Driver-side convenience
+    (mirrors ``read_lake``); the distributed variant is the same
+    per-partition file-list shape as ``read_lake_ds``."""
+    import pyarrow as pa
+
+    from connect_smts_ray.sinks.upsert import _align_schemas, merge_tables
+
+    cfg = cfg.resolve()
+    fork = _fork_of(cfg, name)
+    store = cfg.store()
+    bstore = ManifestStore(_branch_dir(cfg.lake_dir, name))
+    parts = []
+    pids = sorted(set(store.all_partitions()) | set(bstore.all_partitions()))
+    for pid in pids:
+        files = []
+        base, deltas = store.read_plan(pid, as_of=fork)
+        if base is not None:
+            files.append(store.base_path(pid, base))
+        files.extend(store.state_path(pid, e) for e in deltas)
+        bbase, bdeltas = bstore.read_plan(pid)
+        if bbase is not None:
+            files.append(bstore.base_path(pid, bbase))
+        files.extend(bstore.state_path(pid, e) for e in bdeltas)
+        if files:
+            parts.append(merge_tables(
+                [pq.read_table(f) for f in files], cfg))
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(_align_schemas(parts))
+
+
+def publish_branch(cfg: UpsertConfig, name: str,
+                   require_fast_forward: bool = True) -> dict:
+    """Fast-forward the branch's deltas into main and delete the branch.
+
+    Branch epoch k (within the sorted union of the branch's committed
+    epochs) becomes main epoch ``fork + 1 + rank(k)`` — a deterministic
+    mapping, so a crashed publish re-runs idempotently: every
+    ``ManifestStore.commit`` below is a no-op where the manifest already
+    exists. With ``require_fast_forward`` (default) main must not have
+    committed any epoch past the fork; set it False only when the caller
+    KNOWS interleaving is safe (LWW stays deterministic either way, but
+    main's epoch history would no longer read as a linear log).
+
+    Returns {"published_epochs": N, "base_epoch": fork}."""
+    cfg = cfg.resolve()
+    fork = _fork_of(cfg, name)
+    store = cfg.store()
+    bstore = ManifestStore(_branch_dir(cfg.lake_dir, name))
+    bmeta = bstore.read_table_meta() or {}
+    if int(bmeta.get("num_partitions", cfg.num_partitions)) != cfg.num_partitions:
+        raise ValueError(
+            "main's partition count changed since the fork — "
+            "republish requires matching routing")
+    if require_fast_forward:
+        for pid in store.all_partitions():
+            for e in store.committed_epochs(pid):
+                if e <= fork:
+                    continue
+                # an epoch past the fork is divergence UNLESS it is this
+                # branch's own partial publish (crashed first attempt —
+                # the retry must resume through it, not refuse)
+                man = store.read_manifest(pid, e) or {}
+                if man.get("published_from") != name:
+                    raise ValueError(
+                        f"main advanced past the fork (partition {pid} "
+                        f"committed epoch {e}) — not a fast-forward")
+    branch_epochs = sorted({
+        e for pid in bstore.all_partitions()
+        for e in bstore.committed_epochs(pid)
+    })
+    rank = {e: i for i, e in enumerate(branch_epochs)}
+    published = 0
+    for pid in bstore.all_partitions():
+        for e in bstore.committed_epochs(pid):
+            target = fork + 1 + rank[e]
+            if store.is_committed(pid, target):
+                continue  # crashed-publish retry: already landed
+            src = bstore.state_path(pid, e)
+            bman = bstore.read_manifest(pid, e) or {}
+            table = pq.read_table(src)
+            store.commit(
+                pid, target,
+                lambda tmp, _t=table: pq.write_table(
+                    _t, tmp, compression="snappy"),
+                lineage={
+                    "rows_in": bman.get("rows_in", table.num_rows),
+                    "rows_merged": bman.get("rows_merged", table.num_rows),
+                    "deletes_applied": bman.get("deletes_applied", 0),
+                    "offset_range": bman.get("offset_range"),
+                    "num_partitions": cfg.num_partitions,
+                    "key_columns": list(cfg.key_columns),
+                    "published_from": name,
+                    "branch_epoch": e,
+                },
+            )
+            published += 1
+    # branch entry removed ONLY after every commit is durable — a crash
+    # before this point re-runs publish; after it, the branch is gone
+    # and its fork pin is released
+    meta = store.read_table_meta() or {}
+    branches = dict(meta.get("branches", {}))
+    if branches.pop(name, None) is not None:
+        meta["branches"] = branches
+        store.write_table_meta(meta)
+    return {"published_epochs": len(branch_epochs), "base_epoch": fork,
+            "commits": published}
+
+
+def delete_branch(cfg: UpsertConfig, name: str) -> bool:
+    """Drop a branch WITHOUT publishing (abandon its deltas). The
+    namespace directory is left for a separate cleanup pass (same
+    philosophy as vacuum: metadata first, file GC explicit)."""
+    store = cfg.resolve().store()
+    meta = store.read_table_meta() or {}
+    branches = dict(meta.get("branches", {}))
+    existed = branches.pop(name, None) is not None
+    if existed:
+        meta["branches"] = branches
+        store.write_table_meta(meta)
+    return existed

@@ -275,15 +275,18 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
     partition in the table meta) instead of returning a silently partial
     state.
 
-    Snapshot TAGS pin their cuts: the reclamation target is clamped to
-    the oldest tagged ``as_of``, so every tag stays exactly readable
-    until deleted (see ``create_tag`` below).
+    Snapshot TAGS and BRANCH FORKS pin their cuts: the reclamation
+    target is clamped to the oldest tagged ``as_of`` / branch fork, so
+    every tag stays exactly readable until deleted and every open
+    branch's view of main survives until published or dropped (see
+    ``create_tag`` below and ``sinks/branch.py``).
 
     Returns {pid: horizon} for the partitions vacuumed this call."""
     meta = store.read_table_meta() or {}
     horizons = dict(meta.get("vacuum_horizon", {}))
-    tag_cuts = [int(t["as_of"]) for t in meta.get("tags", {}).values()]
-    pin = min(tag_cuts) if tag_cuts else None
+    cuts = [int(t["as_of"]) for t in meta.get("tags", {}).values()]
+    cuts += [int(b["fork"]) for b in meta.get("branches", {}).values()]
+    pin = min(cuts) if cuts else None
     changed = {}
     for pid in store.all_partitions():
         epochs = store.committed_epochs(pid)
