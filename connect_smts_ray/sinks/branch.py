@@ -123,23 +123,13 @@ def branch_cfg(cfg: UpsertConfig, name: str) -> UpsertConfig:
         cfg, lake_dir=_branch_dir(cfg.lake_dir, name))
 
 
-def read_branch(cfg: UpsertConfig, name: str):
-    """Branch state = LWW merge of (main as of the fork) + (branch
-    deltas): per partition, main's plan files at ``as_of=fork`` followed
-    by the branch's plan files through one ``merge_tables`` — branch
-    rows win per key by their later (commit_lsn, source_offset), the
-    same order rule every other read uses. Driver-side convenience
-    (mirrors ``read_lake``); the distributed variant is the same
-    per-partition file-list shape as ``read_lake_ds``."""
-    import pyarrow as pa
-
-    from connect_smts_ray.sinks.upsert import _align_schemas, merge_tables
-
-    cfg = cfg.resolve()
+def _branch_read_plans(cfg: UpsertConfig, name: str) -> list:
+    """Per-partition ordered file lists whose merge IS the branch state:
+    main's plan at ``as_of=fork`` followed by the branch's own plan."""
     fork = _fork_of(cfg, name)
     store = cfg.store()
     bstore = ManifestStore(_branch_dir(cfg.lake_dir, name))
-    parts = []
+    plans = []
     pids = sorted(set(store.all_partitions()) | set(bstore.all_partitions()))
     for pid in pids:
         files = []
@@ -152,11 +142,57 @@ def read_branch(cfg: UpsertConfig, name: str):
             files.append(bstore.base_path(pid, bbase))
         files.extend(bstore.state_path(pid, e) for e in bdeltas)
         if files:
-            parts.append(merge_tables(
-                [pq.read_table(f) for f in files], cfg))
+            plans.append({"pid": pid, "files": files})
+    return plans
+
+
+def read_branch(cfg: UpsertConfig, name: str):
+    """Branch state = LWW merge of (main as of the fork) + (branch
+    deltas): per partition, one ``merge_tables`` over the plan — branch
+    rows win per key by their later (commit_lsn, source_offset), the
+    same order rule every other read uses. Driver-side convenience
+    (mirrors ``read_lake``); ``read_branch_ds`` is the distributed
+    per-partition-task path."""
+    import pyarrow as pa
+
+    from connect_smts_ray.sinks.upsert import _align_schemas, merge_tables
+
+    cfg = cfg.resolve()
+    parts = [
+        merge_tables([pq.read_table(f) for f in plan["files"]], cfg)
+        for plan in _branch_read_plans(cfg, name)
+    ]
     if not parts:
         return pa.table({})
     return pa.concat_tables(_align_schemas(parts))
+
+
+def read_branch_ds(cfg: UpsertConfig, name: str):
+    """Distributed branch read: one merge task per partition over the
+    same plan ``read_branch`` uses — identical shape (and scaling story)
+    to ``upsert.read_lake_ds``; partitions are independent, so read
+    parallelism is the partition count and no node holds more than one
+    partition's state."""
+    import pyarrow as pa
+    import ray.data
+
+    from connect_smts_ray.sinks.upsert import _align_schemas, merge_tables
+
+    cfg = cfg.resolve()
+    plans = _branch_read_plans(cfg, name)
+    if not plans:
+        return ray.data.from_items([])
+
+    def merge_batch(b: pa.Table) -> pa.Table:
+        outs = []
+        for row in b.to_pylist():
+            tables = [pq.read_table(f) for f in row["files"]]
+            outs.append(merge_tables(tables, cfg))
+        return pa.concat_tables(_align_schemas(outs))
+
+    # batch_size=1 → exactly one merge task per partition
+    return ray.data.from_items(plans).map_batches(
+        merge_batch, batch_size=1, batch_format="pyarrow")
 
 
 def publish_branch(cfg: UpsertConfig, name: str,
@@ -239,7 +275,7 @@ def publish_branch(cfg: UpsertConfig, name: str,
 
 def delete_branch(cfg: UpsertConfig, name: str) -> bool:
     """Drop a branch WITHOUT publishing (abandon its deltas). The
-    namespace directory is left for a separate cleanup pass (same
+    namespace directory is left for ``gc_branch_namespaces`` (same
     philosophy as vacuum: metadata first, file GC explicit)."""
     store = cfg.resolve().store()
     meta = store.read_table_meta() or {}
@@ -249,3 +285,24 @@ def delete_branch(cfg: UpsertConfig, name: str) -> bool:
         meta["branches"] = branches
         store.write_table_meta(meta)
     return existed
+
+
+def gc_branch_namespaces(cfg: UpsertConfig) -> list:
+    """Reclaim the namespace directories of branches no longer in the
+    table meta (published or deleted). Safe by construction: the meta
+    entry is removed ONLY after a publish has durably committed every
+    epoch into main (or on explicit delete), so nothing references these
+    files. Returns the names removed."""
+    import shutil
+
+    cfg = cfg.resolve()
+    root = os.path.join(cfg.lake_dir, "_branches")
+    if not os.path.isdir(root):
+        return []
+    live = set(list_branches(cfg))
+    removed = []
+    for name in sorted(os.listdir(root)):
+        if name not in live:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            removed.append(name)
+    return removed

@@ -166,3 +166,46 @@ def test_publish_crash_retry_idempotent(ray_session, tmp_path):
     # no duplicate epochs: each partition has at most epochs {0, 1}
     for p in store.all_partitions():
         assert set(store.committed_epochs(p)) <= {0, 1}
+
+
+def test_read_branch_ds_and_namespace_gc(ray_session, tmp_path):
+    """Distributed branch read equals the driver-side read row-for-row;
+    gc_branch_namespaces reclaims only dead namespaces."""
+    import os
+
+    import ray.data
+
+    from connect_smts_ray.sinks.branch import (
+        branch_cfg,
+        create_branch,
+        delete_branch,
+        gc_branch_namespaces,
+        read_branch,
+        read_branch_ds,
+    )
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4)
+    run_upsert(ray.data.from_arrow(_rows([
+        ("r1", "a", "v0"), ("r2", "b", "v0"), ("r3", "c", "v0"),
+    ])), cfg, epoch=0).materialize()
+    create_branch(cfg, "live", at=0)
+    create_branch(cfg, "dead", at=0)
+    run_upsert(ray.data.from_arrow(_rows([
+        ("r1", "a", "v1"), ("r4", "d", "new"),
+    ], lsn0=10)), branch_cfg(cfg, "live"), epoch=0).materialize()
+    run_upsert(ray.data.from_arrow(_rows([
+        ("r2", "b", None),
+    ], lsn0=20)), branch_cfg(cfg, "dead"), epoch=0).materialize()
+
+    driver = _state(read_branch(cfg, "live"))
+    dist_tab = pa.concat_tables(
+        [pa.Table.from_pylist(read_branch_ds(cfg, "live").take_all())])
+    assert _state(dist_tab) == driver
+
+    delete_branch(cfg, "dead")
+    removed = gc_branch_namespaces(cfg)
+    assert removed == ["dead"]
+    assert not os.path.isdir(os.path.join(cfg.lake_dir, "_branches", "dead"))
+    # live branch untouched and still readable
+    assert _state(read_branch(cfg, "live")) == driver
