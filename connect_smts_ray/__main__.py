@@ -65,9 +65,6 @@ def cmd_replay(args) -> dict:
 
 
 def cmd_read(args) -> dict:
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     cfg = _upsert_cfg(args)
     if args.branch:
         from connect_smts_ray.sinks.branch import read_branch_ds
@@ -77,10 +74,13 @@ def cmd_read(args) -> dict:
         from connect_smts_ray.sinks.upsert import read_lake_ds
 
         ds = read_lake_ds(cfg, as_of=args.as_of, tag=args.tag)
-    tables = [pa.Table.from_pylist(ds.take_all())]
-    out = pa.concat_tables(tables)
-    pq.write_table(out, args.out)
-    return {"rows": out.num_rows, "out": args.out}
+    # streaming distributed write (one file per merge task / partition) —
+    # the state never materializes on the driver or in the object store
+    ds.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()  # metadata-only footer scan
+    return {"rows": n, "out": args.out}
 
 
 def cmd_tag(args) -> dict:
