@@ -6442,6 +6442,7 @@ def oracle_sql() -> dict[str, str]:
                            CAST(round(value * 100) AS BIGINT) AS y
                     FROM events
                 )
+                WHERE x IS NOT NULL AND y IS NOT NULL
                 GROUP BY event_type
             )
             SELECT event_type,

@@ -161,6 +161,15 @@ def main(argv=None) -> int:
     v.set_defaults(fn=cmd_vacuum)
 
     args = p.parse_args(argv)
+    # cross-field validation BEFORE Ray spins up: fail fast with an
+    # argparse error, not a traceback mid-job
+    if args.cmd in ("tag", "branch") and args.action != "list" \
+            and not args.name:
+        p.error(f"{args.cmd} {args.action} requires --name")
+    if args.cmd == "read" and args.branch and (
+            args.as_of is not None or args.tag):
+        p.error("--branch cannot combine with --as-of/--tag "
+                "(a branch read is always the branch head)")
     _ray_init()
     try:
         out = args.fn(args)

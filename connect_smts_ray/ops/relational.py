@@ -1870,14 +1870,23 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
     tiny final reduce accumulates per-block partials in PYTHON ints
     (arbitrary precision — cross-block totals can exceed int64 safely,
     mirroring SQL's HUGEINT) and runs the float formula once per group.
-    Degenerate groups (n < 2 or zero variance in either column) emit
-    NULL. Output: (key, n BIGINT, corr DOUBLE).
+    Population = COMPLETE PAIRS (both x and y non-null — SQL corr()'s
+    population; groups with zero complete pairs are absent). Degenerate
+    groups (n < 2 or zero variance in either column) emit NULL.
+    Output: (key, n BIGINT, corr DOUBLE).
 
     Reference analog: none (engine op beyond the reference's surface).
     """
     import math
 
     def partial(b: pa.Table) -> pa.Table:
+        # COMPLETE PAIRS ONLY (SQL corr() population): a row where either
+        # x or y is NULL contributes to nothing — mixing it into some
+        # sums but not others (count_all vs null-skipping sum) would
+        # blend inconsistent populations and silently skew (even flip)
+        # the correlation
+        b = b.filter(pc.and_(pc.is_valid(b.column(x_col)),
+                             pc.is_valid(b.column(y_col))))
         x = b.column(x_col)
         y = b.column(y_col)
         t = pa.table({

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 
 import pyarrow.parquet as pq
 
@@ -60,40 +61,58 @@ def _branch_dir(lake_dir: str, name: str) -> str:
     return os.path.join(lake_dir, "_branches", name)
 
 
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _check_name(name: str) -> None:
+    """Branch names become DIRECTORY names under lake/_branches — '.',
+    '..' or any path separator would alias the namespace into the lake
+    itself (and gc would then rmtree the lake), so validation is a
+    strict allowlist, not a denylist."""
+    if (not name or name in (".", "..") or not _NAME_RE.match(name)
+            or os.sep in name or (os.altsep and os.altsep in name)):
+        raise ValueError(f"invalid branch name {name!r}")
+
+
 def create_branch(cfg: UpsertConfig, name: str,
                   at: int | None = None) -> dict:
     """Fork the table at epoch ``at`` (default: current head). Same
     naming/horizon/idempotence rules as ``create_tag``: re-creating the
     identical fork is a no-op, a different fork for an existing name
-    raises, and forking below the vacuum horizon raises."""
-    if not name or "/" in name or name.startswith("_"):
-        raise ValueError(f"invalid branch name {name!r}")
+    raises, and forking below the vacuum horizon raises. A stale
+    namespace left by an earlier delete/publish of the same name is
+    PURGED first — otherwise the abandoned epochs' manifests would make
+    the new branch's own epoch-0 commit an idempotent no-op and
+    resurrect the abandoned rows."""
+    _check_name(name)
     cfg = cfg.resolve()
     store = cfg.store()
     meta = store.read_table_meta() or {}
     if at is None:
-        heads = [max(store.committed_epochs(p))
-                 for p in store.all_partitions()
-                 if store.committed_epochs(p)]
-        if not heads:
-            raise ValueError("cannot branch an empty lake")
-        at = max(heads)
-    for pid, h in (meta.get("vacuum_horizon") or {}).items():
-        if at < int(h):
-            raise ValueError(
-                f"fork at={at} below partition {pid}'s vacuum horizon {h}")
+        from connect_smts_ray.sinks.manifest import head_epoch
+
+        at = head_epoch(store)
+    from connect_smts_ray.sinks.manifest import check_cut_above_horizon
+
+    check_cut_above_horizon(meta, at, "fork")
     branches = dict(meta.get("branches", {}))
     prev = branches.get(name)
     if prev is not None and int(prev["fork"]) != int(at):
         raise ValueError(
             f"branch {name!r} already forked at {prev['fork']}")
+    bdir = _branch_dir(cfg.lake_dir, name)
+    if prev is None and os.path.isdir(bdir):
+        # dead namespace from a deleted/published predecessor
+        import shutil
+
+        shutil.rmtree(bdir, ignore_errors=True)
     branches[name] = {"fork": int(at)}
     meta["branches"] = branches
     store.write_table_meta(meta)
     # the branch namespace records the parent's RESOLVED partition count
     # so branch-side resolve() routes identically even if constructed
     # from a stale config later
-    bstore = ManifestStore(_branch_dir(cfg.lake_dir, name))
+    bstore = ManifestStore(bdir)
     bmeta = bstore.read_table_meta() or {}
     bmeta.setdefault("num_partitions", cfg.num_partitions)
     bmeta.setdefault("fork", int(at))
@@ -116,16 +135,31 @@ def _fork_of(cfg: UpsertConfig, name: str) -> int:
 def branch_cfg(cfg: UpsertConfig, name: str) -> UpsertConfig:
     """The UpsertConfig branch writers pass to ``run_upsert``: same key /
     order / tombstone semantics, manifest+data namespace under the
-    branch dir, partition count pinned to main's resolved value."""
+    branch dir, partition count pinned to main's resolved value.
+
+    ``compact_every`` is pinned to 0 (pure delta log): a branch-side
+    base would be compacted WITHOUT main's pre-fork files, so its
+    drop-tombstones pass would erase deletions the branch made against
+    pre-fork keys — read_branch would resurrect them and publish (which
+    copies deltas, tombstones intact) would disagree with the branch
+    preview. Branch logs are short-lived; compaction happens on main
+    after publish."""
     cfg = cfg.resolve()
     _fork_of(cfg, name)  # existence check
     return dataclasses.replace(
-        cfg, lake_dir=_branch_dir(cfg.lake_dir, name))
+        cfg, lake_dir=_branch_dir(cfg.lake_dir, name), compact_every=0)
 
 
 def _branch_read_plans(cfg: UpsertConfig, name: str) -> list:
     """Per-partition ordered file lists whose merge IS the branch state:
-    main's plan at ``as_of=fork`` followed by the branch's own plan."""
+    main's plan at ``as_of=fork`` followed by EVERY branch delta.
+
+    The branch side deliberately reads raw deltas, never a branch base:
+    a base compacted from branch deltas alone drops tombstones without
+    main's pre-fork files underneath, resurrecting keys the branch
+    deleted (``branch_cfg`` pins ``compact_every=0`` so no such base
+    forms; reading deltas directly also stays correct for any namespace
+    an older layout left behind — branch deltas are never vacuumed)."""
     fork = _fork_of(cfg, name)
     store = cfg.store()
     bstore = ManifestStore(_branch_dir(cfg.lake_dir, name))
@@ -137,10 +171,8 @@ def _branch_read_plans(cfg: UpsertConfig, name: str) -> list:
         if base is not None:
             files.append(store.base_path(pid, base))
         files.extend(store.state_path(pid, e) for e in deltas)
-        bbase, bdeltas = bstore.read_plan(pid)
-        if bbase is not None:
-            files.append(bstore.base_path(pid, bbase))
-        files.extend(bstore.state_path(pid, e) for e in bdeltas)
+        files.extend(bstore.state_path(pid, e)
+                     for e in bstore.committed_epochs(pid))
         if files:
             plans.append({"pid": pid, "files": files})
     return plans
@@ -205,8 +237,16 @@ def publish_branch(cfg: UpsertConfig, name: str,
     ``ManifestStore.commit`` below is a no-op where the manifest already
     exists. With ``require_fast_forward`` (default) main must not have
     committed any epoch past the fork; set it False only when the caller
-    KNOWS interleaving is safe (LWW stays deterministic either way, but
-    main's epoch history would no longer read as a linear log).
+    KNOWS interleaving is safe (LWW keeps the table state deterministic,
+    but main's epoch history would no longer read as a linear log).
+    Either way a target epoch already held by a FOREIGN manifest (one
+    this publish did not write) raises instead of skipping — a skip
+    there would silently discard the branch delta and then delete the
+    branch, losing the data permanently.
+
+    Delta bytes are file-copied, never decoded: the branch delta file is
+    immutable and already exactly the parquet the main epoch needs, so
+    publish is metadata + copy, not a table pipeline through the driver.
 
     Returns {"published_epochs": N, "base_epoch": fork}."""
     cfg = cfg.resolve()
@@ -237,21 +277,28 @@ def publish_branch(cfg: UpsertConfig, name: str,
     })
     rank = {e: i for i, e in enumerate(branch_epochs)}
     published = 0
+    import shutil
+
     for pid in bstore.all_partitions():
         for e in bstore.committed_epochs(pid):
             target = fork + 1 + rank[e]
-            if store.is_committed(pid, target):
-                continue  # crashed-publish retry: already landed
+            existing = store.read_manifest(pid, target)
+            if existing is not None:
+                if (existing.get("published_from") == name
+                        and existing.get("branch_epoch") == e):
+                    continue  # crashed-publish retry: already landed
+                raise ValueError(
+                    f"target epoch {target} of partition {pid} is held "
+                    f"by a foreign manifest — refusing to drop branch "
+                    f"epoch {e}; the branch is preserved")
             src = bstore.state_path(pid, e)
             bman = bstore.read_manifest(pid, e) or {}
-            table = pq.read_table(src)
             store.commit(
                 pid, target,
-                lambda tmp, _t=table: pq.write_table(
-                    _t, tmp, compression="snappy"),
+                lambda tmp, _s=src: shutil.copyfile(_s, tmp),
                 lineage={
-                    "rows_in": bman.get("rows_in", table.num_rows),
-                    "rows_merged": bman.get("rows_merged", table.num_rows),
+                    "rows_in": bman.get("rows_in", 0),
+                    "rows_merged": bman.get("rows_merged", 0),
                     "deletes_applied": bman.get("deletes_applied", 0),
                     "offset_range": bman.get("offset_range"),
                     "num_partitions": cfg.num_partitions,

@@ -341,6 +341,27 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
 # Single-writer discipline like the rest of the table meta (the driver
 # owns _table.json; partition commits never touch it).
 
+def head_epoch(store: "ManifestStore") -> int:
+    """Newest committed epoch across partitions — the default cut for
+    tags and branch forks. Raises on an empty lake."""
+    heads = [max(store.committed_epochs(p))
+             for p in store.all_partitions()
+             if store.committed_epochs(p)]
+    if not heads:
+        raise ValueError("cannot cut an empty lake")
+    return max(heads)
+
+
+def check_cut_above_horizon(meta: dict, cut: int, what: str) -> None:
+    """A named cut (tag / branch fork) must be readable the moment it
+    exists: reject cuts below any partition's vacuum horizon."""
+    for pid, h in (meta.get("vacuum_horizon") or {}).items():
+        if cut < int(h):
+            raise ValueError(
+                f"{what}={cut} below partition {pid}'s vacuum horizon "
+                f"{h} — those epochs were reclaimed")
+
+
 def create_tag(store: "ManifestStore", name: str,
                as_of: int | None = None) -> dict:
     """Tag the table state as of the end of epoch ``as_of`` (default: the
@@ -353,18 +374,8 @@ def create_tag(store: "ManifestStore", name: str,
         raise ValueError(f"invalid tag name {name!r}")
     meta = store.read_table_meta() or {}
     if as_of is None:
-        heads = [max(store.committed_epochs(p))
-                 for p in store.all_partitions()
-                 if store.committed_epochs(p)]
-        if not heads:
-            raise ValueError("cannot tag an empty lake")
-        as_of = max(heads)
-    horizons = meta.get("vacuum_horizon") or {}
-    for pid, h in horizons.items():
-        if as_of < int(h):
-            raise ValueError(
-                f"as_of={as_of} below partition {pid}'s vacuum horizon "
-                f"{h} — that cut was reclaimed")
+        as_of = head_epoch(store)
+    check_cut_above_horizon(meta, as_of, "as_of")
     tags = dict(meta.get("tags", {}))
     prev = tags.get(name)
     if prev is not None and int(prev["as_of"]) != int(as_of):

@@ -101,17 +101,33 @@ class UpsertConfig:
         return max(p, 1)
 
     def resolve(self) -> "UpsertConfig":
-        """Return the config with the AUTHORITATIVE partition count: after
-        a ``split_partitions`` the table's ``_table.json`` supersedes
-        whatever the caller constructed — routing with a stale P would
-        commit deltas to partitions whose readers never see them."""
+        """Return the config with the AUTHORITATIVE table settings: the
+        table's ``_table.json`` supersedes whatever the caller
+        constructed — routing with a stale partition count would commit
+        deltas to partitions readers never see, and merging with the
+        wrong key/order/tombstone columns (a reader rebuilt from
+        ``lake_dir`` alone, e.g. the CLI) would KeyError or mis-merge.
+        ``run_upsert`` records these on first write."""
         meta = self.store().read_table_meta()
-        if meta and meta.get("num_partitions", self.num_partitions) != self.num_partitions:
+        if not meta:
+            return self
+        kw = {}
+        if int(meta.get("num_partitions",
+                        self.num_partitions)) != self.num_partitions:
+            kw["num_partitions"] = int(meta["num_partitions"])
+        if ("key_columns" in meta
+                and tuple(meta["key_columns"]) != tuple(self.key_columns)):
+            kw["key_columns"] = tuple(meta["key_columns"])
+        if ("order_columns" in meta
+                and tuple(meta["order_columns"]) != tuple(self.order_columns)):
+            kw["order_columns"] = tuple(meta["order_columns"])
+        if ("tombstone_column" in meta
+                and meta["tombstone_column"] != self.tombstone_column):
+            kw["tombstone_column"] = meta["tombstone_column"]
+        if kw:
             import dataclasses
 
-            return dataclasses.replace(
-                self, num_partitions=int(meta["num_partitions"])
-            )
+            return dataclasses.replace(self, **kw)
         return self
 
 
@@ -643,6 +659,19 @@ def split_partitions(cfg: UpsertConfig, factor: int = 2) -> UpsertConfig:
 def run_upsert(ds, cfg: UpsertConfig, epoch: int = 0):
     """events Dataset → lineage Dataset (consuming it executes the sink)."""
     cfg = cfg.resolve()
+    # record the table's key/order/tombstone schema on first write so a
+    # reader rebuilt from lake_dir alone (the CLI, another job) resolves
+    # the SAME merge semantics — resolve() treats _table.json as
+    # authoritative, like it already does for num_partitions
+    store = cfg.store()
+    meta = store.read_table_meta() or {}
+    if "key_columns" not in meta:
+        meta.update({
+            "key_columns": list(cfg.key_columns),
+            "order_columns": list(cfg.order_columns),
+            "tombstone_column": cfg.tombstone_column,
+        })
+        store.write_table_meta(meta)
     ds = ds.map_batches(
         lambda b: add_partition_id(b, cfg), batch_format="pyarrow"
     )

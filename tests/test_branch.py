@@ -209,3 +209,154 @@ def test_read_branch_ds_and_namespace_gc(ray_session, tmp_path):
     assert not os.path.isdir(os.path.join(cfg.lake_dir, "_branches", "dead"))
     # live branch untouched and still readable
     assert _state(read_branch(cfg, "live")) == driver
+
+
+def test_branch_tombstone_survives_compaction_config(ray_session, tmp_path):
+    """Review repro: with main's compact_every inherited, a branch-side
+    base dropped tombstones without main's pre-fork files underneath and
+    resurrected deleted keys. branch_cfg pins compact_every=0 and the
+    branch read plan uses raw deltas only — the deletion must hold in
+    the branch view AND after publish."""
+    import ray.data
+
+    from connect_smts_ray.sinks.branch import (
+        branch_cfg,
+        create_branch,
+        publish_branch,
+        read_branch,
+    )
+    from connect_smts_ray.sinks.upsert import (
+        UpsertConfig,
+        read_lake,
+        run_upsert,
+    )
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=1,
+                       compact_every=2)
+    run_upsert(ray.data.from_arrow(_rows([("r1", "a", "v0")])),
+               cfg, epoch=0).materialize()
+    create_branch(cfg, "del", at=0)
+    bcfg = branch_cfg(cfg, "del")
+    assert bcfg.compact_every == 0
+    run_upsert(ray.data.from_arrow(_rows([("r1", "a", None)], lsn0=10)),
+               bcfg, epoch=0).materialize()
+    # epoch 1 would have triggered (e+1) % 2 == 0 compaction pre-fix
+    run_upsert(ray.data.from_arrow(_rows([("r2", "b", "new")], lsn0=20)),
+               bcfg, epoch=1).materialize()
+    assert _state(read_branch(cfg, "del")) == {("r2", "b"): "new"}
+    publish_branch(cfg, "del")
+    assert _state(read_lake(cfg)) == {("r2", "b"): "new"}
+
+
+def test_recreated_branch_does_not_resurrect_stale_namespace(
+        ray_session, tmp_path):
+    """Review repro: delete_branch leaves the namespace; re-creating the
+    same name found the old epoch-0 manifest, no-opped the new writer's
+    commit, and resurrected abandoned rows. create_branch now purges a
+    dead namespace."""
+    import ray.data
+
+    from connect_smts_ray.sinks.branch import (
+        branch_cfg,
+        create_branch,
+        delete_branch,
+        read_branch,
+    )
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2)
+    run_upsert(ray.data.from_arrow(_rows([("r1", "a", "v0")])),
+               cfg, epoch=0).materialize()
+    create_branch(cfg, "fix", at=0)
+    run_upsert(ray.data.from_arrow(_rows([("r1", "a", "ABANDONED")],
+                                         lsn0=10)),
+               branch_cfg(cfg, "fix"), epoch=0).materialize()
+    delete_branch(cfg, "fix")  # namespace left on disk, entry gone
+
+    create_branch(cfg, "fix", at=0)  # must purge the dead namespace
+    run_upsert(ray.data.from_arrow(_rows([("r1", "a", "WANTED")],
+                                         lsn0=11)),
+               branch_cfg(cfg, "fix"), epoch=0).materialize()
+    assert _state(read_branch(cfg, "fix"))[("r1", "a")] == "WANTED"
+
+
+def test_branch_name_path_escape_rejected(ray_session, tmp_path):
+    """'.', '..' and path-separator names would alias the branch
+    namespace into the lake itself (and gc would rmtree the lake)."""
+    import ray.data
+
+    from connect_smts_ray.sinks.branch import create_branch
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=1)
+    run_upsert(ray.data.from_arrow(_rows([("r1", "a", "v0")])),
+               cfg, epoch=0).materialize()
+    for bad in ("..", ".", "a/b", "a\\b", "_x", "", ".hidden"):
+        with pytest.raises(ValueError, match="invalid branch name"):
+            create_branch(cfg, bad, at=0)
+
+
+def test_publish_foreign_collision_preserves_branch(ray_session, tmp_path):
+    """Review repro: require_fast_forward=False silently skipped branch
+    epochs whose mapped target was held by a FOREIGN manifest, then
+    deleted the branch — data loss. A foreign collision must raise and
+    leave the branch intact."""
+    import ray.data
+
+    from connect_smts_ray.sinks.branch import (
+        branch_cfg,
+        create_branch,
+        list_branches,
+        publish_branch,
+        read_branch,
+    )
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=1)
+    run_upsert(ray.data.from_arrow(_rows([("r1", "a", "v0")])),
+               cfg, epoch=0).materialize()
+    create_branch(cfg, "fix", at=0)
+    run_upsert(ray.data.from_arrow(_rows([("r1", "a", "branch")],
+                                         lsn0=10)),
+               branch_cfg(cfg, "fix"), epoch=0).materialize()
+    # main diverges: foreign epoch 1 (the branch's mapped target)
+    run_upsert(ray.data.from_arrow(_rows([("r2", "b", "main")], lsn0=20)),
+               cfg, epoch=1).materialize()
+    with pytest.raises(ValueError, match="foreign manifest"):
+        publish_branch(cfg, "fix", require_fast_forward=False)
+    # branch preserved, still readable
+    assert "fix" in list_branches(cfg)
+    assert _state(read_branch(cfg, "fix"))[("r1", "a")] == "branch"
+
+
+def test_reader_recovers_table_schema_from_meta(ray_session, tmp_path):
+    """Review repro: a reader rebuilt from lake_dir alone (the CLI) used
+    the ('repo','path') defaults and KeyError'd on lakes keyed
+    differently. run_upsert records key/order/tombstone columns in
+    _table.json; resolve() treats them as authoritative."""
+    import ray.data
+
+    from connect_smts_ray.sinks.upsert import (
+        UpsertConfig,
+        read_lake,
+        run_upsert,
+    )
+
+    writer = UpsertConfig(lake_dir=str(tmp_path / "lake"),
+                          num_partitions=2, key_columns=("k",),
+                          order_columns=("lsn",), tombstone_column="dead")
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lsn": pa.array([0, 1, 0], pa.int64()),
+        "v": pa.array(["old", "new", "x"], pa.string()),
+        "dead": pa.array([False, False, False], pa.bool_()),
+    })
+    run_upsert(ray.data.from_arrow(t), writer, epoch=0).materialize()
+
+    bare = UpsertConfig(lake_dir=str(tmp_path / "lake"))  # defaults
+    resolved = bare.resolve()
+    assert resolved.key_columns == ("k",)
+    assert resolved.order_columns == ("lsn",)
+    assert resolved.tombstone_column == "dead"
+    got = {r["k"]: r["v"] for r in read_lake(bare).to_pylist()}
+    assert got == {1: "new", 2: "x"}

@@ -792,10 +792,13 @@ def test_avro_split_read_bounded_window(ray_session, tmp_path):
     assert got["k"].tolist() == list(range(n))
 
 
-def test_grouped_corr_all_null_block_partial(ray_session):
-    """A block whose y values are ALL null for a group produces a null
-    Arrow sum partial — the final Python-int reduce must skip it (SQL
-    sum() semantics), not crash on int + None."""
+def test_grouped_corr_null_pairs(ray_session):
+    """Population = complete pairs (SQL corr()): rows with a NULL x or y
+    contribute to NOTHING — not to n, not to the x-moments — so partial
+    nulls cannot blend inconsistent populations (pre-fix, (1,10),(2,20),
+    (3,NULL) returned corr=-0.5 where SQL corr()=1.0); groups with zero
+    complete pairs are absent, and an all-null block partial cannot
+    crash the final reduce."""
     import ray.data
 
     from connect_smts_ray.ops.relational import grouped_corr
@@ -809,17 +812,24 @@ def test_grouped_corr_all_null_block_partial(ray_session):
     ds = ray.data.from_arrow([t1, t2])
     got = {r["k"]: (r["n"], r["corr"])
            for r in grouped_corr(ds, "k", "x", "y").take_all()}
-    # 'b' is perfectly linear; 'a' keeps its count(*) of 4 rows
+    # 'b' is perfectly linear; 'a' counts only its 2 complete pairs
     assert got["b"][1] == pytest.approx(1.0)
-    assert got["a"][0] == 4
+    assert got["a"] == (2, pytest.approx(1.0))
 
-    # group that is all-null in EVERY block: zero variance -> NULL corr
+    # the reviewer's sign-flip case: (1,10),(2,20),(3,NULL) must be 1.0
+    t4 = pa.table({"k": ["m"] * 3, "x": pa.array([1, 2, 3], pa.int64()),
+                   "y": pa.array([10, 20, None], pa.int64())})
+    got4 = {r["k"]: (r["n"], r["corr"])
+            for r in grouped_corr(ray.data.from_arrow([t4]),
+                                  "k", "x", "y").take_all()}
+    assert got4["m"] == (2, pytest.approx(1.0))
+
+    # group with ZERO complete pairs is absent (the oracle's WHERE
+    # x IS NOT NULL AND y IS NOT NULL drops it before grouping)
     t3 = pa.table({"k": ["c", "c"], "x": pa.array([1, 2], pa.int64()),
                    "y": pa.array([None, None], pa.int64())})
-    got3 = {r["k"]: r["corr"]
-            for r in grouped_corr(ray.data.from_arrow([t3]),
-                                  "k", "x", "y").take_all()}
-    assert got3["c"] is None
+    got3 = grouped_corr(ray.data.from_arrow([t3]), "k", "x", "y").take_all()
+    assert got3 == []
 
 
 def test_changelog_aggregate_epochs_null_group_live(ray_session, tmp_path):
