@@ -36,7 +36,7 @@ Semantics notes (all asserted by tests/test_schema.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Optional
 
 import pyarrow as pa
@@ -538,7 +538,17 @@ def from_arrow(dtype: pa.DataType, name: Optional[str] = None,
 
 def union_arrow_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     """Union-widen two Arrow types with the reference's rules (used by the
-    sink's schema-evolution merge)."""
+    sink's schema-evolution merge).
+
+    ``pa.null()`` is the BOTTOM type: a column that never saw a non-null
+    value (e.g. an ExpandJson block of tombstone-only payloads, or an
+    all-null delta) types as null, and unioning it must yield the other
+    side — rejecting it would break merge-on-read for any partition that
+    ever committed such a block (round-5 review finding)."""
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
     return to_arrow(union_types(from_arrow(a), from_arrow(b)))
 
 

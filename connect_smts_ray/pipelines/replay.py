@@ -20,7 +20,7 @@ sha256-exact reconvergence).
 from __future__ import annotations
 
 import shutil
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -30,7 +30,6 @@ import ray.data
 from connect_smts_ray.core.schema import SType, stype_to_dict
 from connect_smts_ray.core.worker_state import stateful_task
 from connect_smts_ray.sources.binlog import BinlogConfig, synthesize_events
-from connect_smts_ray.sources.corpus import read_corpus
 from connect_smts_ray.sinks.upsert import UpsertConfig, read_lake, run_upsert
 from connect_smts_ray.transforms.crypto import (
     DecryptColumn,
@@ -424,8 +423,25 @@ def run_until(cfg: ReplayConfig, watch_dir: str,
             time.sleep(poll_interval)
             continue
         idle = 0
+        if "base_epoch" not in ledger:
+            # First ledger write for this lake: epochs must start ABOVE
+            # everything a prior replay()/snapshot_then_tail committed —
+            # the ledger never saw those epochs, and reusing a number
+            # would make the idempotence gate silently no-op this file's
+            # data (round-5 review finding). The base is PINNED into the
+            # ledger so a crash between upsert-commit and ledger-commit
+            # still re-runs the file at the SAME epoch (byte-idempotent
+            # resume), which a live store-max probe would break.
+            store = cfg.upsert().resolve().store()
+            deltas = store.manifest_index()["deltas"]
+            ledger["base_epoch"] = max(
+                (max(es) for es in deltas.values() if es), default=-1) + 1
+            # durable BEFORE the first upsert commit: a crash in the
+            # first batch must re-derive the SAME base on restart
+            _write_ledger(cfg, ledger)
         for fname in new:
-            epoch = max(ledger["files"].values(), default=-1) + 1
+            epoch = max(max(ledger["files"].values(), default=-1) + 1,
+                        int(ledger["base_epoch"]))
             ds = build_event_stream(
                 cfg, epoch=None, source_path=os.path.join(watch_dir, fname)
             )

@@ -95,20 +95,26 @@ def create_branch(cfg: UpsertConfig, name: str,
     from connect_smts_ray.sinks.manifest import check_cut_above_horizon
 
     check_cut_above_horizon(meta, at, "fork")
-    branches = dict(meta.get("branches", {}))
-    prev = branches.get(name)
-    if prev is not None and int(prev["fork"]) != int(at):
-        raise ValueError(
-            f"branch {name!r} already forked at {prev['fork']}")
     bdir = _branch_dir(cfg.lake_dir, name)
-    if prev is None and os.path.isdir(bdir):
-        # dead namespace from a deleted/published predecessor
-        import shutil
 
-        shutil.rmtree(bdir, ignore_errors=True)
-    branches[name] = {"fork": int(at)}
-    meta["branches"] = branches
-    store.write_table_meta(meta)
+    def mutate(m: dict) -> None:
+        from connect_smts_ray.sinks.manifest import check_cut_above_horizon
+
+        check_cut_above_horizon(m, at, "fork")  # re-check under the lock
+        branches = dict(m.get("branches", {}))
+        prev = branches.get(name)
+        if prev is not None and int(prev["fork"]) != int(at):
+            raise ValueError(
+                f"branch {name!r} already forked at {prev['fork']}")
+        if prev is None and os.path.isdir(bdir):
+            # dead namespace from a deleted/published predecessor
+            import shutil
+
+            shutil.rmtree(bdir, ignore_errors=True)
+        branches[name] = {"fork": int(at)}
+        m["branches"] = branches
+
+    store.mutate_table_meta(mutate)
     # the branch namespace records the parent's RESOLVED partition count
     # so branch-side resolve() routes identically even if constructed
     # from a stale config later
@@ -117,7 +123,7 @@ def create_branch(cfg: UpsertConfig, name: str,
     bmeta.setdefault("num_partitions", cfg.num_partitions)
     bmeta.setdefault("fork", int(at))
     bstore.write_table_meta(bmeta)
-    return branches[name]
+    return {"fork": int(at)}
 
 
 def list_branches(cfg: UpsertConfig) -> dict:
@@ -164,15 +170,18 @@ def _branch_read_plans(cfg: UpsertConfig, name: str) -> list:
     store = cfg.store()
     bstore = ManifestStore(_branch_dir(cfg.lake_dir, name))
     plans = []
-    pids = sorted(set(store.all_partitions()) | set(bstore.all_partitions()))
+    index = store.manifest_index()
+    bindex = bstore.manifest_index()
+    pids = sorted(set(index["deltas"]) | set(index["bases"])
+                  | set(bindex["deltas"]))
     for pid in pids:
         files = []
-        base, deltas = store.read_plan(pid, as_of=fork)
+        base, deltas = store.read_plan(pid, as_of=fork, index=index)
         if base is not None:
             files.append(store.base_path(pid, base))
         files.extend(store.state_path(pid, e) for e in deltas)
         files.extend(bstore.state_path(pid, e)
-                     for e in bstore.committed_epochs(pid))
+                     for e in bindex["deltas"].get(pid, []))
         if files:
             plans.append({"pid": pid, "files": files})
     return plans
@@ -271,16 +280,14 @@ def publish_branch(cfg: UpsertConfig, name: str,
                     raise ValueError(
                         f"main advanced past the fork (partition {pid} "
                         f"committed epoch {e}) — not a fast-forward")
-    branch_epochs = sorted({
-        e for pid in bstore.all_partitions()
-        for e in bstore.committed_epochs(pid)
-    })
+    bindex = bstore.manifest_index()["deltas"]
+    branch_epochs = sorted({e for es in bindex.values() for e in es})
     rank = {e: i for i, e in enumerate(branch_epochs)}
     published = 0
     import shutil
 
-    for pid in bstore.all_partitions():
-        for e in bstore.committed_epochs(pid):
+    for pid in sorted(bindex):
+        for e in bindex[pid]:
             target = fork + 1 + rank[e]
             existing = store.read_manifest(pid, target)
             if existing is not None:
@@ -311,11 +318,12 @@ def publish_branch(cfg: UpsertConfig, name: str,
     # branch entry removed ONLY after every commit is durable — a crash
     # before this point re-runs publish; after it, the branch is gone
     # and its fork pin is released
-    meta = store.read_table_meta() or {}
-    branches = dict(meta.get("branches", {}))
-    if branches.pop(name, None) is not None:
-        meta["branches"] = branches
-        store.write_table_meta(meta)
+    def drop(m: dict) -> None:
+        branches = dict(m.get("branches", {}))
+        branches.pop(name, None)
+        m["branches"] = branches
+
+    store.mutate_table_meta(drop)
     return {"published_epochs": len(branch_epochs), "base_epoch": fork,
             "commits": published}
 
@@ -325,13 +333,15 @@ def delete_branch(cfg: UpsertConfig, name: str) -> bool:
     namespace directory is left for ``gc_branch_namespaces`` (same
     philosophy as vacuum: metadata first, file GC explicit)."""
     store = cfg.resolve().store()
-    meta = store.read_table_meta() or {}
-    branches = dict(meta.get("branches", {}))
-    existed = branches.pop(name, None) is not None
-    if existed:
-        meta["branches"] = branches
-        store.write_table_meta(meta)
-    return existed
+    existed = []
+
+    def mutate(m: dict) -> None:
+        branches = dict(m.get("branches", {}))
+        existed.append(branches.pop(name, None) is not None)
+        m["branches"] = branches
+
+    store.mutate_table_meta(mutate)
+    return existed[0]
 
 
 def gc_branch_namespaces(cfg: UpsertConfig) -> list:

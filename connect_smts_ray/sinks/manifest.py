@@ -77,6 +77,34 @@ class ManifestStore:
             json.dump(meta, f)
         os.replace(tmp, self.table_meta_path())
 
+    def mutate_table_meta(self, fn) -> dict:
+        """Serialized read-modify-write of ``_table.json``: ``fn(meta)``
+        mutates (or returns) the dict under an EXCLUSIVE advisory lock,
+        then the result replaces the file atomically.
+
+        Every meta mutation (tags, branches, vacuum horizons, table
+        schema recording) must go through here — the CLI exposes those
+        as independent ``ray job submit`` commands, and an unlocked
+        read-modify-replace would let one job's write erase another's
+        (e.g. vacuum dropping a tag created mid-scan, unpinning its
+        epochs). flock serializes same-host writers (this sandbox and
+        single-node Ray); a shared-nothing object store deployment would
+        swap this for its CAS primitive — the call sites don't change."""
+        import fcntl
+
+        os.makedirs(self.lake_dir, exist_ok=True)
+        lock_path = self.table_meta_path() + ".lock"
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                meta = self.read_table_meta() or {}
+                out = fn(meta)
+                meta = meta if out is None else out
+                self.write_table_meta(meta)
+                return meta
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
     # -- commit protocol ----------------------------------------------------
 
     def is_committed(self, pid: int, epoch: int) -> bool:
@@ -183,7 +211,8 @@ class ManifestStore:
         m = self.read_base_manifest(pid, base_epoch) or {}
         return int(m.get("covers_through", base_epoch))
 
-    def read_plan(self, pid: int, as_of: int | None = None) -> tuple:
+    def read_plan(self, pid: int, as_of: int | None = None,
+              index: dict | None = None) -> tuple:
         """(base_epoch | None, [delta epochs after the base]) — the file set
         whose merge-on-read IS the partition's current state.
 
@@ -202,7 +231,12 @@ class ManifestStore:
                     f"as_of={as_of} below partition {pid}'s vacuum horizon "
                     f"{horizon} — those epochs were reclaimed"
                 )
-        bases = self.committed_base_epochs(pid)
+        if index is not None:
+            bases = list(index["bases"].get(pid, []))
+            all_deltas = index["deltas"].get(pid, [])
+        else:
+            bases = self.committed_base_epochs(pid)
+            all_deltas = self.committed_epochs(pid)
         if as_of is not None:
             bases = [
                 b for b in bases
@@ -211,19 +245,53 @@ class ManifestStore:
         base = bases[-1] if bases else None
         cutoff = self.base_covers_through(pid, base) if base is not None else None
         deltas = [
-            e for e in self.committed_epochs(pid)
+            e for e in all_deltas
             if (cutoff is None or e > cutoff)
             and (as_of is None or e <= as_of)
         ]
         return base, deltas
+
+    def manifest_index(self) -> dict:
+        """ONE directory scan grouped into
+        ``{"deltas": {pid: sorted epochs}, "bases": {pid: sorted epochs}}``.
+
+        Every planner loop (read_lake_ds, vacuum, latest_state_files,
+        head_epoch, split) builds this once and hands it to
+        ``read_plan(..., index=...)`` — the per-pid ``committed_epochs``
+        calls inside a P-partition loop otherwise re-list and re-parse
+        the whole ``_manifests`` directory P times, O(P²·E) filename
+        parses at the 32768-partition design point."""
+        deltas: dict = {}
+        bases: dict = {}
+        if not os.path.isdir(self.manifest_dir):
+            return {"deltas": deltas, "bases": bases}
+        for name in os.listdir(self.manifest_dir):
+            if not name.endswith(".json"):
+                continue
+            stem = name[:-5]
+            try:
+                if "-base-" in stem:
+                    pid_s, e_s = stem.split("-base-", 1)
+                    bases.setdefault(int(pid_s), []).append(int(e_s))
+                else:
+                    pid_s, e_s = stem.split("-", 1)
+                    deltas.setdefault(int(pid_s), []).append(int(e_s))
+            except ValueError:
+                continue
+        for d in (deltas, bases):
+            for v in d.values():
+                v.sort()
+        return {"deltas": deltas, "bases": bases}
 
     def committed_epochs(self, pid: int) -> list:
         if not os.path.isdir(self.manifest_dir):
             return []
         out = []
         prefix = f"{pid}-"
+        base_prefix = f"{pid}-base-"
         for name in os.listdir(self.manifest_dir):
-            if name.startswith(prefix) and name.endswith(".json"):
+            if (name.startswith(prefix) and name.endswith(".json")
+                    and not name.startswith(base_prefix)):
                 try:
                     out.append(int(name[len(prefix):-5]))
                 except ValueError:
@@ -250,8 +318,10 @@ class ManifestStore:
         applies the per-partition LWW merge + tombstone drop) for the
         distributed state read; this method only enumerates the plan."""
         out = []
-        for pid in self.all_partitions():
-            base, deltas = self.read_plan(pid)
+        index = self.manifest_index()
+        pids = sorted(set(index["deltas"]) | set(index["bases"]))
+        for pid in pids:
+            base, deltas = self.read_plan(pid, index=index)
             if base is not None:
                 out.append(self.base_path(pid, base))
             out.extend(self.state_path(pid, e) for e in deltas)
@@ -288,15 +358,16 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
     cuts += [int(b["fork"]) for b in meta.get("branches", {}).values()]
     pin = min(cuts) if cuts else None
     changed = {}
-    for pid in store.all_partitions():
-        epochs = store.committed_epochs(pid)
+    index = store.manifest_index()
+    for pid in sorted(set(index["deltas"]) | set(index["bases"])):
+        epochs = index["deltas"].get(pid, [])
         if not epochs:
             continue
         target = max(epochs) - retain_epochs
         if pin is not None:
             target = min(target, pin)
         eligible = [
-            b for b in store.committed_base_epochs(pid)
+            b for b in index["bases"].get(pid, [])
             if store.base_covers_through(pid, b) <= target
         ]
         if not eligible:
@@ -309,7 +380,7 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
                     os.remove(p)
                 except FileNotFoundError:
                     pass
-        for b in [b for b in store.committed_base_epochs(pid) if b < anchor]:
+        for b in [b for b in index["bases"].get(pid, []) if b < anchor]:
             for p in (store.base_path(pid, b),
                       store.base_manifest_path(pid, b)):
                 try:
@@ -323,8 +394,14 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
             horizons[str(pid)] = horizon
             changed[pid] = horizon
     if changed:
-        meta["vacuum_horizon"] = horizons
-        store.write_table_meta(meta)
+        def mutate(m: dict) -> None:
+            hz = dict(m.get("vacuum_horizon", {}))
+            for pid, h in horizons.items():
+                if h > int(hz.get(str(pid), -10**9)):
+                    hz[str(pid)] = h
+            m["vacuum_horizon"] = hz
+
+        store.mutate_table_meta(mutate)
     return changed
 
 
@@ -344,9 +421,8 @@ def vacuum(store: "ManifestStore", retain_epochs: int) -> dict:
 def head_epoch(store: "ManifestStore") -> int:
     """Newest committed epoch across partitions — the default cut for
     tags and branch forks. Raises on an empty lake."""
-    heads = [max(store.committed_epochs(p))
-             for p in store.all_partitions()
-             if store.committed_epochs(p)]
+    deltas = store.manifest_index()["deltas"]
+    heads = [max(es) for es in deltas.values() if es]
     if not heads:
         raise ValueError("cannot cut an empty lake")
     return max(heads)
@@ -372,19 +448,21 @@ def create_tag(store: "ManifestStore", name: str,
     driver-retry safe, like the manifest commits)."""
     if not name or "/" in name or name.startswith("_"):
         raise ValueError(f"invalid tag name {name!r}")
-    meta = store.read_table_meta() or {}
     if as_of is None:
         as_of = head_epoch(store)
-    check_cut_above_horizon(meta, as_of, "as_of")
-    tags = dict(meta.get("tags", {}))
-    prev = tags.get(name)
-    if prev is not None and int(prev["as_of"]) != int(as_of):
-        raise ValueError(
-            f"tag {name!r} already points at as_of={prev['as_of']}")
-    tags[name] = {"as_of": int(as_of)}
-    meta["tags"] = tags
-    store.write_table_meta(meta)
-    return tags[name]
+
+    def mutate(meta: dict) -> None:
+        check_cut_above_horizon(meta, as_of, "as_of")
+        tags = dict(meta.get("tags", {}))
+        prev = tags.get(name)
+        if prev is not None and int(prev["as_of"]) != int(as_of):
+            raise ValueError(
+                f"tag {name!r} already points at as_of={prev['as_of']}")
+        tags[name] = {"as_of": int(as_of)}
+        meta["tags"] = tags
+
+    store.mutate_table_meta(mutate)
+    return {"as_of": int(as_of)}
 
 
 def list_tags(store: "ManifestStore") -> dict:
@@ -401,10 +479,12 @@ def resolve_tag(store: "ManifestStore", name: str) -> int:
 def delete_tag(store: "ManifestStore", name: str) -> bool:
     """Remove a tag (idempotent). The next ``vacuum`` may then reclaim
     epochs the tag was pinning."""
-    meta = store.read_table_meta() or {}
-    tags = dict(meta.get("tags", {}))
-    existed = tags.pop(name, None) is not None
-    if existed:
+    existed = []
+
+    def mutate(meta: dict) -> None:
+        tags = dict(meta.get("tags", {}))
+        existed.append(tags.pop(name, None) is not None)
         meta["tags"] = tags
-        store.write_table_meta(meta)
-    return existed
+
+    store.mutate_table_meta(mutate)
+    return existed[0]

@@ -47,9 +47,7 @@ task retries cannot change the result (SURVEY §4.2.5).
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import polars as pl
 import pyarrow as pa
@@ -229,6 +227,12 @@ def lww_winners(table: pa.Table, cfg: UpsertConfig) -> pa.Table:
     try:
         import numpy as np
 
+        # NULL in any order column: to_numpy coerces int64+null to
+        # float64 NaN, which lexsort ranks LAST (as if largest) while the
+        # polars path ranks nulls FIRST (smallest) — route to ONE
+        # deterministic path instead of diverging by dtype
+        if any(table.column(c).null_count for c in cfg.order_columns):
+            raise TypeError("null in order column")
         arrays = [
             table.column(c).to_numpy(zero_copy_only=False)
             for c in cfg.order_columns
@@ -249,7 +253,12 @@ def lww_winners(table: pa.Table, cfg: UpsertConfig) -> pa.Table:
         )
     except (TypeError, ValueError):
         df = pl.from_arrow(table)
-        df = df.sort(list(cfg.order_columns)).unique(
+        # maintain_order on the SORT too: an unstable sort may interleave
+        # fully-tied rows differently per run/thread-count, and
+        # keep="last" would then pick an arbitrary winner — breaking the
+        # byte-stable reconvergence the numpy path guarantees (latest
+        # input row wins among ties)
+        df = df.sort(list(cfg.order_columns), maintain_order=True).unique(
             subset=list(cfg.key_columns), keep="last", maintain_order=True
         )
         return df.to_arrow()
@@ -298,6 +307,12 @@ def partial_lww(batch: pa.Table, cfg: UpsertConfig) -> pa.Table:
     counts = np.bincount(codes, minlength=k)
     off = batch.column(off_col).to_numpy(zero_copy_only=False)
     try:
+        # a single NULL offset/order value coerces the numpy arrays to
+        # float64 NaN: np.minimum.at propagates NaN into __min_off and
+        # merge_partition later dies casting inf/NaN to int64 — nulls
+        # take the generic cold path, whose pandas reduce skips them
+        if any(batch.column(c).null_count for c in cfg.order_columns):
+            raise TypeError("null in order column")
         arrays = [
             batch.column(c).to_numpy(zero_copy_only=False)
             for c in cfg.order_columns
@@ -336,11 +351,17 @@ def partial_lww(batch: pa.Table, cfg: UpsertConfig) -> pa.Table:
             pa.array(g["size"][wk].to_numpy().astype("int64")),
         )
         off_type = batch.schema.field(off_col).type
+
+        def _vals(s):
+            # pandas min/max skip nulls; an all-null group yields NaN,
+            # which int/string Arrow types reject -> None
+            return [None if pd.isna(v) else v for v in s.tolist()]
+
         winners = winners.append_column(
-            "__min_off", pa.array(g["min"][wk].tolist(), type=off_type)
+            "__min_off", pa.array(_vals(g["min"][wk]), type=off_type)
         )
         return winners.append_column(
-            "__max_off", pa.array(g["max"][wk].tolist(), type=off_type)
+            "__max_off", pa.array(_vals(g["max"][wk]), type=off_type)
         )
     winners = winners.append_column(
         "__rows_rep", pa.array(counts[wcodes].astype(np.int64))
@@ -520,6 +541,10 @@ def _align_schemas(tables: list) -> list:
     return out
 
 
+def _int_or_none(v):
+    return v if isinstance(v, int) and not isinstance(v, bool) else None
+
+
 def _lineage_row(manifest: dict, skipped: bool) -> pa.Table:
     return pa.table(
         {
@@ -536,11 +561,19 @@ def _lineage_row(manifest: dict, skipped: bool) -> pa.Table:
             "bytes_written": pa.array(
                 [manifest.get("bytes_written", 0)], type=pa.int64()
             ),
+            # lineage offsets are int64; a table ordered by a
+            # non-integer column (string offsets via the polars path)
+            # records NULL here instead of crashing the merge — the
+            # manifest's offset_range keeps the typed values
             "min_offset": pa.array(
-                [(manifest.get("offset_range") or [None, None])[0]], type=pa.int64()
+                [_int_or_none(
+                    (manifest.get("offset_range") or [None, None])[0])],
+                type=pa.int64()
             ),
             "max_offset": pa.array(
-                [(manifest.get("offset_range") or [None, None])[1]], type=pa.int64()
+                [_int_or_none(
+                    (manifest.get("offset_range") or [None, None])[1])],
+                type=pa.int64()
             ),
             "skipped": pa.array([skipped], type=pa.bool_()),
         }
@@ -644,11 +677,15 @@ def split_partitions(cfg: UpsertConfig, factor: int = 2) -> UpsertConfig:
                     "schema": part.schema.to_string(),
                 },
             )
-    store.write_table_meta({
+    # UPDATE the meta, never replace it wholesale — _table.json also
+    # carries tags, branches, vacuum horizons and the order/tombstone
+    # schema; overwriting them would unpin every named cut and mis-merge
+    # custom tables (round-5 review finding, reproduced)
+    store.mutate_table_meta(lambda m: m.update({
         "num_partitions": new_p,
         "split_epoch": e_split,
         "key_columns": list(cfg.key_columns),
-    })
+    }))
     return new_cfg
 
 
@@ -664,14 +701,23 @@ def run_upsert(ds, cfg: UpsertConfig, epoch: int = 0):
     # the SAME merge semantics — resolve() treats _table.json as
     # authoritative, like it already does for num_partitions
     store = cfg.store()
-    meta = store.read_table_meta() or {}
-    if "key_columns" not in meta:
-        meta.update({
-            "key_columns": list(cfg.key_columns),
-            "order_columns": list(cfg.order_columns),
-            "tombstone_column": cfg.tombstone_column,
-        })
-        store.write_table_meta(meta)
+    if "key_columns" not in (store.read_table_meta() or {}):
+        def record(m: dict) -> None:
+            if "key_columns" in m:  # raced another first-writer: keep its
+                return
+            m.update({
+                "key_columns": list(cfg.key_columns),
+                "order_columns": list(cfg.order_columns),
+                "tombstone_column": cfg.tombstone_column,
+                # P too: without it a later writer constructed from
+                # lake_dir alone (default P) would route the same key to
+                # different partitions across epochs and the LWW merge
+                # would never see both versions (resolve() can only
+                # protect what the meta records)
+                "num_partitions": cfg.num_partitions,
+            })
+
+        store.mutate_table_meta(record)
     ds = ds.map_batches(
         lambda b: add_partition_id(b, cfg), batch_format="pyarrow"
     )
@@ -709,8 +755,9 @@ def read_lake_ds(cfg: UpsertConfig, as_of: int | None = None,
     store = cfg.store()
     as_of = _resolve_cut(store, as_of, tag)
     items = []
-    for pid in store.all_partitions():
-        base, deltas = store.read_plan(pid, as_of=as_of)
+    index = store.manifest_index()
+    for pid in sorted(set(index["deltas"]) | set(index["bases"])):
+        base, deltas = store.read_plan(pid, as_of=as_of, index=index)
         files = ([store.base_path(pid, base)] if base is not None else []) + [
             store.state_path(pid, e) for e in deltas
         ]
@@ -744,8 +791,9 @@ def read_lake(cfg: UpsertConfig, as_of: int | None = None,
     store = cfg.store()
     as_of = _resolve_cut(store, as_of, tag)
     parts = []
-    for pid in store.all_partitions():
-        base, deltas = store.read_plan(pid, as_of=as_of)
+    index = store.manifest_index()
+    for pid in sorted(set(index["deltas"]) | set(index["bases"])):
+        base, deltas = store.read_plan(pid, as_of=as_of, index=index)
         tables = []
         if base is not None:
             tables.append(pq.read_table(store.base_path(pid, base)))

@@ -33,7 +33,7 @@ typed to slot 0's widened schema; additional incompatible slots (rare) emit
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import orjson

@@ -913,3 +913,157 @@ def test_merge_lineage_metrics_emission(ray_session):
     m.emit_merge_lineage({}, skipped=False)
     m.emit_merge_lineage({"partition_id": None, "rows_in": "x"},
                          skipped=False)
+
+
+def test_upsert_string_order_columns_lineage(ray_session, tmp_path):
+    """A table ordered by STRING columns (polars fallback path) must
+    merge and commit; the int64 lineage offsets record NULL instead of
+    crashing, while the manifest keeps the typed offset range."""
+    import ray.data
+
+    from connect_smts_ray.sinks.upsert import (
+        UpsertConfig,
+        read_lake,
+        run_upsert,
+    )
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2,
+                       key_columns=("k",), order_columns=("lsn_s", "off_s"))
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lsn_s": pa.array(["a1", "b2", "a1"], pa.string()),
+        "off_s": pa.array(["x1", "x2", "x1"], pa.string()),
+        "v": pa.array(["old", "new", "solo"], pa.string()),
+        "is_tombstone": pa.array([False] * 3, pa.bool_()),
+    })
+    lin = run_upsert(ray.data.from_arrow(t), cfg, epoch=0).to_pandas()
+    assert lin["min_offset"].isna().all()  # typed range lives in manifest
+    got = {r["k"]: r["v"] for r in read_lake(cfg).to_pylist()}
+    assert got == {1: "new", 2: "solo"}
+    man = cfg.resolve().store().read_manifest(
+        cfg.resolve().store().all_partitions()[0], 0)
+    assert isinstance(man["offset_range"][0], str)
+
+
+def test_upsert_null_offset_does_not_kill_epoch(ray_session, tmp_path):
+    """Review repro: one NULL in an int64 offset column coerced the
+    telemetry arrays to float NaN and merge_partition died casting inf
+    to int64. Null order values route to the cold path, whose pandas
+    reduce skips them."""
+    import ray.data
+
+    from connect_smts_ray.sinks.upsert import (
+        UpsertConfig,
+        read_lake,
+        run_upsert,
+    )
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2,
+                       key_columns=("k",), order_columns=("lsn", "off"))
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lsn": pa.array([0, 1, 0], pa.int64()),
+        "off": pa.array([10, None, 30], pa.int64()),
+        "v": pa.array(["old", "new", "x"], pa.string()),
+        "is_tombstone": pa.array([False] * 3, pa.bool_()),
+    })
+    run_upsert(ray.data.from_arrow(t), cfg, epoch=0).materialize()
+    got = {r["k"]: r["v"] for r in read_lake(cfg).to_pylist()}
+    assert got[2] == "x" and 1 in got
+
+
+def test_union_arrow_types_null_is_bottom(ray_session):
+    """pa.null() unions to the other side (all-null ExpandJson block /
+    delta), and _align_schemas casts the null column to the target."""
+    from connect_smts_ray.core.schema import union_arrow_types
+    from connect_smts_ray.sinks.upsert import _align_schemas
+
+    assert union_arrow_types(pa.null(), pa.string()) == pa.string()
+    assert union_arrow_types(pa.int64(), pa.null()) == pa.int64()
+    a = pa.table({"c": pa.array([None, None])})  # null-typed
+    b = pa.table({"c": pa.array(["x"], pa.string())})
+    out = _align_schemas([a, b])
+    assert all(t.schema.field("c").type == pa.string() for t in out)
+
+
+def test_split_preserves_table_meta(ray_session, tmp_path):
+    """Review repro: split_partitions overwrote _table.json wholesale,
+    destroying tags/branches/vacuum horizons. It must UPDATE the meta."""
+    import ray.data
+
+    from connect_smts_ray.sinks.branch import create_branch, list_branches
+    from connect_smts_ray.sinks.manifest import create_tag, list_tags
+    from connect_smts_ray.sinks.upsert import (
+        UpsertConfig,
+        run_upsert,
+        split_partitions,
+    )
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2,
+                       key_columns=("k",), order_columns=("lsn",),
+                       tombstone_column="dead")
+    t = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lsn": pa.array([0, 0, 0], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string()),
+        "dead": pa.array([False] * 3, pa.bool_()),
+    })
+    run_upsert(ray.data.from_arrow(t), cfg, epoch=0).materialize()
+    create_tag(cfg.store(), "v1", as_of=0)
+    create_branch(cfg, "wip", at=0)
+    new_cfg = split_partitions(cfg, factor=2)
+    assert new_cfg.num_partitions == 4
+    assert "v1" in list_tags(cfg.store())
+    assert "wip" in list_branches(cfg)
+    # table schema survives too
+    resolved = UpsertConfig(lake_dir=cfg.lake_dir).resolve()
+    assert resolved.key_columns == ("k",)
+    assert resolved.tombstone_column == "dead"
+
+
+def test_run_until_starts_above_replayed_epochs(ray_session, tmp_path,
+                                                sf_dir):
+    """Review repro: run_until's ledger-only epoch numbering collided
+    with epochs a prior replay() committed, and the idempotence gate
+    silently no-opped the new file's data. The ledger pins a base_epoch
+    above the store's max on first write."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from connect_smts_ray.pipelines.replay import (
+        ReplayConfig,
+        final_state,
+        replay,
+        run_until,
+    )
+
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(sf_dir=sf_dir, lake_dir=lake, events_per_key=4,
+                       num_partitions=4, epochs=2, expand_concurrency=2,
+                       crypto_concurrency=2)
+    replay(cfg, fresh=True)  # commits epochs 0..1, no ledger
+    before = final_state(cfg).num_rows
+
+    # a new documents-shaped file with brand-new keys arrives via the
+    # tailer (run_until reads documents parquet, not corpus tables)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    docs = pq2.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text", "lang", "source"])
+    extra = docs.slice(0, 5)
+    extra = extra.set_column(
+        extra.column_names.index("source"),
+        "source",
+        pa.array(["tail-repo"] * extra.num_rows, pa.string()))
+    pq2.write_table(extra, str(watch / "f0.parquet"))
+    run_until(cfg, str(watch), max_batches=1)
+
+    ledger = json.load(open(os.path.join(lake, "_INGEST_LEDGER.json")))
+    assert ledger["base_epoch"] == 2  # above the replayed epochs
+    assert ledger["files"]["f0.parquet"] == 2
+    after = final_state(cfg)
+    assert after.num_rows > before  # the file's data actually landed
+    repos = set(after.column("repo").to_pylist())
+    assert "tail-repo" in repos
