@@ -434,7 +434,14 @@ def connected_components(pair_ds, num_partitions: int = 16,
 
 def drop_duplicates(ds, labels, id_col: str, num_partitions: int = 16):
     """Keep only component representatives (and untouched rows): anti-join
-    the corpus against the loser set (label != node)."""
+    the corpus against the loser set (label != node).
+
+    The loser schema carries the labels' ACTUAL id dtype —
+    ``connected_components`` deliberately preserves the input id type
+    (no size-gated switch to int64), so pinning int64 here would hand
+    ``hash_join`` a wire schema that disagrees with the real blocks for
+    int32/string ids."""
+    id_t = _to_arrow_schema(labels.schema()).field("doc_id").type
     losers = labels.map_batches(
         lambda b: pa.table({
             "loser_id": b.filter(
@@ -446,7 +453,7 @@ def drop_duplicates(ds, labels, id_col: str, num_partitions: int = 16):
     return hash_join(
         ds, losers, left_on=id_col, right_on="loser_id", how="left_anti",
         num_partitions=num_partitions,
-        right_schema=pa.schema([("loser_id", pa.int64())]),
+        right_schema=pa.schema([("loser_id", id_t)]),
     )
 
 

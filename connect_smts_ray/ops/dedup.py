@@ -59,11 +59,18 @@ def _stable_hash64(token: str) -> int:
 # ---------------------------------------------------------------------------
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 of whitespace-normalized text; NULL text hashes to the
+    ``__null__`` sentinel (not valid hex — cannot collide with a real
+    digest) so null-text rows form ONE real group everywhere. A None
+    hash made the paths diverge: SQL GROUP BY and the broadcast dict
+    group nulls together, but the join kernels' null-matches-nothing
+    would keep every null-text row (and the incremental variant's inner
+    join would DROP them outright) — round-5 review finding."""
     normalized = pc.replace_substring_regex(
         batch.column(text_col), pattern=r"\s+", replacement=" "
     )
     hashes = [
-        None if v is None else hashlib.md5(v.encode()).hexdigest()
+        "__null__" if v is None else hashlib.md5(v.encode()).hexdigest()
         for v in normalized.to_pylist()
     ]
     return batch.append_column(
@@ -335,6 +342,15 @@ def _fused_keys(batch: pa.Table, key_cols) -> pa.Array:
 
 
 def _fuse_key_vals(vals) -> str:
+    # INVARIANT: bucket-key values are engine-generated (band index ints,
+    # int64 LSH buckets, hex digests, '__empty__') and never contain the
+    # '|' separator — a value with '|' would alias distinct buckets into
+    # one hub. Guarded here (driver-side, bounded rows); a user-supplied
+    # key column would need components.fuse_key_columns' length-prefixed
+    # encoding instead.
+    for v in vals:
+        if isinstance(v, str) and "|" in v:
+            raise ValueError(f"bucket key value contains separator: {v!r}")
     return "".join(f"{v}|" for v in vals)
 
 
@@ -934,8 +950,15 @@ def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
         drop_duplicates,
     )
 
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
+    probe = ds.take(1)
+    if not probe:  # empty corpus: empty survivors, like the other families
+        import ray.data
+
+        return ds, ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+        }))
+    dim = len(probe[0][vec_col])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
@@ -943,6 +966,13 @@ def embedding_dedup(ds, threshold: float = 0.95, n_planes: int = 16,
 
     def explode_buckets(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
+        if batch.num_rows == 0:  # (0,0) @ planes would raise
+            return pa.table({
+                "table_id": pa.array([], pa.int32()),
+                "lsh_bucket": pa.array([], pa.int64()),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+            })
         vecs = vectors_to_numpy(batch.column(vec_col))
         parts = []
         for t in range(n_tables):

@@ -86,6 +86,12 @@ def knn_brute_force(ds, query_vecs: np.ndarray, k: int = 10,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
+        if batch.num_rows == 0:  # (n_q,d) @ (0,0).T raises, not no-ops
+            return pa.table({
+                "q": pa.array([], pa.int32()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64, copy=False)
         vecs = _unit(vectors_to_numpy(batch.column(vec_col)))
@@ -272,6 +278,12 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10,
     qid_type = pa.array(qids).type if qids else pa.int64()
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: matmul would raise
+            return pa.table({
+                "q": pa.array([], pa.int32()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
         cent = _unit(ray.get(cent_ref))
         qm = ray.get(q_ref)
         psets = ray.get(probe_ref)
@@ -561,6 +573,12 @@ def ngram_similarity_join(left, right, n: int = 3, threshold: float = 0.5,
         return g.materialize()  # consumed twice: df pass + verify join
 
     def counts_of(g, out_id, out_n):
+        # per-block partial + groupby SUM: the materialized gram table's
+        # block boundaries can split a doc's gram rows (same hazard the
+        # prefix stage avoids by recomputing from source rows), so an
+        # unmerged per-block count would emit multiple (id, partial-n)
+        # rows — duplicating every verify-join result for that doc with
+        # an undersized n, inflating jaccard (round-5 review finding)
         def per_block(b: pa.Table) -> pa.Table:
             t = b.group_by(out_id, use_threads=False).aggregate(
                 [([], "count_all")]
@@ -569,7 +587,17 @@ def ngram_similarity_join(left, right, n: int = 3, threshold: float = 0.5,
                 out_id: t.column(out_id),
                 out_n: pc.cast(t.column("count_all"), pa.int64()),
             })
-        return g.map_batches(per_block, batch_format="pyarrow")
+        return (
+            g.map_batches(per_block, batch_format="pyarrow")
+            .groupby(out_id).sum(out_n)
+            .map_batches(
+                lambda b: pa.table({
+                    out_id: b.column(out_id),
+                    out_n: pc.cast(b.column(f"sum({out_n})"), pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+        )
 
     lg, rg = grams_of(left, "lid"), grams_of(right, "rid")
     lc, rc = counts_of(lg, "lid", "n_l"), counts_of(rg, "rid", "n_r")

@@ -98,20 +98,27 @@ class DecryptColumn:
         self._header_cache: dict = {}
 
     def _cipher_for_protected(self, protected: str):
-        """(cipher-or-None, ok) for a protected header string, cached."""
+        """(cipher-or-None, status) for a protected header string, cached.
+        status: "ok" | "unsupported" (alg/enc mismatch) | "bad_header"
+        (not b64url/JSON — the reference PARSES the header before
+        anything else, Jose.java:116-119, so an undecodable header is an
+        error, never a brute-force-the-ring fallback: accepting such a
+        payload here would decrypt records the reference rejects)."""
         hit = self._header_cache.get(protected)
         if hit is not None:
             return hit
-        header = {}
         try:
             header = orjson.loads(_b64url_decode(protected))
+            if not isinstance(header, dict):
+                raise ValueError("protected header is not a JSON object")
         except Exception:
-            pass
-        if header and (header.get("alg") not in (None, "dir")
-                       or header.get("enc") not in (None, "A256GCM")):
-            res = (None, False)
+            res = (None, "bad_header")
         else:
-            res = (self.by_kid.get(header.get("kid")), True)
+            if (header.get("alg") not in (None, "dir")
+                    or header.get("enc") not in (None, "A256GCM")):
+                res = (None, "unsupported")
+            else:
+                res = (self.by_kid.get(header.get("kid")), "ok")
         self._header_cache[protected] = res
         return res
 
@@ -151,11 +158,13 @@ class DecryptColumn:
                 return raw
             raise JoseError(f"Flattened JWE could not be decoded: {e}") from e
 
-        cipher, ok = self._cipher_for_protected(protected)
-        if not ok:
+        cipher, status = self._cipher_for_protected(protected)
+        if status != "ok":
             if skip_on_error:
                 return raw
-            raise JoseError("Unsupported JWE algorithms")
+            raise JoseError(
+                "Unsupported JWE algorithms" if status == "unsupported"
+                else "JWE protected header could not be decoded")
         if cipher is not None:
             try:
                 return cipher.decrypt(iv, data, aad)

@@ -98,14 +98,17 @@ class OutboxConfig:
         )
 
 
-def _decode_headers_value(v) -> Optional[str]:
-    """Normalize one row's headers into a JSON string map (numbers coerced to
+def _decode_headers_map(v) -> Optional[dict]:
+    """Normalize one row's headers into a string map (numbers coerced to
     strings, nulls kept — Jackson HashMap<String,String> coercion,
-    smt/Outbox.java:165-176)."""
+    smt/Outbox.java:165-176). Returns the DICT, not a JSON string — the
+    caller merges the partition-key header in and serializes exactly
+    once (the old string-returning form made the hot loop encode →
+    decode → re-encode every row's headers)."""
     if v is None:
         return None
     if isinstance(v, dict):  # struct column
-        out = {
+        return {
             k: (
                 None if x is None
                 else ("true" if x else "false") if isinstance(x, bool)
@@ -113,7 +116,6 @@ def _decode_headers_value(v) -> Optional[str]:
             )
             for k, x in v.items()
         }
-        return orjson.dumps(out).decode()
     if isinstance(v, str):  # JSON string column
         try:
             m = orjson.loads(v)
@@ -131,7 +133,7 @@ def _decode_headers_value(v) -> Optional[str]:
                 out[k] = "true" if x else "false"
             else:
                 out[k] = str(x)
-        return orjson.dumps(out).decode()
+        return out
     logger.error(
         "Field 'headers' should be STRUCT or STRING, was %s", type(v).__name__
     )
@@ -189,9 +191,10 @@ def _outbox_route_fast(batch: pa.Table, config: OutboxConfig):
     pk = kept.column("partition_key")
     if pk.null_count:
         return None  # generic path raises the reference's error
-    hashes = murmur2_positive_many(
-        [s.encode() for s in pc.cast(pk, pa.string()).to_pylist()]
-    )
+    # Arrow array straight into the zero-copy vectorized murmur2 path —
+    # a per-row to_pylist + .encode comprehension here was slower than
+    # the generic path this fast path exists to beat
+    hashes = murmur2_positive_many(pc.cast(pk, pa.string()))
     out_partition = pa.array(
         (hashes % num).astype("int32"), type=pa.int32()
     )
@@ -390,11 +393,13 @@ def outbox_route(batch: pa.Table, config: OutboxConfig) -> pa.Table:
             for i in range(n):
                 if not active_py[i]:
                     continue
-                h = _decode_headers_value(raw_headers[i])
-                hdrs = orjson.loads(h) if h is not None else {}
-                if want_pk_header:
-                    hdrs = {**{"partition_key": pk_col[i]}, **hdrs}
-                hdr_out[i] = orjson.dumps(hdrs).decode() if hdrs else h
+                m = _decode_headers_map(raw_headers[i])
+                full = ({"partition_key": pk_col[i], **(m or {})}
+                        if want_pk_header else m)
+                if full:
+                    hdr_out[i] = orjson.dumps(full).decode()
+                elif m is not None:  # empty map round-trips as "{}"
+                    hdr_out[i] = "{}"
             out_headers = pa.array(hdr_out, type=pa.string())
 
     # -- assemble -----------------------------------------------------------

@@ -1067,3 +1067,95 @@ def test_run_until_starts_above_replayed_epochs(ray_session, tmp_path,
     assert after.num_rows > before  # the file's data actually landed
     repos = set(after.column("repo").to_pylist())
     assert "tail-repo" in repos
+
+
+def test_exact_dedup_null_text_both_paths(ray_session):
+    """Review repro: null text hashed to None — the broadcast dict
+    grouped the nulls (SQL GROUP BY semantics) while the join kernels'
+    null-matches-nothing kept them all, so strategy='auto' flipped the
+    survivor set with corpus size. The __null__ sentinel makes both
+    paths group null text identically."""
+    import ray.data
+
+    from connect_smts_ray.ops.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([None, None, "x", "x"], pa.string()),
+    })
+    for strategy in ("broadcast", "join"):
+        out = exact_dedup(ray.data.from_arrow(t), strategy=strategy)
+        ids = sorted(r["doc_id"] for r in out.take_all())
+        assert ids == [1, 3], strategy  # min-id per group, nulls grouped
+
+
+def test_incremental_dedup_keeps_null_text(ray_session, tmp_path):
+    """Review repro: the survivors inner join on a None content_hash
+    dropped null-text rows outright (permanent data loss). With the
+    sentinel they dedupe like any other group instead of vanishing."""
+    import ray.data
+
+    from connect_smts_ray.ops.dedup import incremental_exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array([None, "real"], pa.string()),
+    })
+    out = incremental_exact_dedup(
+        ray.data.from_arrow(t), state_dir=str(tmp_path))
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == [7, 8]  # the null-text doc survives (first of its group)
+
+    # second epoch: another null-text doc is now a duplicate of epoch 0's
+    t2 = pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array([None], pa.string()),
+    })
+    out2 = incremental_exact_dedup(
+        ray.data.from_arrow(t2), state_dir=str(tmp_path))
+    assert [r["doc_id"] for r in out2.take_all()] == []
+
+
+def test_knn_empty_block_guard(ray_session):
+    """Review repro: an empty block made vectors_to_numpy return (0,0)
+    and the query matmul raise a dimension mismatch."""
+    import ray.data
+
+    from connect_smts_ray.ops.similarity import knn_brute_force
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float64())),
+    })
+    # repartition past the row count forces empty blocks through the map
+    ds = ray.data.from_arrow(t).repartition(6)
+    res = knn_brute_force(ds, np.array([[1.0, 0.0]]), k=1)
+    assert res.column("neighbor_id").to_pylist() == [1]
+
+
+def test_ngram_join_counts_survive_block_splits(ray_session):
+    """Review repro: per-block gram counts were never re-aggregated, so
+    a doc whose gram rows straddle a block boundary yielded duplicate
+    join rows with undersized n and inflated jaccard. Forcing many tiny
+    blocks through the gram table must not change the result."""
+    import ray.data
+
+    from connect_smts_ray.ops.similarity import ngram_similarity_join
+
+    left = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b c d e f g h i j k l m n o p"], pa.string()),
+    })
+    right = pa.table({
+        "doc_id": pa.array([2], pa.int64()),
+        "text": pa.array(["a b c d e f g h i j k l m n o q"], pa.string()),
+    })
+    out = ngram_similarity_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(4),
+        n=3, threshold=0.5)
+    rows = out.take_all()
+    assert len(rows) == 1  # exactly ONE pair row, not per-partial dups
+    # 16 words -> 14 trigrams per doc; 13 shared -> j = 13/15
+    assert rows[0]["jaccard"] == pytest.approx(13 / 15)
