@@ -5064,6 +5064,7 @@ def oracle_sql() -> dict[str, str]:
                      epoch_us(ts) // 1000000 AS sec,
                      CAST(round(value * 100) AS BIGINT) AS y
               FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
             ),
             m AS (SELECT k, min(sec) AS ts0 FROM b GROUP BY k),
             s AS (

@@ -391,10 +391,19 @@ def group_quantiles(ds, group_col: str, value_col: str, qs,
     Scale shape: per-block (group, value) → count partial collapses each
     block to its distinct values; the groupby moves VALUE COUNTS, and the
     per-group quantile scan runs over the distinct-value CDF, not the rows.
+
+    NULL values are ignored (quantile_disc semantics). A group whose
+    values are ALL null is omitted from the output entirely (SQL would
+    emit it with NULL quantiles) — filter such groups upstream if they
+    must appear.
     """
     qs = list(qs)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # drop NULL values up front: quantile_disc ignores NULLs, so a
+        # (group, NULL) CDF entry would both inflate every rank base and
+        # let q=1.0 land on the NULL (sorted last) instead of the max
+        batch = batch.filter(pc.is_valid(batch.column(value_col)))
         t = pa.table({
             group_col: batch.column(group_col),
             value_col: batch.column(value_col),

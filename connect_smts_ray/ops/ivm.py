@@ -133,12 +133,17 @@ def changelog_aggregate(ds, key_cols, lsn_col: str, delete_col: str,
     # columns move — the payload (content at ~KB/row) stays behind
     need = [*dict.fromkeys([*key_cols, lsn_col, delete_col, group_col,
                             measure_col])]
+    # the fused __mkey is the authoritative key downstream; drop the raw
+    # key columns EXCEPT any that double as the lsn/delete/group/measure
+    # column (e.g. grouping a composite-keyed table by one key component)
+    referenced = {lsn_col, delete_col, group_col, measure_col}
+    key_drop = [c for c in key_cols if c not in referenced]
 
     bucketer = _add_key_bucket("__mkey", num_partitions)
 
     def prep(b: pa.Table) -> pa.Table:
         return bucketer(fuse_key_columns(b.select(need), key_cols)
-                        .drop_columns(list(key_cols)))
+                        .drop_columns(key_drop))
 
     def per_bucket(group: pa.Table) -> pa.Table:
         return _bucket_deltas(group, lsn_col, delete_col, group_col,
@@ -230,6 +235,10 @@ def changelog_aggregate_epochs(make_epoch_ds, epochs: int, state_dir: str,
     with a full recompute is pinned in tests/test_ivm.py."""
     need = [*dict.fromkeys([*key_cols, lsn_col, delete_col, group_col,
                             measure_col])]
+    # same collision rule as changelog_aggregate: keep raw key columns
+    # that double as the lsn/delete/group/measure column
+    referenced = {lsn_col, delete_col, group_col, measure_col}
+    key_drop = [c for c in key_cols if c not in referenced]
     merged: dict = {}
     for e in range(epochs):
         ds = make_epoch_ds(e)
@@ -238,7 +247,7 @@ def changelog_aggregate_epochs(make_epoch_ds, epochs: int, state_dir: str,
 
         def prep(b: pa.Table) -> pa.Table:
             return bucketer(fuse_key_columns(b.select(need), key_cols)
-                            .drop_columns(list(key_cols)))
+                            .drop_columns(key_drop))
 
         def per_bucket(group: pa.Table, _e=e) -> pa.Table:
             bucket = group.column("__bucket")[0].as_py()

@@ -23,6 +23,15 @@ def _ts_us_int64(col) -> pa.ChunkedArray:
     return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
 
 
+def _us_int64_to_ts(arr, ts_type):
+    """int64 µs-since-epoch → a column of ``ts_type`` — the exact inverse
+    of ``_ts_us_int64``. A bare ``.cast(ts_type)`` would REINTERPRET the
+    integers in ts_type's native unit (1000× off for a timestamp[ns]
+    input column); casting through timestamp[us] first converts units."""
+    tz = getattr(ts_type, "tz", None)
+    return pc.cast(pc.cast(arr, pa.timestamp("us", tz=tz)), ts_type)
+
+
 def _floor_div_us(ts, divisor_us: int):
     """Floor division of an int64 Arrow array by a POSITIVE divisor.
 
@@ -39,34 +48,44 @@ def _floor_div_us(ts, divisor_us: int):
     return pc.subtract(q, pc.cast(adjust, pa.int64()))
 
 
-def broadcast_join(ds, small: pd.DataFrame, on, how: str = "inner",
+def broadcast_join(ds, small, on, how: str = "inner",
                    suffix: str = "_r"):
-    """Join a Dataset against a small in-memory table without a shuffle.
+    """Join a Dataset against a small in-memory table (``pa.Table`` or
+    ``pd.DataFrame``) without a shuffle.
 
     Null join keys never match (SQL/acero semantics — pandas merge would
     match NaN==NaN) and Arrow dtypes are preserved end-to-end: the
-    per-batch pandas merge runs over (key, row-index) pairs ONLY, then
-    Arrow ``take`` gathers the full payload rows from both sides — a
-    full-row pandas merge would also float-ify nullable int columns.
+    per-batch pandas merge runs over (key, row-index) pairs ONLY — key
+    series use ``pd.ArrowDtype`` so nullable int64 keys keep exact values
+    instead of degrading to float64 — then Arrow ``take`` gathers the
+    full payload rows from both sides. Pass the right side as a
+    ``pa.Table`` when you have one: a DataFrame round-trip floats
+    nullable int payload columns before this function ever sees them.
     Row-identical to hash_join for inner/left (pinned in pytest)."""
     import numpy as np
     import ray
 
     on_cols = [on] if isinstance(on, str) else list(on)
-    small_t = pa.Table.from_pandas(small, preserve_index=False)
+    if isinstance(small, pd.DataFrame):
+        small_t = pa.Table.from_pandas(small, preserve_index=False)
+    else:
+        small_t = small
     small_t = small_t.replace_schema_metadata(None)
     for c in on_cols:
         small_t = small_t.filter(pc.is_valid(small_t.column(c)))
     ref = ray.put(small_t)
 
+    def _key_series(col):
+        return col.to_pandas(types_mapper=pd.ArrowDtype)
+
     def join_batch(batch: pa.Table) -> pa.Table:
         rtab = ray.get(ref)
         ldf = pd.DataFrame(
-            {c: batch.column(c).to_pandas() for c in on_cols}
+            {c: _key_series(batch.column(c)) for c in on_cols}
             | {"__li": np.arange(batch.num_rows, dtype=np.int64)}
         )
         rdf = pd.DataFrame(
-            {c: rtab.column(c).to_pandas() for c in on_cols}
+            {c: _key_series(rtab.column(c)) for c in on_cols}
             | {"__ri": np.arange(rtab.num_rows, dtype=np.int64)}
         )
         m = ldf.merge(
@@ -109,7 +128,16 @@ def auto_join(left, right, on, how: str = "inner",
         right = ray.data.from_pandas(right)
     right = right.materialize()  # count() + consumption: execute ONCE
     if right.count() <= broadcast_limit:
-        return broadcast_join(left, right.to_pandas(), on=on, how=how)
+        # hand broadcast_join the Arrow blocks directly: a to_pandas()
+        # round-trip would degrade nullable int64 columns to float64,
+        # flipping output dtypes (and >2^53 values) versus the hash path
+        import ray as _ray
+        blocks = _ray.get(right.to_arrow_refs())
+        from connect_smts_ray.ops.components import _to_arrow_schema
+        small_t = (pa.concat_tables(blocks, promote_options="default")
+                   if blocks
+                   else _to_arrow_schema(right.schema()).empty_table())
+        return broadcast_join(left, small_t, on=on, how=how)
     return hash_join(
         left, right, left_on=on, right_on=on, how=arrow_how,
         num_partitions=num_partitions,
@@ -117,45 +145,69 @@ def auto_join(left, right, on, how: str = "inner",
     )
 
 
-def asof_join_broadcast(ds, right: pd.DataFrame, left_on: str, right_on: str,
+def asof_join_broadcast(ds, right, left_on: str, right_on: str,
                         left_by: str, right_by: str,
                         tiebreak: str | None = None):
     """As-of join (backward): for each left row, the right row with the
     greatest ``right_on`` ≤ ``left_on`` within the same ``by`` key.
 
     Ray Data has no as-of join; this is the broadcast variant — the right
-    side is ``ray.put`` once (sorted by key, then time, then ``tiebreak`` so
-    ties resolve to the max tiebreak value deterministically) and every
-    batch runs a vectorized ``pandas.merge_asof`` against it. No shuffle;
-    scales linearly in the left side. For a large right side, hash-partition
-    BOTH sides on the key and run the same merge per partition group
-    (same semantics, one shuffle) — the LWW upsert's partitioning applies.
+    side (``pa.Table`` or ``pd.DataFrame``) is ``ray.put`` once (sorted by
+    time then ``tiebreak`` so ties resolve to the max tiebreak value
+    deterministically) and every batch runs ``pandas.merge_asof`` over
+    slim (on, by, row-index) frames ONLY, then gathers full payload rows
+    with Arrow ``take`` — the same shape as ``asof_join_partitioned``, so
+    unmatched left rows carry TYPED Arrow nulls instead of float-ified
+    NaN columns and right dtypes survive exactly. No shuffle; scales
+    linearly in the left side. For a large right side use
+    ``asof_join_partitioned`` (same semantics, one exchange).
 
-    Unmatched left rows keep NaN right columns (left-join semantics;
-    filter afterwards for inner).
+    Left-join semantics; filter on a right column's validity for inner.
     """
     import ray
 
+    if isinstance(right, pd.DataFrame):
+        rtab = pa.Table.from_pandas(right, preserve_index=False)
+    else:
+        rtab = right
+    rtab = rtab.replace_schema_metadata(None)
     # merge_asof needs BOTH frames globally sorted by the on-column; with
     # equal times inside a by-group the positionally-last right row wins, so
     # a (time, tiebreak) sort makes ties resolve to max(tiebreak).
     sort_cols = [right_on] + ([tiebreak] if tiebreak else [])
-    r = right.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-    ref = ray.put(r)
+    rtab = rtab.sort_by([(c, "ascending") for c in sort_cols])
+    ref = ray.put(rtab)
 
-    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        rhs = ray.get(ref)
-        return pd.merge_asof(
-            batch.sort_values(left_on, kind="mergesort"),
-            rhs,
-            left_on=left_on,
-            right_on=right_on,
-            left_by=left_by,
-            right_by=right_by,
-            direction="backward",
-        )
+    def join_batch(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        # columns merge_asof would have carried over: every right column
+        # not shadowed by a left column of the same name
+        right_out = [c for c in rt.column_names
+                     if c not in batch.column_names]
+        ldf = pd.DataFrame({
+            "__on": batch.column(left_on).to_pandas(),
+            "__by": batch.column(left_by).to_pandas(),
+            "li": np.arange(batch.num_rows, dtype=np.int64),
+        }).sort_values("__on", kind="mergesort")
+        rdf = pd.DataFrame({
+            "__on": rt.column(right_on).to_pandas(),
+            "__by": rt.column(right_by).to_pandas(),
+            "ri": np.arange(rt.num_rows, dtype=np.int64),
+        })
+        if len(rdf):
+            m = pd.merge_asof(
+                ldf, rdf, on="__on", by="__by", direction="backward"
+            )
+        else:
+            m = ldf.assign(ri=pd.array([None] * len(ldf), dtype="Int64"))
+        out = batch.take(pa.array(m["li"].to_numpy(), type=pa.int64()))
+        ri = pa.array(pd.array(m["ri"], dtype="Int64"))  # null = miss
+        rpart = rt.select(right_out).take(ri)
+        for name in right_out:
+            out = out.append_column(name, rpart.column(name))
+        return out
 
-    return ds.map_batches(join_batch, batch_format="pandas")
+    return ds.map_batches(join_batch, batch_format="pyarrow")
 
 
 def asof_join_partitioned(left, right, left_on: str, right_on: str,
@@ -276,9 +328,18 @@ def asof_join(left, right, left_on: str, right_on: str,
     # exact_dedup's auto path (measured 3.5× wall there)
     right = right.materialize()
     if right.count() <= broadcast_limit:
+        import ray as _ray
+
+        # ship Arrow blocks, not a to_pandas() round-trip (which would
+        # degrade nullable int64 right columns to float64 on this path
+        # while the partitioned path keeps them exact)
+        blocks = _ray.get(right.to_arrow_refs())
+        from connect_smts_ray.ops.components import _to_arrow_schema
+        rtab = (pa.concat_tables(blocks, promote_options="default")
+                if blocks
+                else _to_arrow_schema(right.schema()).empty_table())
         return asof_join_broadcast(
-            left, right.to_pandas(), left_on, right_on, left_by, right_by,
-            tiebreak,
+            left, rtab, left_on, right_on, left_by, right_by, tiebreak,
         )
     from connect_smts_ray.ops.components import _to_arrow_schema
 
@@ -747,8 +808,10 @@ def scd2_history(ds, key_col: str, ts_col: str, tiebreak_col: str,
             return pa.table({
                 key_col: group.column(key_col),
                 value_col: group.column(value_col),
-                "valid_from": pa.array([], pa.int64()).cast(ts_type),
-                "valid_to": pa.array([], pa.int64()).cast(ts_type),
+                "valid_from": _us_int64_to_ts(pa.array([], pa.int64()),
+                                              ts_type),
+                "valid_to": _us_int64_to_ts(pa.array([], pa.int64()),
+                                            ts_type),
                 "n_events": pa.array([], pa.int64()),
                 "is_current": pa.array([], pa.bool_()),
             })
@@ -774,9 +837,10 @@ def scd2_history(ds, key_col: str, ts_col: str, tiebreak_col: str,
         return pa.table({
             key_col: s.column(key_col).take(pa.array(starts)),
             value_col: pa.array(vals[starts].tolist()),
-            "valid_from": pa.array(valid_from, pa.int64()).cast(ts_type),
-            "valid_to": pa.array(valid_to, pa.int64(),
-                                 mask=is_current).cast(ts_type),
+            "valid_from": _us_int64_to_ts(
+                pa.array(valid_from, pa.int64()), ts_type),
+            "valid_to": _us_int64_to_ts(
+                pa.array(valid_to, pa.int64(), mask=is_current), ts_type),
             "n_events": pa.array(counts.astype(np.int64), pa.int64()),
             "is_current": pa.array(is_current),
         })
@@ -1103,15 +1167,18 @@ def cohort_retention(ds, user_col: str, ts_col: str,
     """
     from ray.data.aggregate import Min, Sum
 
-    from connect_smts_ray.ops.components import hash_join
+    from connect_smts_ray.ops.components import _to_arrow_schema, hash_join
+
+    # carry the ACTUAL user-id type through the pair/cohort schemas —
+    # string ids are as legitimate as int64 (same rule as funnel_counts)
+    key_type = _to_arrow_schema(ds.schema()).field(user_col).type
 
     def pair_partial(b: pa.Table) -> pa.Table:
         us = _ts_us_int64(b.column(ts_col))
         # FLOOR division (not trunc): pre-1970 events must land in the
         # period below zero, matching SQL floor(epoch/period) bucketing
         period = _floor_div_us(us, period_us)
-        t = pa.table({"user": pc.cast(b.column(user_col), pa.int64()),
-                      "period": period})
+        t = pa.table({"user": b.column(user_col), "period": period})
         return t.group_by(["user", "period"], use_threads=False).aggregate([])
 
     pairs = (
@@ -1121,7 +1188,7 @@ def cohort_retention(ds, user_col: str, ts_col: str,
                      batch_format="pyarrow")
         .materialize()
     )  # globally-distinct (user, period)
-    pair_schema = pa.schema([("user", pa.int64()), ("period", pa.int64())])
+    pair_schema = pa.schema([("user", key_type), ("period", pa.int64())])
 
     cohort = pairs.groupby("user").aggregate(Min("period")).map_batches(
         lambda b: pa.table({"user": b.column("user"),
@@ -1132,7 +1199,7 @@ def cohort_retention(ds, user_col: str, ts_col: str,
         pairs, cohort, left_on="user", right_on="user",
         num_partitions=num_partitions,
         left_schema=pair_schema,
-        right_schema=pa.schema([("user", pa.int64()),
+        right_schema=pa.schema([("user", key_type),
                                 ("cohort", pa.int64())]),
     )
 
@@ -1399,7 +1466,11 @@ def last_touch_attribution(ds, key_col: str, ts_col: str, tiebreak_col: str,
                      & (ts_s[conv_pos] - ts_s[safe] <= window_us))
         credited = np.where(in_window, types[safe], "(none)")
         vals = s.column(value_col).to_numpy(zero_copy_only=False)
-        scaled = vals[conv_pos] * 100
+        scaled = np.asarray(vals[conv_pos], dtype=np.float64) * 100
+        # NULL value on a conversion row → NaN here; contribute 0 cents
+        # (SQL sum() skips NULLs) — an unmasked NaN would .astype(int64)
+        # to INT64_MIN and corrupt the group's value_cents sum
+        scaled = np.where(np.isnan(scaled), 0.0, scaled)
         # half away from zero — DuckDB round(); np.round half-to-even differs
         cents = (np.sign(scaled) *
                  np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
@@ -1530,11 +1601,23 @@ def grouped_ols_trend(ds, key_col: str, ts_col: str, value_cents_col: str,
 
     Output: (key, n BIGINT, slope DOUBLE, intercept DOUBLE).
 
+    Rows whose ts or value is NULL are dropped up front (both passes):
+    regression moments must come from COMPLETE (x, y) pairs — counting a
+    row in n/Σx/Σx² while Arrow's null-skipping sum drops its y from
+    Σy/Σxy would mix populations and skew the fit. Mirrors SQL
+    ``regr_slope``'s pair-completeness rule; the oracle filters the same.
+
     Reference analog: none (engine op beyond the reference's surface).
     """
     from ray.data.aggregate import Sum
 
+    def complete_pairs(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b.column(ts_col)),
+                       pc.is_valid(b.column(value_cents_col)))
+        return b.filter(keep)
+
     def min_partial(b: pa.Table) -> pa.Table:
+        b = complete_pairs(b)
         t = pa.table({
             "k": b.column(key_col),
             # floor (not trunc): mirrors SQL epoch_us // 1e6 for pre-1970
@@ -1552,15 +1635,16 @@ def grouped_ols_trend(ds, key_col: str, ts_col: str, value_cents_col: str,
             batch_format="pyarrow")
     )
 
-    keyed = ds.map_batches(
-        lambda b: pa.table({
+    def keyed_fn(b: pa.Table) -> pa.Table:
+        b = complete_pairs(b)
+        return pa.table({
             "k": b.column(key_col),
             "sec": _floor_div_us(_ts_us_int64(b.column(ts_col)),
                                  1_000_000),
             "y": pc.cast(b.column(value_cents_col), pa.int64()),
-        }),
-        batch_format="pyarrow",
-    )
+        })
+
+    keyed = ds.map_batches(keyed_fn, batch_format="pyarrow")
     joined = auto_join(keyed, mins, on="k",
                        num_partitions=num_partitions)
 
@@ -1784,14 +1868,26 @@ def temporal_join(fact, dim, fact_key: str, fact_ts: str, dim_key: str,
                        num_partitions=num_partitions,
                        broadcast_limit=broadcast_limit)
 
-    def apply_validity(df: pd.DataFrame) -> pd.DataFrame:
-        vt = df[valid_to]
-        expired = vt.notna() & (df[fact_ts] >= vt)
-        if expired.any():
-            df.loc[expired, [c for c in dim_cols if c in df.columns]] = None
-        return df
+    dim_col_set = set(dim_cols)
 
-    return joined.map_batches(apply_validity, batch_format="pandas")
+    def apply_validity(t: pa.Table) -> pa.Table:
+        # Arrow if_else (not pandas .loc = None): the pandas assignment
+        # flips int64 dim columns to float64/object ONLY in batches that
+        # contain an expired match, yielding inconsistent block schemas
+        # across the Dataset; if_else keeps every column's type put.
+        expired = pc.and_(pc.is_valid(t.column(valid_to)),
+                          pc.greater_equal(t.column(fact_ts),
+                                           t.column(valid_to)))
+        expired = pc.fill_null(expired, False)
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if name in dim_col_set:
+                col = pc.if_else(expired, pa.scalar(None, col.type), col)
+            cols[name] = col
+        return pa.table(cols)
+
+    return joined.map_batches(apply_validity, batch_format="pyarrow")
 
 
 def interval_coverage(ds, key_col: str, ts_col: str, duration_seconds: int,
@@ -1854,7 +1950,8 @@ def interval_coverage(ds, key_col: str, ts_col: str, duration_seconds: int,
     )
 
 
-def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
+                 num_partitions: int = 64):
     """Per-group Pearson correlation of two INT64 columns, computed
     EXACTLY from integer moment sums — bit-identical at any parallelism
     and to the SQL mirror, because both sides evaluate the SAME float
@@ -1909,33 +2006,57 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(g: pa.Table) -> pa.Table:
-        # Python-int accumulation: exact past int64 across blocks. A
-        # block whose group values are ALL null gives a null Arrow sum
-        # partial — it contributes nothing, same as SQL sum() skipping
-        # nulls (and the zero-variance guard below emits NULL corr when
-        # every block was null, matching the oracle's CASE).
-        def tot(col):
-            return sum(v for v in g.column(col).to_pylist()
-                       if v is not None)
+    def final_bucket(g: pa.Table) -> pa.Table:
+        # Bucketed final reduce — ONE Python call per bucket, never per
+        # key (the sessionization shape; a per-key map_groups pays ~ms of
+        # dispatch per group, minutes at 10⁵⁺ keys). Within the bucket:
+        # sort by key, segment boundaries, then object-dtype reduceat —
+        # numpy drives the segmented sums but each add is a PYTHON int
+        # add, keeping the arbitrary-precision exactness contract
+        # (cross-block totals may exceed int64, mirroring SQL HUGEINT).
+        # A null partial (block whose group values were all null)
+        # contributes 0, same as SQL sum() skipping nulls.
+        n_rows = g.num_rows
+        if n_rows == 0:
+            return pa.table({
+                key_col: g.column("k"),
+                "n": pa.array([], pa.int64()),
+                "corr": pa.array([], pa.float64()),
+            })
+        s = g.sort_by([("k", "ascending")])
+        ks = s.column("k").to_numpy(zero_copy_only=False)
+        new = np.ones(n_rows, dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
 
-        n = tot("n")
-        sx = tot("sx")
-        sy = tot("sy")
-        sxx = tot("sxx")
-        syy = tot("syy")
-        sxy = tot("sxy")
-        vx = n * sxx - sx * sx
-        vy = n * syy - sy * sy
-        if n < 2 or vx <= 0 or vy <= 0:
-            corr = None
-        else:
-            corr = float(n * sxy - sx * sy) / (
-                math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        def seg_sums(col):
+            vals = np.array(
+                [0 if v is None else v for v in s.column(col).to_pylist()],
+                dtype=object)
+            return np.add.reduceat(vals, starts)
+
+        ns = seg_sums("n")
+        sxs, sys_ = seg_sums("sx"), seg_sums("sy")
+        sxxs, syys, sxys = seg_sums("sxx"), seg_sums("syy"), seg_sums("sxy")
+        corrs = []
+        for n, sx, sy, sxx, syy, sxy in zip(ns, sxs, sys_, sxxs, syys,
+                                            sxys):
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if n < 2 or vx <= 0 or vy <= 0:
+                corrs.append(None)
+            else:
+                corrs.append(float(n * sxy - sx * sy) / (
+                    math.sqrt(float(vx)) * math.sqrt(float(vy))))
         return pa.table({
-            "k": [g.column("k")[0].as_py()],
-            "n": pa.array([n], pa.int64()),
-            "corr": pa.array([corr], pa.float64()),
-        }).rename_columns([key_col, "n", "corr"])
+            key_col: s.column("k").take(pa.array(starts)),
+            "n": pa.array([int(v) for v in ns], pa.int64()),
+            "corr": pa.array(corrs, pa.float64()),
+        })
 
-    return partials.groupby("k").map_groups(final, batch_format="pyarrow")
+    return (
+        partials.map_batches(_add_key_bucket("k", num_partitions),
+                             batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final_bucket, batch_format="pyarrow")
+    )

@@ -112,14 +112,16 @@ def merge_into(source_ds, cfg: UpsertConfig, merge_lsn: int, epoch: int,
             from connect_smts_ray.sinks.upsert import composite_key_array
 
             st_keys = composite_key_array(state, cfg.key_columns)
-            matched_mask = pc.is_in(src_keys, value_set=pc.unique(
-                st_keys.combine_chunks() if isinstance(
-                    st_keys, pa.ChunkedArray) else st_keys))
+            if isinstance(st_keys, pa.ChunkedArray):
+                st_keys = st_keys.combine_chunks()
+            # one vectorized index_in gives both the match mask and the
+            # state-row gather positions (state keys are unique post-LWW,
+            # so first-occurrence semantics are exact) — no O(state)
+            # Python dict / to_pylist pass per merge task
+            pos = pc.index_in(src_keys, value_set=st_keys)
+            matched_mask = pc.is_valid(pos)
+            pos = pc.cast(pos, pa.int64())
             # target columns for clause predicates, aligned to source order
-            st_idx = {k: i for i, k in enumerate(st_keys.to_pylist())}
-            pos = pa.array(
-                [st_idx.get(k) for k in src_keys.to_pylist()],
-                pa.int64())
             t_cols = {
                 f"t_{name}": state.column(name).take(pos)
                 for name in state.column_names

@@ -1159,3 +1159,231 @@ def test_ngram_join_counts_survive_block_splits(ray_session):
     assert len(rows) == 1  # exactly ONE pair row, not per-partial dups
     # 16 words -> 14 trigrams per doc; 13 shared -> j = 13/15
     assert rows[0]["jaccard"] == pytest.approx(13 / 15)
+
+
+def test_scd2_history_ns_timestamps(ray_session):
+    """scd2_history on a timestamp[ns] column (the pandas default) must
+    return the SAME wall-clock validity intervals as a timestamp[us]
+    column — pre-fix the µs int64s were reinterpreted in the input
+    column's native unit, shrinking every interval 1000×."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import scd2_history
+
+    us = [1_700_000_000_000_000, 1_700_000_060_000_000]
+
+    def run(unit, scale):
+        t = pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "v": pa.array(["a", "b"], pa.string()),
+            "ts": pa.array([u * scale for u in us],
+                           pa.timestamp(unit)),
+            "lsn": pa.array([1, 2], pa.int64()),
+        })
+        out = scd2_history(ray.data.from_arrow(t), "k", "ts", "lsn",
+                           "v").take_all()
+        return sorted(out, key=lambda r: r["valid_from"])
+
+    got_us = run("us", 1)
+    got_ns = run("ns", 1000)
+    for a, b in zip(got_us, got_ns):
+        # both render to the same wall-clock datetimes
+        assert pd.Timestamp(a["valid_from"]) == pd.Timestamp(b["valid_from"])
+    assert pd.Timestamp(got_ns[0]["valid_from"]).year == 2023  # not 1970
+    assert pd.Timestamp(got_ns[0]["valid_to"]) == \
+        pd.Timestamp(got_ns[1]["valid_from"])
+
+
+def test_attribution_null_value_conversion(ray_session):
+    """A conversion row with a NULL value must contribute 0 cents (SQL
+    sum() skips NULLs) — pre-fix NaN.astype(int64) injected INT64_MIN
+    into the credited touch's value_cents sum."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import last_touch_attribution
+
+    t = pa.table({
+        "u": pa.array([1, 1, 2, 2], pa.int64()),
+        "et": pa.array(["ad", "purchase", "ad", "purchase"], pa.string()),
+        "ts": pa.array([1_000_000, 2_000_000, 1_000_000, 2_000_000],
+                       pa.timestamp("us")),
+        "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+        "value": pa.array([None, None, None, 2.5], pa.float64()),
+    })
+    out = {r["touch_type"]: (r["n_conversions"], r["value_cents"])
+           for r in last_touch_attribution(
+               ray.data.from_arrow(t), key_col="u", ts_col="ts",
+               tiebreak_col="lsn", type_col="et", value_col="value",
+               touch_types=["ad"], convert_type="purchase",
+               window_us=3_600_000_000).take_all()}
+    assert out["ad"] == (2, 250)  # NULL conversion counted, 0 cents
+
+
+def test_cohort_retention_string_user_ids(ray_session):
+    """String user ids flow through cohort_retention (pre-fix a hard
+    pc.cast(user, int64) raised ArrowInvalid on every map task)."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import cohort_retention
+
+    week = 7 * 86_400_000_000
+    t = pa.table({
+        "user_id": pa.array(["u_a", "u_a", "u_b"], pa.string()),
+        "ts": pa.array([0, week, 0], pa.timestamp("us")),
+    })
+    out = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in cohort_retention(ray.data.from_arrow(t), "user_id",
+                                     "ts").take_all()}
+    assert out[(0, 0)] == 2
+    assert out[(0, 1)] == 1
+
+
+def test_auto_join_broadcast_preserves_nullable_int64(ray_session):
+    """auto_join's broadcast path must keep a nullable int64 right column
+    as int64 (pre-fix the right.to_pandas() round-trip degraded it to
+    float64, flipping output dtype versus the hash path and rounding
+    values above 2^53)."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import auto_join
+
+    big = (1 << 60) + 1  # not exactly representable in float64
+    left = pa.table({"k": pa.array([1, 2], pa.int64())})
+    right = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([big, None], pa.int64()),
+    })
+    out = auto_join(ray.data.from_arrow(left),
+                    ray.data.from_arrow(right), on="k")
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    assert tbl.schema.field("payload").type == pa.int64()
+    vals = {r["k"]: r["payload"] for r in tbl.to_pylist()}
+    assert vals[1] == big
+    assert vals[2] is None
+
+
+def test_asof_broadcast_typed_null_misses(ray_session):
+    """asof_join's broadcast path gathers right payloads with Arrow take:
+    unmatched left rows carry TYPED int64 nulls, not float64 NaN (which
+    made block dtypes differ from the partitioned path)."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import asof_join
+
+    left = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([100, 100], pa.int64()),
+    })
+    right = pa.table({
+        "k2": pa.array([1], pa.int64()),
+        "rts": pa.array([50], pa.int64()),
+        "ival": pa.array([(1 << 60) + 1], pa.int64()),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_on="ts", right_on="rts",
+                    left_by="k", right_by="k2")
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    assert tbl.schema.field("ival").type == pa.int64()
+    vals = {r["k"]: r["ival"] for r in tbl.to_pylist()}
+    assert vals[1] == (1 << 60) + 1
+    assert vals[2] is None
+
+
+def test_temporal_join_expired_keeps_dtype(ray_session):
+    """Gapped SCD2 history: the expiry mask must NULL dimension columns
+    via Arrow if_else, keeping int64 columns int64 in EVERY batch —
+    pre-fix pandas .loc assignment floated them only in batches that
+    contained an expired match, yielding mixed block schemas."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import temporal_join
+
+    dim = pa.table({
+        "k": pa.array([7], pa.int64()),
+        "valid_from": pa.array([0], pa.int64()),
+        "valid_to": pa.array([100], pa.int64()),  # expires at 100
+        "dim_payload": pa.array([42], pa.int64()),
+    })
+    fact = pa.table({
+        "k": pa.array([7, 7], pa.int64()),
+        "fts": pa.array([50, 200], pa.int64()),  # one live, one expired
+    })
+    out = temporal_join(ray.data.from_arrow(fact),
+                        ray.data.from_arrow(dim),
+                        fact_key="k", fact_ts="fts", dim_key="k")
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    assert tbl.schema.field("dim_payload").type == pa.int64()
+    vals = {r["fts"]: r["dim_payload"] for r in tbl.to_pylist()}
+    assert vals[50] == 42
+    assert vals[200] is None  # expired → typed null, dtype intact
+
+
+def test_ols_trend_null_pairs(ray_session):
+    """grouped_ols_trend drops incomplete (ts, value) pairs BEFORE the
+    moments — pre-fix a NULL y row counted in n/Σx/Σx² while Arrow's
+    null-skipping sum dropped it from Σy/Σxy, skewing the fit."""
+    import ray.data
+
+    from connect_smts_ray.ops.relational import grouped_ols_trend
+
+    def mk(vals):
+        return pa.table({
+            "k": pa.array([1] * len(vals), pa.int64()),
+            "ts": pa.array([i * 1_000_000 for i in range(len(vals))],
+                           pa.timestamp("us")),
+            "y": pa.array(vals, pa.int64()),
+        })
+
+    with_null = grouped_ols_trend(
+        ray.data.from_arrow(mk([10, None, 30])), "k", "ts", "y").take_all()
+    # x positions of the surviving pairs differ (0,2) vs (0,1), so compare
+    # against the same two complete pairs, not a renumbered series
+    assert with_null[0]["n"] == 2
+    assert with_null[0]["slope"] == pytest.approx(10.0)  # 20 per 2 sec
+
+
+def test_group_quantiles_ignores_nulls(ray_session):
+    """quantile_disc semantics: NULL values are not CDF entries — q=1.0
+    must return the max non-null value, and rank bases must not be
+    inflated by null-count rows (pre-fix q=1.0 could return NULL)."""
+    import ray.data
+
+    from connect_smts_ray.ops.corpus import group_quantiles
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a"], pa.string()),
+        "v": pa.array([1, 2, None], pa.int64()),
+    })
+    out = {(r["g"], r["q_pct"]): r["v"]
+           for r in group_quantiles(ray.data.from_arrow(t), "g", "v",
+                                    [0.5, 1.0]).take_all()}
+    assert out[("a", 100)] == 2
+    assert out[("a", 50)] == 1
+
+
+def test_changelog_aggregate_group_col_in_key(ray_session):
+    """Grouping a composite-keyed changelog by one of its OWN key
+    components (key=(tenant,id), group=tenant) must work — pre-fix the
+    post-fuse drop of key columns removed the group column and every
+    bucket task raised KeyError."""
+    import ray.data
+
+    from connect_smts_ray.ops.ivm import changelog_aggregate
+
+    t = pa.table({
+        "tenant": pa.array(["t1", "t1", "t2"], pa.string()),
+        "id": pa.array([1, 2, 1], pa.int64()),
+        "lsn": pa.array([1, 2, 3], pa.int64()),
+        "deleted": pa.array([False, False, False], pa.bool_()),
+        "amount": pa.array([10, 20, 5], pa.int64()),
+    })
+    out = {r["group"]: (r["n_keys"], r["total"])
+           for r in changelog_aggregate(
+               ray.data.from_arrow(t), key_cols=["tenant", "id"],
+               lsn_col="lsn", delete_col="deleted", group_col="tenant",
+               measure_col="amount").take_all()}
+    assert out["t1"] == (2, 30)
+    assert out["t2"] == (1, 5)
