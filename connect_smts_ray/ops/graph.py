@@ -46,28 +46,23 @@ import pyarrow.compute as pc
 from connect_smts_ray.ops.components import hash_join, hash_join_multi
 
 
-def pagerank(edges, iterations: int = 3, num_partitions: int = 16,
-             damping: tuple = (85, 100), init: int = 10**9,
-             broadcast_limit: int = 2_000_000):
-    """Edge Dataset[src:int64, dst:int64] → Dataset[node:int64, pr:int64].
+_RANKS_SCHEMA = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
+_EDGES_DEG_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("dst", pa.int64()), ("count()", pa.int64())])
 
-    ``pr`` after K rounds of r'(u) = base + (d_num · Σ_{v→u} r(v)⌊/⌋deg(v))
-    ⌊/⌋ d_den, with base = ((d_den − d_num) · init) ⌊/⌋ d_den and r0 = init
-    for every node appearing in any edge. Multi-edges count once per
-    occurrence (pre-dedup if adjacency semantics are wanted).
-    """
-    import ray.data
-    from ray.data.aggregate import Sum
 
+def _pagerank_prepare(edges, num_partitions: int, broadcast_limit: int):
+    """Loop-invariant state for the rank recurrence, hoisted and
+    materialized ONCE per pagerank/pagerank_resumable call: the
+    degree-annotated edge table and the zero-contribution node table.
+    Returns ``(edges_deg, nodes)`` or ``(None, None)`` for an empty edge
+    set. (Previously ``pagerank_resumable`` recomputed both every round
+    through a duplicated loop body — round-5 review finding.)"""
     from connect_smts_ray.ops.relational import auto_join
-
-    d_num, d_den = damping
-    base = ((d_den - d_num) * init) // d_den
 
     edges = edges.select_columns(["src", "dst"]).materialize()
     if edges.count() == 0:
-        return ray.data.from_arrow(pa.schema(
-            [("node", pa.int64()), ("pr", pa.int64())]).empty_table())
+        return None, None
 
     outdeg = edges.groupby("src").count()  # (src, count())
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
@@ -77,9 +72,6 @@ def pagerank(edges, iterations: int = 3, num_partitions: int = 16,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
         left_schema=edge_schema, right_schema=deg_schema,
     ).materialize()
-    edges_deg_schema = pa.schema(
-        [("src", pa.int64()), ("dst", pa.int64()), ("count()", pa.int64())]
-    )
 
     def endpoints(b: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays([
@@ -99,54 +91,90 @@ def pagerank(edges, iterations: int = 3, num_partitions: int = 16,
         )
         .materialize()
     )  # (dst, c=0): the zero row keeps no-in-edge nodes in every round
+    return edges_deg, nodes
 
-    ranks = nodes.map_batches(
+
+def _initial_ranks(nodes, init: int):
+    return nodes.map_batches(
         lambda b: pa.table({
             "node": b.column("dst"),
             "pr": pc.add(b.column("c"), init),
         }),
         batch_format="pyarrow",
     ).materialize()
-    ranks_schema = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
 
+
+def _rank_step(edges_deg, nodes, ranks, num_partitions: int,
+               damping: tuple, init: int, broadcast_limit: int):
+    """ONE round of the rank recurrence (lazy) — the single loop body
+    shared by ``pagerank`` and ``pagerank_resumable`` so the bit-exact
+    contract pinned in tests cannot diverge between them."""
+    from ray.data.aggregate import Sum
+
+    from connect_smts_ray.ops.relational import auto_join
+
+    d_num, d_den = damping
+    base = ((d_den - d_num) * init) // d_den
+
+    ranks_keyed = ranks.map_batches(
+        lambda b: pa.table({"src": b.column("node"),
+                            "pr": b.column("pr")}),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(
+        edges_deg, ranks_keyed, on="src",
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        left_schema=_EDGES_DEG_SCHEMA,
+        right_schema=pa.schema([("src", pa.int64()), ("pr", pa.int64())]),
+    )
+
+    def contrib_partial(b: pa.Table) -> pa.Table:
+        # floor division is exact in int64 — no reduction-order
+        # dependence anywhere in the round; collapse per-dst inside
+        # the task so the shuffle carries ≤ |distinct dst| rows/block
+        t = pa.table({
+            "dst": b.column("dst"),
+            "c": pc.divide(b.column("pr"), b.column("count()")),
+        })
+        g = t.group_by("dst", use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"dst": g.column("dst"),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    contrib = joined.map_batches(contrib_partial, batch_format="pyarrow")
+    sums = contrib.union(nodes).groupby("dst").aggregate(Sum("c"))
+    return sums.map_batches(
+        lambda b: pa.table({
+            "node": b.column("dst"),
+            "pr": pc.add(
+                pc.divide(pc.multiply(b.column("sum(c)"), d_num), d_den),
+                base,
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank(edges, iterations: int = 3, num_partitions: int = 16,
+             damping: tuple = (85, 100), init: int = 10**9,
+             broadcast_limit: int = 2_000_000):
+    """Edge Dataset[src:int64, dst:int64] → Dataset[node:int64, pr:int64].
+
+    ``pr`` after K rounds of r'(u) = base + (d_num · Σ_{v→u} r(v)⌊/⌋deg(v))
+    ⌊/⌋ d_den, with base = ((d_den − d_num) · init) ⌊/⌋ d_den and r0 = init
+    for every node appearing in any edge. Multi-edges count once per
+    occurrence (pre-dedup if adjacency semantics are wanted).
+    """
+    import ray.data
+
+    edges_deg, nodes = _pagerank_prepare(edges, num_partitions,
+                                         broadcast_limit)
+    if edges_deg is None:
+        return ray.data.from_arrow(_RANKS_SCHEMA.empty_table())
+
+    ranks = _initial_ranks(nodes, init)
     for _ in range(iterations):
-        ranks_keyed = ranks.map_batches(
-            lambda b: pa.table({"src": b.column("node"),
-                                "pr": b.column("pr")}),
-            batch_format="pyarrow",
-        )
-        joined = auto_join(
-            edges_deg, ranks_keyed, on="src",
-            num_partitions=num_partitions, broadcast_limit=broadcast_limit,
-            left_schema=edges_deg_schema,
-            right_schema=pa.schema([("src", pa.int64()),
-                                    ("pr", pa.int64())]),
-        )
-
-        def contrib_partial(b: pa.Table) -> pa.Table:
-            # floor division is exact in int64 — no reduction-order
-            # dependence anywhere in the round; collapse per-dst inside
-            # the task so the shuffle carries ≤ |distinct dst| rows/block
-            t = pa.table({
-                "dst": b.column("dst"),
-                "c": pc.divide(b.column("pr"), b.column("count()")),
-            })
-            g = t.group_by("dst", use_threads=False).aggregate([("c", "sum")])
-            return pa.table({"dst": g.column("dst"),
-                             "c": pc.cast(g.column("c_sum"), pa.int64())})
-
-        contrib = joined.map_batches(contrib_partial, batch_format="pyarrow")
-        sums = contrib.union(nodes).groupby("dst").aggregate(Sum("c"))
-        ranks = sums.map_batches(
-            lambda b: pa.table({
-                "node": b.column("dst"),
-                "pr": pc.add(
-                    pc.divide(pc.multiply(b.column("sum(c)"), d_num), d_den),
-                    base,
-                ),
-            }),
-            batch_format="pyarrow",
-        ).materialize()
+        ranks = _rank_step(edges_deg, nodes, ranks, num_partitions,
+                           damping, init, broadcast_limit).materialize()
     return ranks
 
 
@@ -536,21 +564,25 @@ def pagerank_resumable(edges, ckpt_dir: str, iterations: int = 3,
     else:
         ranks = None
 
+    # loop-invariant state hoisted ONCE for all remaining rounds
+    edges_deg = nodes = None
+    if start <= iterations:
+        edges_deg, nodes = _pagerank_prepare(edges, num_partitions,
+                                             broadcast_limit)
+
     rounds = 0
     for k in range(start, iterations + 1):
-        if k == 0:
+        if edges_deg is None:  # empty edge set: every round is empty
+            ranks = ray.data.from_arrow(_RANKS_SCHEMA.empty_table())
+        elif k == 0:
             # iteration 0 = the initial rank table (so a crash before any
             # real round still resumes deterministically)
-            ranks = pagerank(edges, iterations=0,
-                            num_partitions=num_partitions, damping=damping,
-                            init=init, broadcast_limit=broadcast_limit)
+            ranks = _initial_ranks(nodes, init)
         else:
             # one more round from the checkpointed state: rerun the rank
-            # recurrence by seeding pagerank's loop with current ranks
-            ranks = _pagerank_round(
-                edges, ranks, num_partitions=num_partitions,
-                damping=damping, init=init,
-                broadcast_limit=broadcast_limit)
+            # recurrence by seeding the shared loop body with current ranks
+            ranks = _rank_step(edges_deg, nodes, ranks, num_partitions,
+                               damping, init, broadcast_limit)
         out = os.path.join(ckpt_dir, f"iter-{k}")
         tmp_manifest = os.path.join(out, "_COMMITTED.json.tmp")
         ranks = ranks.materialize()
@@ -566,81 +598,6 @@ def pagerank_resumable(edges, ckpt_dir: str, iterations: int = 3,
         ranks = ray.data.read_parquet(
             os.path.join(ckpt_dir, f"iter-{iterations}"))
     return ranks, rounds
-
-
-def _pagerank_round(edges, ranks, num_partitions: int = 16,
-                    damping: tuple = (85, 100), init: int = 10**9,
-                    broadcast_limit: int = 2_000_000):
-    """One rank-routing round over an existing rank table (the loop body
-    of ``pagerank``, factored for checkpoint resume)."""
-    from ray.data.aggregate import Sum
-
-    from connect_smts_ray.ops.relational import auto_join
-
-    d_num, d_den = damping
-    base = ((d_den - d_num) * init) // d_den
-
-    edges = edges.select_columns(["src", "dst"]).materialize()
-    outdeg = edges.groupby("src").count()
-    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-    deg_schema = pa.schema([("src", pa.int64()), ("count()", pa.int64())])
-    edges_deg = auto_join(
-        edges, outdeg, on="src",
-        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
-        left_schema=edge_schema, right_schema=deg_schema,
-    )
-
-    def endpoints(b: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.concat_arrays([
-            pc.cast(b.column("src"), pa.int64()).combine_chunks(),
-            pc.cast(b.column("dst"), pa.int64()).combine_chunks(),
-        ])})
-
-    nodes = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node").count()
-        .map_batches(
-            lambda b: pa.table({
-                "dst": b.column("node"),
-                "c": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
-            }),
-            batch_format="pyarrow",
-        )
-    )
-
-    ranks_keyed = ranks.map_batches(
-        lambda b: pa.table({"src": b.column("node"), "pr": b.column("pr")}),
-        batch_format="pyarrow",
-    )
-    joined = auto_join(
-        edges_deg, ranks_keyed, on="src",
-        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
-        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
-                               ("count()", pa.int64())]),
-        right_schema=pa.schema([("src", pa.int64()), ("pr", pa.int64())]),
-    )
-
-    def contrib_partial(b: pa.Table) -> pa.Table:
-        t = pa.table({
-            "dst": b.column("dst"),
-            "c": pc.divide(b.column("pr"), b.column("count()")),
-        })
-        g = t.group_by("dst", use_threads=False).aggregate([("c", "sum")])
-        return pa.table({"dst": g.column("dst"),
-                         "c": pc.cast(g.column("c_sum"), pa.int64())})
-
-    contrib = joined.map_batches(contrib_partial, batch_format="pyarrow")
-    sums = contrib.union(nodes).groupby("dst").aggregate(Sum("c"))
-    return sums.map_batches(
-        lambda b: pa.table({
-            "node": b.column("dst"),
-            "pr": pc.add(
-                pc.divide(pc.multiply(b.column("sum(c)"), d_num), d_den),
-                base,
-            ),
-        }),
-        batch_format="pyarrow",
-    )
 
 
 def bfs_hops(edges, seeds, max_hops: int = 4, num_partitions: int = 16,

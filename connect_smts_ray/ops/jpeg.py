@@ -435,6 +435,8 @@ def _split_entropy(payload: bytes, start: int):
         if m == 0x00:
             cur.append(0xFF)
             i += 2
+        elif m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -462,6 +464,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[i] != 0xFF:
             raise ValueError(f"bad marker alignment at {i}")
         m = payload[i + 1]
+        if m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if m == 0xD9:  # EOI
             break
         seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
@@ -516,6 +521,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     by_id = {c["id"]: c for c in comps}
     order = [by_id[cs] for cs, _, _ in scan]
+    if len(order) != len(comps):
+        # The frame declares more components than this (first) scan
+        # carries — a non-interleaved multi-scan baseline file. Decoding
+        # only the first scan would silently return the luma plane as a
+        # grayscale image; refuse loudly like the progressive case.
+        raise ValueError(
+            f"non-interleaved multi-scan baseline JPEG not supported "
+            f"(frame has {len(comps)} components, scan covers {len(order)})")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcols = -(-w // (8 * hmax))

@@ -134,6 +134,8 @@ def decode_wav(payload: bytes) -> dict:
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV encoding: fmt={audio_format} bits={bits}")
+    if n_channels < 1:
+        raise ValueError(f"corrupt fmt chunk: n_channels={n_channels}")
     samples = np.frombuffer(data, dtype="<i2")
     samples = samples[: (len(samples) // n_channels) * n_channels]
     return {
@@ -456,7 +458,11 @@ def decode_y4m_frame(payload: bytes, k: int) -> tuple[np.ndarray, ...]:
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at offset {pos}")
         nl = payload.find(b"\n", pos + 5)
+        if nl < 0:
+            raise ValueError("truncated FRAME header")
         data_at = nl + 1
+        if data_at + frame_size > len(payload):
+            raise ValueError("truncated Y4M frame data")
         if idx == k:
             out, cur = [], data_at
             for pw, ph in planes:
@@ -758,14 +764,19 @@ class FrameSample:
         params, pos = _y4m_parse_header(p)
         planes = _y4m_plane_sizes(params["W"], params["H"], params["C"])
         frame_size = sum(pw * ph for pw, ph in planes)
-        total = len(_y4m_frame_offsets(p, pos, frame_size))
+        # ONE marker walk yields every frame's data offset; the sampled
+        # luma planes are then direct byte slices (luma is the first,
+        # row-major plane — identical bytes to decode_y4m_frame(k)[0]).
+        offsets = _y4m_frame_offsets(p, pos, frame_size)
+        total = len(offsets)
         n = min(self.n_frames, total)
+        luma_size = planes[0][0] * planes[0][1]
         for i in range(n):
             k = (i * total) // n
             ids.append(mid)
             fidx.append(i)
             orig.append(k)
-            frames.append(decode_y4m_frame(p, k)[0].tobytes())
+            frames.append(p[offsets[k]:offsets[k] + luma_size])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, orig, frames = [], [], [], []

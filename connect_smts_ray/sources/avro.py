@@ -168,6 +168,11 @@ def encode_container(table: pa.Table, codec: str = "deflate",
         col = table.column(f.name)
         if kind == "timestamp-micros":
             col = col.cast(pa.int64())  # µs since epoch, exactly the wire long
+        elif kind == "long" and pa.types.is_unsigned_integer(f.type):
+            # Avro "long" is SIGNED 64-bit; a uint64 value >= 2^63 would
+            # silently corrupt through the zigzag mask (encode 2^63 →
+            # decode -1). A checked cast raises ArrowInvalid instead.
+            col = col.cast(pa.int64())
         cols.append(col.to_pylist())
 
     n = table.num_rows
@@ -356,6 +361,33 @@ def _read_header_bytes(path: str) -> bytes:
                 want *= 2
 
 
+def _plan_one_header(p: str) -> tuple:
+    head = _read_header_bytes(p)
+    _, _, _, _, body_start = _parse_header(memoryview(head))
+    return p, body_start, os.path.getsize(p)
+
+
+def _plan_headers(paths: list) -> list:
+    """``(path, body_start, size)`` per file. Header parses are
+    metadata-only but each blocks on storage; past a handful of files
+    they run as chunked Ray tasks so planning a thousand-part directory
+    doesn't serialize on the driver (round-5 review finding; same shape
+    as ``sources/orc.py``)."""
+    import ray
+
+    if len(paths) <= 8 or not ray.is_initialized():
+        return [_plan_one_header(p) for p in paths]
+
+    @ray.remote(num_cpus=0.5)
+    def chunk_plan(chunk):
+        return [_plan_one_header(p) for p in chunk]
+
+    step = max(8, -(-len(paths) // 64))  # ≤64 planning tasks
+    futs = [chunk_plan.remote(paths[i:i + step])
+            for i in range(0, len(paths), step)]
+    return [t for res in ray.get(futs) for t in res]
+
+
 def read_avro(dir_or_paths, split_size: int = 8 * 1024 * 1024):
     """Read Avro container files as a Dataset, split INSIDE files.
 
@@ -373,10 +405,7 @@ def read_avro(dir_or_paths, split_size: int = 8 * 1024 * 1024):
 
     paths = _resolve_avro_paths(dir_or_paths)
     units: list = []
-    for p in paths:
-        head = _read_header_bytes(p)
-        _, _, _, _, body_start = _parse_header(memoryview(head))
-        size = os.path.getsize(p)
+    for p, body_start, size in _plan_headers(paths):
         start = body_start
         while start < size:
             end = min(start + split_size, size)

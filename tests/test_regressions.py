@@ -1387,3 +1387,114 @@ def test_changelog_aggregate_group_col_in_key(ray_session):
                measure_col="amount").take_all()}
     assert out["t1"] == (2, 30)
     assert out["t2"] == (1, 5)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker — both in
+    the segment stream and inside the entropy stream before RSTn. The
+    decoder must skip them, not truncate the scan (sixth review pass)."""
+    from connect_smts_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.repeat(np.repeat(
+        (2 * np.arange(12).reshape(3, 4) % 256).astype(np.uint8), 8, 0),
+        8, 1)
+    enc = encode_jpeg(img, restart_interval=1)
+
+    # fill byte ahead of a header segment marker (DQT)
+    dqt = enc.find(b"\xff\xdb")
+    padded = enc[:dqt] + b"\xff" + enc[dqt:]
+    assert np.array_equal(decode_jpeg(padded), img)
+
+    # fill byte ahead of an in-scan restart marker
+    rst = enc.find(b"\xff\xd0")
+    assert rst != -1
+    padded = enc[:rst] + b"\xff" + enc[rst:]
+    assert np.array_equal(decode_jpeg(padded), img)
+
+
+def test_jpeg_multiscan_rejected_not_grayscale():
+    """A baseline file whose first SOS covers fewer components than the
+    frame declares (non-interleaved multi-scan) must raise, not silently
+    return the luma plane as grayscale (sixth review pass)."""
+    from connect_smts_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = (np.arange(16 * 16 * 3).reshape(16, 16, 3) % 256).astype(np.uint8)
+    enc = encode_jpeg(rgb)
+    sos = enc.find(b"\xff\xda")
+    assert sos != -1
+    old_len = int.from_bytes(enc[sos + 2:sos + 4], "big")
+    # rebuild the SOS to cover ONLY the first component of the three
+    body = enc[sos + 4:sos + 2 + old_len]
+    ns = body[0]
+    assert ns == 3
+    comp1 = body[1:3]
+    spec = body[1 + 2 * ns:]
+    new_body = bytes([1]) + comp1 + spec
+    new_sos = b"\xff\xda" + (len(new_body) + 2).to_bytes(2, "big") + new_body
+    patched = enc[:sos] + new_sos + enc[sos + 2 + old_len:]
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(patched)
+
+
+def test_y4m_frame_random_access_validates_truncation():
+    """decode_y4m_frame must reject truncated FRAME headers / frame data
+    like the full-decode path does, not return header bytes as pixels
+    (sixth review pass)."""
+    from connect_smts_ray.ops.multimodal import decode_y4m_frame, encode_y4m
+
+    frames = (np.arange(2 * 2 * 3).reshape(2, 2, 3) % 256).astype(np.uint8)
+    enc = encode_y4m(frames)
+    with pytest.raises(ValueError, match="truncated Y4M frame data"):
+        decode_y4m_frame(enc[:-3], 1)  # frame 1's data cut short
+    second_frame = enc.rfind(b"FRAME")
+    with pytest.raises(ValueError, match="truncated FRAME header"):
+        decode_y4m_frame(enc[:second_frame + 5], 1)  # marker, no newline
+
+
+def test_wav_zero_channels_raises_value_error():
+    """A corrupt fmt chunk with n_channels=0 must raise ValueError, not
+    ZeroDivisionError (sixth review pass)."""
+    import struct
+
+    from connect_smts_ray.ops.multimodal import decode_wav, encode_wav
+
+    enc = bytearray(encode_wav(np.array([1, 2, 3], np.int16)))
+    fmt_at = bytes(enc).find(b"fmt ") + 8
+    enc[fmt_at + 2:fmt_at + 4] = struct.pack("<H", 0)  # n_channels := 0
+    with pytest.raises(ValueError, match="n_channels=0"):
+        decode_wav(bytes(enc))
+
+
+def test_avro_uint64_overflow_raises_not_corrupts():
+    """Avro 'long' is signed: a uint64 value >= 2^63 must raise at encode
+    time, not silently round-trip as a negative number; representable
+    uint64 values round-trip exactly (sixth review pass)."""
+    from connect_smts_ray.sources.avro import decode_container, encode_container
+
+    ok = pa.table({"v": pa.array([0, 5, 2**63 - 1], pa.uint64())})
+    back = decode_container(encode_container(ok))
+    assert back.column("v").to_pylist() == [0, 5, 2**63 - 1]
+
+    bad = pa.table({"v": pa.array([2**63], pa.uint64())})
+    with pytest.raises(pa.lib.ArrowInvalid):
+        encode_container(bad)
+
+
+def test_orc_avro_many_file_planning_distributed(ray_session, tmp_path):
+    """Reading a directory with more than 8 part files exercises the
+    chunked-Ray-task planning path (driver-stall review finding) and
+    must return exactly the written rows."""
+    import ray.data
+
+    from connect_smts_ray.sources.avro import read_avro, write_avro
+    from connect_smts_ray.sources.orc import read_orc, write_orc
+
+    t = pa.table({"k": pa.array(range(120), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(12)
+    for write, read, sub in ((write_orc, read_orc, "orc"),
+                             (write_avro, read_avro, "avro")):
+        d = str(tmp_path / sub)
+        paths = write(ds, d)
+        assert paths.count() >= 9  # enough parts to hit the task path
+        got = sorted(r["k"] for r in read(d).take_all())
+        assert got == list(range(120))
