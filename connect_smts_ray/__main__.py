@@ -65,6 +65,18 @@ def cmd_replay(args) -> dict:
 
 
 def cmd_read(args) -> dict:
+    import os
+    import shutil
+
+    # write_parquet never clears the target, so a rerun into the same
+    # --out would accumulate both runs' files and double-count rows —
+    # refuse a non-empty target unless --overwrite clears it first
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        if not args.overwrite:
+            raise SystemExit(
+                f"--out {args.out} already exists and is not empty; "
+                "pass --overwrite to replace it")
+        shutil.rmtree(args.out)
     cfg = _upsert_cfg(args)
     if args.branch:
         from connect_smts_ray.sinks.branch import read_branch_ds
@@ -139,6 +151,7 @@ def main(argv=None) -> int:
     rd.add_argument("--as-of", type=int, default=None)
     rd.add_argument("--tag", default=None)
     rd.add_argument("--branch", default=None)
+    rd.add_argument("--overwrite", action="store_true")
     rd.set_defaults(fn=cmd_read)
 
     t = sub.add_parser("tag")

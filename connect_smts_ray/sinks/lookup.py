@@ -187,7 +187,10 @@ def point_lookup(cfg: UpsertConfig, keys: pa.Table,
                                        dtype=np.uint8)
                 mask = _bloom_probe(probe, bitmap, doc["bits"], doc["k"])
                 cand = probe.filter(pa.array(mask))
-            except FileNotFoundError:
+            except (OSError, ValueError, KeyError):
+                # missing OR unreadable/corrupt sidecar (truncated copy,
+                # bad hex, absent fields): the index is an optimization,
+                # never a correctness gate — fall back to reading the file
                 unindexed += 1
                 cand = probe  # no index → must read (never skip blindly)
             if len(cand):

@@ -43,12 +43,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from connect_smts_ray.core.metrics import emit_merge_lineage
 from connect_smts_ray.sinks.upsert import (
     UpsertConfig,
     add_partition_id,
     lww_winners,
     merge_tables,
     _align_schemas,
+    _canonicalize,
     _lineage_row,
     _maybe_compact,
 )
@@ -93,6 +95,7 @@ def merge_into(source_ds, cfg: UpsertConfig, merge_lsn: int, epoch: int,
         existing = store.read_manifest(pid, epoch)
         if existing is not None:
             _maybe_compact(store, cfg, pid, epoch)
+            emit_merge_lineage(existing, skipped=True)
             return _lineage_row(existing, skipped=True)
 
         # deterministic last-wins among duplicate source keys; sources
@@ -187,6 +190,13 @@ def merge_into(source_ds, cfg: UpsertConfig, merge_lsn: int, epoch: int,
 
         import pyarrow.parquet as pq
 
+        # keys are unique post-LWW and the clause masks are disjoint, so
+        # the canonical (key-sorted, column-ordered) form is fully
+        # deterministic — without it the delta's byte content would
+        # depend on shuffle arrival order (all-tie sort when the source
+        # lacked order columns), breaking the commit protocol's
+        # byte-stable-file invariant under speculative re-execution
+        delta = _canonicalize(delta, cfg)
         manifest = store.commit(
             pid, epoch,
             lambda tmp: pq.write_table(delta, tmp),
@@ -195,6 +205,7 @@ def merge_into(source_ds, cfg: UpsertConfig, merge_lsn: int, epoch: int,
              "offset_range": [merge_lsn, merge_lsn]},
         )
         _maybe_compact(store, cfg, pid, epoch)
+        emit_merge_lineage(manifest, skipped=False)
         return _lineage_row(manifest, skipped=False)
 
     routed = source_ds.map_batches(route, batch_format="pyarrow")

@@ -29,8 +29,11 @@ from ray.data import Datasink
 
 class BlockFileDatasink(Datasink):
     """Write each input block to ``{out_dir}/part-{task}-{j}-{sha}{ext}``
-    via ``encode_fn(table, tmp_path)``; collect (path, n_rows) rows in
-    ``self.results`` after the write completes."""
+    via ``encode_fn(table, tmp_path, content_sha16)`` — the third
+    argument is the first 16 bytes of the block's content sha256, for
+    formats that want a deterministic sync marker (Avro); encoders that
+    don't need it take it as ``_sync`` and ignore it (ORC). Collects
+    (path, n_rows) rows in ``self.results`` after the write completes."""
 
     def __init__(self, out_dir: str, ext: str, encode_fn):
         self.out_dir = out_dir

@@ -129,12 +129,18 @@ class ExpandJson:
 
     # -- per-record core (transformDebeziumJsonField, :187-256) -------------
 
-    def _transform_one(self, col: str, raw: str):
-        """Returns (slot_index, value) or None when the field is dropped."""
-        try:
-            node = orjson.loads(raw)
-        except orjson.JSONDecodeError as e:
-            raise ValueError(f"cannot parse JSON value {raw!r}") from e
+    def _transform_one(self, col: str, raw: str, pre: tuple | None = None):
+        """Returns (slot_index, value) or None when the field is dropped.
+        ``pre`` is a 1-tuple holding an already-parsed node (from the
+        vectorized fast path) so a fast-path miss never re-parses rows
+        it already decoded."""
+        if pre is not None:
+            node = pre[0]
+        else:
+            try:
+                node = orjson.loads(raw)
+            except orjson.JSONDecodeError as e:
+                raise ValueError(f"cannot parse JSON value {raw!r}") from e
 
         slots = self.registry[col]
         union_mode = self.config.union_previous_messages_schema
@@ -211,11 +217,17 @@ class ExpandJson:
             batch = self._expand_column(batch, col)
         return batch
 
-    def _vectorized_fast_path(self, batch: pa.Table, col: str, raw: list):
+    def _vectorized_fast_path(self, batch: pa.Table, col: str, raw: list,
+                              parsed_out: list | None = None):
         """Whole-batch fast path: compiled-checker validation per parsed row
         against slot 0, then ONE ``pa.array`` build. Returns the new batch or
         None (→ authoritative row-wise path). Only valid for configs where
-        ``compile_fast_checker`` mirrors ``map_json_to_schema`` exactly."""
+        ``compile_fast_checker`` mirrors ``map_json_to_schema`` exactly.
+
+        ``parsed_out`` (len(raw) slots) receives ``(node,)`` for every row
+        this pass successfully ``orjson.loads``-ed, so on a miss the
+        row-wise path reuses the parse work instead of decoding the whole
+        batch a second time (round-5 review finding)."""
         if not (
             self.config.union_previous_messages_schema
             and self.config.probabilistic_fast_path
@@ -234,6 +246,8 @@ class ExpandJson:
                 node = orjson.loads(r)
             except orjson.JSONDecodeError:
                 return None
+            if parsed_out is not None:
+                parsed_out[i] = (node,)
             if node is None:
                 continue
             if not check(node):
@@ -271,17 +285,18 @@ class ExpandJson:
 
     def _expand_column(self, batch: pa.Table, col: str) -> pa.Table:
         raw = batch.column(col).to_pylist()
-        fast = self._vectorized_fast_path(batch, col, raw)
+        n = len(raw)
+        parsed_cache: list = [None] * n
+        fast = self._vectorized_fast_path(batch, col, raw, parsed_cache)
         if fast is not None:
             return fast
-        n = len(raw)
         slot_of: list = [None] * n
         val_of: list = [None] * n
         for i, r in enumerate(raw):
             # tombstone / null / empty payloads → dropped field (:60-63,:87-89)
             if r is None or r == "" or r == b"":
                 continue
-            t = self._transform_one(col, r)
+            t = self._transform_one(col, r, pre=parsed_cache[i])
             if t is None:
                 continue
             slot_of[i], val_of[i] = t

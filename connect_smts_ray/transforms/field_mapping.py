@@ -60,6 +60,14 @@ def apply_field_mapping(batch: pa.Table, cfg: FieldMappingConfig) -> pa.Table:
         elif m.cast is not None and arr.type != m.cast:
             arr = pc.cast(arr, m.cast)
         cols[m.out] = arr
+    if not cols:
+        # pa.table({}) has num_rows == 0 — a vacuous config (no mappings
+        # and no keep column present in the batch) would silently DELETE
+        # every row of the stream; that is always a misconfiguration
+        raise ValueError(
+            "field mapping produced no columns (empty mappings and no "
+            "keep column present in the batch) — refusing to emit a "
+            "zero-row table for a non-empty input")
     return pa.table(cols)
 
 

@@ -1498,3 +1498,184 @@ def test_orc_avro_many_file_planning_distributed(ray_session, tmp_path):
         assert paths.count() >= 9  # enough parts to hit the task path
         got = sorted(r["k"] for r in read(d).take_all())
         assert got == list(range(120))
+
+
+def test_field_mapping_vacuous_config_raises():
+    """A mapping config that produces no columns must raise, not emit a
+    zero-row table that silently deletes the stream (seventh review
+    pass)."""
+    from connect_smts_ray.transforms.field_mapping import (
+        FieldMappingConfig,
+        apply_field_mapping,
+    )
+
+    batch = pa.table({"a": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="no columns"):
+        apply_field_mapping(batch, FieldMappingConfig(mappings=()))
+    with pytest.raises(ValueError, match="no columns"):
+        apply_field_mapping(
+            batch, FieldMappingConfig(mappings=(), keep=("missing",)))
+
+
+def test_lookup_corrupt_sidecar_falls_back(ray_session, tmp_path):
+    """A truncated/garbage .bloom.json sidecar must degrade to reading
+    the data file (index is an optimization), not crash the lookup
+    (seventh review pass)."""
+    import glob as _glob
+
+    import ray.data
+
+    from connect_smts_ray.sinks.lookup import (
+        _sidecar_path,
+        build_bloom_sidecars,
+        point_lookup,
+    )
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2)
+    t = pa.table({
+        "repo": pa.array(["r"] * 4, pa.string()),
+        "path": pa.array(list("abcd"), pa.string()),
+        "commit_lsn": pa.array([1] * 4, pa.int64()),
+        "source_offset": pa.array(range(4), pa.int64()),
+        "is_tombstone": pa.array([False] * 4, pa.bool_()),
+        "content": pa.array([c + "1" for c in "abcd"], pa.string()),
+    })
+    run_upsert(ray.data.from_arrow(t), cfg, epoch=0).materialize()
+    build_bloom_sidecars(cfg)
+    sides = [_sidecar_path(f) for f in _glob.glob(
+        str(tmp_path / "lake") + "/**/*.parquet", recursive=True)]
+    sides = [s for s in sides if os.path.exists(s)]
+    assert sides
+    for s in sides:  # corrupt every sidecar three different ways
+        with open(s, "w") as fh:
+            fh.write('{"bits": 64')  # truncated JSON
+    keys = pa.table({"repo": pa.array(["r", "r"], pa.string()),
+                     "path": pa.array(["a", "d"], pa.string())})
+    got, stats = point_lookup(cfg, keys)
+    assert sorted(got.column("path").to_pylist()) == ["a", "d"]
+    assert stats["unindexed_files"] >= 1
+
+
+def test_merge_delta_bytes_deterministic(ray_session, tmp_path):
+    """merge_into's committed delta file must be byte-identical across
+    source arrival orders (canonicalized like every other writer), so a
+    speculative re-execution cannot swap in a byte-different file
+    (seventh review pass)."""
+    import hashlib as _hashlib
+
+    import ray.data
+
+    from connect_smts_ray.sinks.merge import merge_into
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    def target():
+        return pa.table({
+            "repo": pa.array(["r"] * 3, pa.string()),
+            "path": pa.array(list("abc"), pa.string()),
+            "commit_lsn": pa.array([0] * 3, pa.int64()),
+            "source_offset": pa.array(range(3), pa.int64()),
+            "is_tombstone": pa.array([False] * 3, pa.bool_()),
+            "content": pa.array(["a0", "b0", "c0"], pa.string()),
+        })
+
+    # source WITHOUT order columns → all-tie sort inside the merge; rows
+    # reversed between the two runs to vary arrival order
+    src_rows = pa.table({
+        "repo": pa.array(["r"] * 4, pa.string()),
+        "path": pa.array(["a", "b", "x", "y"], pa.string()),
+        "content": pa.array(["a9", "b9", "x9", "y9"], pa.string()),
+    })
+
+    hashes = []
+    for tag, tbl in (("fwd", src_rows),
+                     ("rev", src_rows.take(pa.array([3, 2, 1, 0])))):
+        cfg = UpsertConfig(lake_dir=str(tmp_path / f"lake-{tag}"),
+                           num_partitions=2)
+        run_upsert(ray.data.from_arrow(target()), cfg, epoch=0).materialize()
+        merge_into(ray.data.from_arrow(tbl), cfg, merge_lsn=7,
+                   epoch=1).to_pandas()
+        store = cfg.resolve().store()
+        per_pid = {}
+        for pid in range(2):
+            p = store.state_path(pid, 1)
+            if os.path.exists(p):
+                per_pid[pid] = _hashlib.sha256(
+                    open(p, "rb").read()).hexdigest()
+        hashes.append(per_pid)
+    assert hashes[0] == hashes[1] and hashes[0]
+
+
+def test_cli_read_refuses_nonempty_out(ray_session, tmp_path):
+    """Rerunning `read` into a non-empty --out must fail loudly (Ray's
+    write_parquet would otherwise accumulate both runs' files and
+    double-count rows); --overwrite clears and rewrites (seventh review
+    pass)."""
+    import argparse
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from connect_smts_ray.__main__ import cmd_read
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2)
+    t = pa.table({
+        "repo": pa.array(["r"] * 3, pa.string()),
+        "path": pa.array(list("abc"), pa.string()),
+        "commit_lsn": pa.array([1] * 3, pa.int64()),
+        "source_offset": pa.array(range(3), pa.int64()),
+        "is_tombstone": pa.array([False] * 3, pa.bool_()),
+        "content": pa.array(["a1", "b1", "c1"], pa.string()),
+    })
+    run_upsert(ray.data.from_arrow(t), cfg, epoch=0).materialize()
+
+    out = str(tmp_path / "state")
+    ns = argparse.Namespace(lake_dir=cfg.lake_dir, out=out, as_of=None,
+                            tag=None, branch=None, overwrite=False)
+    assert cmd_read(ns)["rows"] == 3
+    with pytest.raises(SystemExit, match="not empty"):
+        cmd_read(ns)
+    ns.overwrite = True
+    assert cmd_read(ns)["rows"] == 3
+    assert pads.dataset(out).count_rows() == 3
+
+
+def test_expand_json_single_parse_on_fast_path_miss():
+    """A fast-path miss must NOT re-parse payloads the vectorized pass
+    already decoded — one orjson.loads per row, not two (seventh review
+    pass)."""
+    import connect_smts_ray.transforms.expand_json as ej
+    from connect_smts_ray.core.schema import SType, stype_to_dict
+    from connect_smts_ray.transforms.expand_json import (
+        ExpandJson,
+        ExpandJsonConfig,
+    )
+
+    boot = SType("struct", name="j",
+                 fields=(("a", SType("int32", optional=True)),))
+    ex = ExpandJson(ExpandJsonConfig(
+        columns=("j",), bootstrap_schemas={"j": [stype_to_dict(boot)]}))
+
+    calls = {"n": 0}
+    real = ej.orjson
+
+    class CountingOrjson:
+        JSONDecodeError = real.JSONDecodeError
+        dumps = staticmethod(real.dumps)
+
+        @staticmethod
+        def loads(s):
+            calls["n"] += 1
+            return real.loads(s)
+
+    ej.orjson = CountingOrjson
+    try:
+        # last row has a NEW field → slot-0 checker miss → row-wise path
+        batch = pa.table({"j": pa.array(
+            ['{"a":1}', '{"a":2}', '{"a":3,"zz":"new"}'], pa.string())})
+        out = ex(batch)
+    finally:
+        ej.orjson = real
+    assert calls["n"] == 3  # one parse per row, no second full pass
+    assert out.num_rows == 3
