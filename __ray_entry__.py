@@ -28,13 +28,11 @@ import pyarrow.compute as pc
 
 def _append_value_cents(b: pa.Table) -> pa.Table:
     """Arrow-side fixed-point: value → integer cents (half away from zero,
-    matching DuckDB round), appended as ``value_cents``."""
-    cents = pc.cast(
-        pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)),
-                 round_mode="half_towards_infinity"),
-        pa.int64(),
-    )
-    return b.append_column(pa.field("value_cents", pa.int64()), cents)
+    matching DuckDB round), appended as ``value_cents``. Delegates to
+    ``_fixed_point_arrow`` — ONE copy of the oracle-load-bearing rounding
+    convention."""
+    return b.append_column(pa.field("value_cents", pa.int64()),
+                           _fixed_point_arrow(b.column("value"), 100))
 
 
 
@@ -934,23 +932,47 @@ def q_asof_join_orders(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _text_to_media_batch(b: pa.Table) -> pa.Table:
+    """documents (doc_id, text) → (media_id, payload) opaque-binary batch —
+    the shared fixture for the fake-decode media queries."""
+    payloads = [
+        None if t is None else t.encode()
+        for t in b.column("text").to_pylist()
+    ]
+    return pa.table({
+        "media_id": b.column("doc_id"),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+
+
+def _synth_bmp_batch(b: pa.Table) -> pa.Table:
+    """Formula BMP per doc_id: w=4+d%5, h=3+d%4, file-order (BGR) channel
+    c pixel v = (d + 7x + 13y + 31c) % 256. SHARED by q_media_bmp_stats
+    and q_media_resize_stats — both SQL oracles recompute this exact
+    formula, so there must be exactly one engine-side copy of it."""
+    from connect_smts_ray.ops.multimodal import encode_bmp
+
+    payloads = []
+    for d in b.column("doc_id").to_pylist():
+        w, h = 4 + d % 5, 3 + d % 4
+        x = np.arange(w, dtype=np.int64)[None, :, None]
+        y = np.arange(h, dtype=np.int64)[:, None, None]
+        c_rgb = np.array([2, 1, 0], dtype=np.int64)[None, None, :]
+        rgb = ((d + 7 * x + 13 * y + 31 * c_rgb) % 256).astype(np.uint8)
+        payloads.append(encode_bmp(rgb))
+    return pa.table({
+        "media_id": b.column("doc_id"),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: documents → opaque binary payloads → actor-pool
     decode stub → fixed-dim feature vectors (non-SQL; deterministic fake)."""
     from connect_smts_ray.ops.multimodal import DecodeConfig, DecodeMedia
 
-    def to_media(b: pa.Table) -> pa.Table:
-        payloads = [
-            None if t is None else t.encode()
-            for t in b.column("text").to_pylist()
-        ]
-        return pa.table({
-            "media_id": b.column("doc_id"),
-            "payload": pa.array(payloads, type=pa.binary()),
-        })
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(to_media, batch_format="pyarrow")
+    ds = ds.map_batches(_text_to_media_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         DecodeMedia,
         fn_constructor_kwargs={"config": DecodeConfig(feature_dim=16, fake=True)},
@@ -1033,18 +1055,8 @@ def q_media_frames(sf_dir: str):
     SQL-checkable end-to-end."""
     from connect_smts_ray.ops.multimodal import FrameSample
 
-    def to_media(b: pa.Table) -> pa.Table:
-        payloads = [
-            None if t is None else t.encode()
-            for t in b.column("text").to_pylist()
-        ]
-        return pa.table({
-            "media_id": b.column("doc_id"),
-            "payload": pa.array(payloads, type=pa.binary()),
-        })
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(to_media, batch_format="pyarrow")
+    ds = ds.map_batches(_text_to_media_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         FrameSample,
         fn_constructor_kwargs={"n_frames": 4, "fake": True},
@@ -1096,25 +1108,10 @@ def q_media_bmp_stats(sf_dir: str):
     (pixel values a pure int function of doc_id/x/y/channel), parse it with
     the real BMP decoder (header, 4-byte row padding, bottom-up rows,
     BGR→RGB), and emit bit-exact per-channel pixel sums."""
-    from connect_smts_ray.ops.multimodal import DecodeBmp, encode_bmp
-
-    def to_bmp(b: pa.Table) -> pa.Table:
-        payloads = []
-        for d in b.column("doc_id").to_pylist():
-            w, h = 4 + d % 5, 3 + d % 4
-            x = np.arange(w, dtype=np.int64)[None, :, None]
-            y = np.arange(h, dtype=np.int64)[:, None, None]
-            # file-order (BGR) channel index c: v = (d + 7x + 13y + 31c) % 256
-            c_rgb = np.array([2, 1, 0], dtype=np.int64)[None, None, :]
-            rgb = ((d + 7 * x + 13 * y + 31 * c_rgb) % 256).astype(np.uint8)
-            payloads.append(encode_bmp(rgb))
-        return pa.table({
-            "media_id": b.column("doc_id"),
-            "payload": pa.array(payloads, type=pa.binary()),
-        })
+    from connect_smts_ray.ops.multimodal import DecodeBmp
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-    ds = ds.map_batches(to_bmp, batch_format="pyarrow")
+    ds = ds.map_batches(_synth_bmp_batch, batch_format="pyarrow")
     return ds.map_batches(
         DecodeBmp, batch_format="pyarrow",
         concurrency=(1, 8), num_cpus=1, batch_size=512,
@@ -1164,25 +1161,10 @@ def q_media_resize_stats(sf_dir: str):
     6×5, then the real BMP decoder for per-channel sums — two chained
     real-codec actor stages; the oracle recomputes the sums by addressing
     the exact source pixels ((x·w_in)//6, (y·h_in)//5) in SQL."""
-    from connect_smts_ray.ops.multimodal import (DecodeBmp, ResizeImage,
-                                                 encode_bmp)
-
-    def to_bmp(b: pa.Table) -> pa.Table:
-        payloads = []
-        for d in b.column("doc_id").to_pylist():
-            w, h = 4 + d % 5, 3 + d % 4
-            x = np.arange(w, dtype=np.int64)[None, :, None]
-            y = np.arange(h, dtype=np.int64)[:, None, None]
-            c_rgb = np.array([2, 1, 0], dtype=np.int64)[None, None, :]
-            rgb = ((d + 7 * x + 13 * y + 31 * c_rgb) % 256).astype(np.uint8)
-            payloads.append(encode_bmp(rgb))
-        return pa.table({
-            "media_id": b.column("doc_id"),
-            "payload": pa.array(payloads, type=pa.binary()),
-        })
+    from connect_smts_ray.ops.multimodal import DecodeBmp, ResizeImage
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-    ds = ds.map_batches(to_bmp, batch_format="pyarrow")
+    ds = ds.map_batches(_synth_bmp_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         ResizeImage, fn_constructor_kwargs={"out_w": 6, "out_h": 5},
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
@@ -3217,7 +3199,7 @@ def q_csv_roundtrip(sf_dir: str):
     out_dir = tempfile.mkdtemp(prefix="csr_csv_")
     ds.write_csv(out_dir)
     back = ray.data.read_csv(out_dir)
-    return back.map_batches(
+    result = back.map_batches(
         lambda b: pa.table({
             "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
             "lang": pc.cast(b.column("lang"), pa.string()),
@@ -3226,7 +3208,9 @@ def q_csv_roundtrip(sf_dir: str):
             "text": pc.cast(b.column("text"), pa.string()),
         }),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consume BEFORE deleting the scratch dir (leak fix)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
 
 
 def q_export_shards(sf_dir: str):
@@ -3238,10 +3222,13 @@ def q_export_shards(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     out = tempfile.mkdtemp(prefix="csr_export_")
-    return export_shards(ds, out, id_col="doc_id", num_shards=8).map_batches(
+    result = export_shards(ds, out, id_col="doc_id",
+                           num_shards=8).map_batches(
         lambda b: b.select(["shard", "n_rows", "sum_id", "min_id", "max_id"]),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consume BEFORE deleting the scratch dir (leak fix)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 def q_scd2_history(sf_dir: str):
@@ -3568,9 +3555,11 @@ def q_dlq_expand(sf_dir: str):
     mapping = FieldMappingConfig(
         keep=("event_id",), mappings=(FieldMap("k", "props.k", pa.int32()),)
     )
-    return ds.map_batches(
+    result = ds.map_batches(
         lambda b: apply_field_mapping(b, mapping), batch_format="pyarrow"
-    )
+    ).materialize()  # consume BEFORE deleting the DLQ scratch dir (leak fix)
+    shutil.rmtree(dlq_dir, ignore_errors=True)
+    return result
 
 
 def q_dlq_replay(sf_dir: str):
@@ -4099,16 +4088,18 @@ def _replay_final_state_sql(events_per_key: int = 6, seed: int = 42) -> str:
     """
 
 
-def _replay_lineage_sql(events_per_key: int = 6, seed: int = 42,
-                        num_partitions: int = 8) -> str:
-    """Per-partition replay lineage in pure SQL: the composite key
-    (length-prefixed ``len:repo\\x1flen:path``, sinks/upsert.py:84-112) is
-    hashed with the same recursive-CTE Kafka murmur2 used by the outbox
-    oracle, then events aggregate per partition — rows_in counts every
-    c/u/d event routed there (the combiner's exact __rows_rep telemetry),
-    rows_merged/deletes split keys by whether the max-lsn winner is a
-    delete, offsets are true event extremes."""
-    M = "CAST(1540483477 AS BIGINT)"
+def _murmur2_cte_chain(carry: str) -> str:
+    """The Kafka-murmur2 CTE pipeline (seed 0x9747b28c, m 0x5bd1e995,
+    r 24, no-break switch tail), SHARED by every SQL oracle that must
+    reproduce the engine's partitioner bit-exactly. Expects an upstream
+    CTE named ``keys`` with columns ``{carry}, s``; emits the chain
+    ``init → mloop → bulk → t3 → t2 → t1 → f1`` where ``f1`` holds
+    ``{carry}, h`` with h = ((h ^ h>>>13) * m) % 2^32 — callers apply
+    the final ``h ^= h>>>15`` and their own modulo. ONE copy only: the
+    emulation is golden-vector-validated against
+    core/hashing.murmur2_positive_many and a divergent second copy would
+    silently desynchronize an oracle's partition assignment."""
+    M = "CAST(1540483477 AS BIGINT)"      # 0x5bd1e995
     U32 = "4294967296"
     chunk = (
         "(CAST(unicode(substr(s, i*4+1, 1)) AS BIGINT)"
@@ -4117,9 +4108,48 @@ def _replay_lineage_sql(events_per_key: int = 6, seed: int = 42,
         " + CAST(unicode(substr(s, i*4+4, 1)) AS BIGINT) * 16777216)"
     )
     k1 = f"(({chunk} * {M}) % {U32})"
-    k2 = f"xor({k1}, {k1} // 16777216)"
+    k2 = f"xor({k1}, {k1} // 16777216)"           # k ^= k >>> 24
     k3 = f"(({k2} * {M}) % {U32})"
-    step = f"xor((h * {M}) % {U32}, {k3})"
+    step = f"xor((h * {M}) % {U32}, {k3})"        # h = (h*m) ^ k
+    return f"""init AS (
+          SELECT {carry}, s, strlen(s) AS len,
+                 CAST(xor(2538058380, strlen(s)) AS BIGINT) AS h
+          FROM keys
+        ),
+        mloop AS (
+          SELECT {carry}, s, len, 0 AS i, h FROM init
+          UNION ALL
+          SELECT {carry}, s, len, i + 1, {step} AS h
+          FROM mloop WHERE i < len // 4
+        ),
+        bulk AS (SELECT {carry}, s, len, h FROM mloop WHERE i = len // 4),
+        -- Kafka's switch has NO breaks: case 3 falls through 2 through 1
+        t3 AS (SELECT {carry}, s, len,
+                 CASE WHEN len % 4 >= 3
+                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 3, 1)) AS BIGINT) * 65536)
+                      ELSE h END AS h FROM bulk),
+        t2 AS (SELECT {carry}, s, len,
+                 CASE WHEN len % 4 >= 2
+                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 2, 1)) AS BIGINT) * 256)
+                      ELSE h END AS h FROM t3),
+        t1 AS (SELECT {carry}, s, len,
+                 CASE WHEN len % 4 >= 1
+                      THEN (xor(h, CAST(unicode(substr(s, len - (len % 4) + 1, 1)) AS BIGINT)) * {M}) % {U32}
+                      ELSE h END AS h FROM t2),
+        f1 AS (SELECT {carry},
+                      (xor(h, h // 8192) * {M}) % {U32} AS h FROM t1)"""
+
+
+def _replay_lineage_sql(events_per_key: int = 6, seed: int = 42,
+                        num_partitions: int = 8) -> str:
+    """Per-partition replay lineage in pure SQL: the composite key
+    (length-prefixed ``len:repo\\x1flen:path``, sinks/upsert.py:84-112) is
+    hashed with the same recursive-CTE Kafka murmur2 used by the outbox
+    oracle (shared ``_murmur2_cte_chain``), then events aggregate per
+    partition — rows_in counts every c/u/d event routed there (the
+    combiner's exact __rows_rep telemetry), rows_merged/deletes split
+    keys by whether the max-lsn winner is a delete, offsets are true
+    event extremes."""
     return f"""
         WITH RECURSIVE {_binlog_corpus_sql(seed)},
         keys AS (
@@ -4128,33 +4158,7 @@ def _replay_lineage_sql(events_per_key: int = 6, seed: int = 42,
                    || CAST(length(path) AS VARCHAR) || ':' || path AS s
           FROM seeded
         ),
-        init AS (
-          SELECT repo, path, ks, s, strlen(s) AS len,
-                 CAST(xor(2538058380, strlen(s)) AS BIGINT) AS h
-          FROM keys
-        ),
-        mloop AS (
-          SELECT repo, path, ks, s, len, 0 AS i, h FROM init
-          UNION ALL
-          SELECT repo, path, ks, s, len, i + 1, {step} AS h
-          FROM mloop WHERE i < len // 4
-        ),
-        bulk AS (SELECT repo, path, ks, s, len, h
-                 FROM mloop WHERE i = len // 4),
-        t3 AS (SELECT repo, path, ks, s, len,
-                 CASE WHEN len % 4 >= 3
-                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 3, 1)) AS BIGINT) * 65536)
-                      ELSE h END AS h FROM bulk),
-        t2 AS (SELECT repo, path, ks, s, len,
-                 CASE WHEN len % 4 >= 2
-                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 2, 1)) AS BIGINT) * 256)
-                      ELSE h END AS h FROM t3),
-        t1 AS (SELECT repo, path, ks, s, len,
-                 CASE WHEN len % 4 >= 1
-                      THEN (xor(h, CAST(unicode(substr(s, len - (len % 4) + 1, 1)) AS BIGINT)) * {M}) % {U32}
-                      ELSE h END AS h FROM t2),
-        f1 AS (SELECT repo, path, ks,
-                      (xor(h, h // 8192) * {M}) % {U32} AS h FROM t1),
+        {_murmur2_cte_chain("repo, path, ks")},
         seeded2 AS (SELECT repo, path, ks,
                  CAST((xor(h, h // 32768) % 2147483648) % {num_partitions}
                       AS INTEGER) AS partition_id
@@ -4261,50 +4265,14 @@ def _murmur2_partition_sql(num_partitions: int = 16) -> str:
     int64), '>>>' as integer division, the 4-byte little-endian bulk loop
     as a recursive CTE, and the no-break switch tail as chained CASEs.
     Validated cell-for-cell against core/hashing.murmur2_positive_many
-    (which itself passes the reference's golden vectors)."""
-    M = "CAST(1540483477 AS BIGINT)"      # 0x5bd1e995
-    U32 = "4294967296"
-    chunk = (
-        "(CAST(unicode(substr(s, i*4+1, 1)) AS BIGINT)"
-        " + CAST(unicode(substr(s, i*4+2, 1)) AS BIGINT) * 256"
-        " + CAST(unicode(substr(s, i*4+3, 1)) AS BIGINT) * 65536"
-        " + CAST(unicode(substr(s, i*4+4, 1)) AS BIGINT) * 16777216)"
-    )
-    k1 = f"(({chunk} * {M}) % {U32})"
-    k2 = f"xor({k1}, {k1} // 16777216)"           # k ^= k >>> 24
-    k3 = f"(({k2} * {M}) % {U32})"
-    step = f"xor((h * {M}) % {U32}, {k3})"        # h = (h*m) ^ k
+    (which itself passes the reference's golden vectors). Hash pipeline
+    shared via ``_murmur2_cte_chain``."""
     return f"""
         WITH RECURSIVE
         keys AS (
           SELECT event_id, CAST(user_id AS VARCHAR) AS s FROM events
         ),
-        init AS (
-          SELECT event_id, s, strlen(s) AS len,
-                 CAST(xor(2538058380, strlen(s)) AS BIGINT) AS h
-          FROM keys
-        ),
-        mloop AS (
-          SELECT event_id, s, len, 0 AS i, h FROM init
-          UNION ALL
-          SELECT event_id, s, len, i + 1, {step} AS h
-          FROM mloop WHERE i < len // 4
-        ),
-        bulk AS (SELECT event_id, s, len, h FROM mloop WHERE i = len // 4),
-        -- Kafka's switch has NO breaks: case 3 falls through 2 through 1
-        t3 AS (SELECT event_id, s, len,
-                 CASE WHEN len % 4 >= 3
-                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 3, 1)) AS BIGINT) * 65536)
-                      ELSE h END AS h FROM bulk),
-        t2 AS (SELECT event_id, s, len,
-                 CASE WHEN len % 4 >= 2
-                      THEN xor(h, CAST(unicode(substr(s, len - (len % 4) + 2, 1)) AS BIGINT) * 256)
-                      ELSE h END AS h FROM t3),
-        t1 AS (SELECT event_id, s, len,
-                 CASE WHEN len % 4 >= 1
-                      THEN (xor(h, CAST(unicode(substr(s, len - (len % 4) + 1, 1)) AS BIGINT)) * {M}) % {U32}
-                      ELSE h END AS h FROM t2),
-        f1 AS (SELECT event_id, (xor(h, h // 8192) * {M}) % {U32} AS h FROM t1),
+        {_murmur2_cte_chain("event_id")},
         f2 AS (SELECT event_id, xor(h, h // 32768) AS h FROM f1)
         SELECT event_id,
                CAST((h % 2147483648) % {num_partitions} AS INTEGER)
