@@ -3604,7 +3604,7 @@ def q_dlq_replay(sf_dir: str):
         dlq_dir, expand,
         schema=pa.schema([("event_id", pa.int64()),
                           ("props", pa.string())]),
-        repair=repair,
+        repair=repair, from_stage="expand",
     ).materialize()
 
     mapping = FieldMappingConfig(

@@ -59,12 +59,35 @@ def _to_arrow_schema(schema) -> pa.Schema | None:
     return pa.schema(list(zip(schema.names, schema.types)))
 
 
+def _canon_key_series(key_array) -> pd.Series:
+    """Canonical pandas rendering of a key column for hashing/merging.
+
+    ``to_pandas()`` on a nullable int64 column yields float64 when the
+    batch happens to contain a null — so the SAME value hashes (and
+    string-renders) differently across batches depending on its
+    neighbors, silently splitting equal keys across join buckets and
+    producing bloom false negatives (ninth review pass, repro'd). The
+    Arrow string cast is null-stable ('5' is '5' with or without null
+    neighbors, nulls stay null) and exact at any magnitude (no 2^53
+    float collapse)."""
+    if isinstance(key_array, pd.Series):
+        key_array = pa.Array.from_pandas(key_array)
+    if not pa.types.is_string(key_array.type) and \
+            not pa.types.is_large_string(key_array.type):
+        try:
+            key_array = pc.cast(key_array, pa.string())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass  # non-castable payload types hash as-is
+    return key_array.to_pandas()
+
+
 def _bucket_of(key_array: pa.ChunkedArray, num_partitions: int) -> pa.Array:
     """Deterministic, content-derived bucket id for any key dtype
     (pandas hash_pandas_object — seedless murmur, stable across processes
-    and cluster layouts)."""
+    and cluster layouts). Keys canonicalize through ``_canon_key_series``
+    so bucket identity never depends on a batch's null layout."""
     h = pd.util.hash_pandas_object(
-        key_array.to_pandas(), index=False
+        _canon_key_series(key_array), index=False
     ).to_numpy()
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
@@ -119,6 +142,9 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
                 "pass right_schema so the output keeps the right columns")
         if how in ("left_anti", "left_outer"):
             return left  # left_outer: right cols unknowable; caller handles
+        # inner/left_semi: 0 rows is correct, but the output SCHEMA drops
+        # the right columns (unknowable without right_schema) — pass
+        # right_schema if downstream code selects them on the empty day
         return left.limit(0)
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
@@ -174,12 +200,16 @@ def hash_join(left, right, left_on: str, right_on: str, how: str = "inner",
     )
 
     def _gather_join(ltab: pa.Table, rtab: pa.Table) -> pa.Table:
+        # merge on the CANONICAL key rendering: raw to_pandas() coerces
+        # nullable int64 to float64, which both collapses 64-bit ids
+        # above 2^53 (spurious matches) and renders inconsistently across
+        # sides (ninth review pass)
         ldf = pd.DataFrame({
-            "k": ltab.column(left_on).to_pandas(),
+            "k": _canon_key_series(ltab.column(left_on)),
             "li": np.arange(ltab.num_rows, dtype=np.int64),
         })
         rdf = pd.DataFrame({
-            "k": rtab.column(right_on).to_pandas(),
+            "k": _canon_key_series(rtab.column(right_on)),
             "ri": np.arange(rtab.num_rows, dtype=np.int64),
         })
         # acero leaves null join keys unmatched, but pandas merge matches
@@ -465,7 +495,7 @@ _BLOOM_KEY1 = b"csr-bloom-h1-key"  # 16 bytes, pandas hash_key contract
 _BLOOM_KEY2 = b"csr-bloom-h2-key"
 
 
-def _bloom_hashes(values: pd.Series):
+def _bloom_hashes(values):
     """Two independent vectorized 64-bit hashes per value (pandas
     murmur-based hash_pandas_object with distinct keys) for double
     hashing: index_i = (h1 + i·h2) mod bits.
@@ -473,8 +503,13 @@ def _bloom_hashes(values: pd.Series):
     hash_pandas_object only applies ``hash_key`` to OBJECT (string)
     dtypes — numeric columns would hash identically under both keys,
     degenerating double hashing to multiples of one hash (k-fold worse FP
-    rate, though never false negatives). Cast non-object inputs to their
-    string rendering first so the two streams stay independent."""
+    rate, though never false negatives). Inputs canonicalize through the
+    Arrow string cast (``_canon_key_series``): the old pandas
+    ``astype(str)`` rendered int 5 as '5' or '5.0' depending on whether
+    the batch carried a null (float64 coercion) — a build/probe rendering
+    mismatch IS a bloom false negative, the one failure mode the contract
+    forbids (ninth review pass, repro'd)."""
+    values = _canon_key_series(values)
     if values.dtype != object:
         values = values.astype(str)
     h1 = pd.util.hash_pandas_object(
@@ -502,7 +537,9 @@ def bloom_build(ds, col: str, bits: int = 1 << 20, k: int = 4) -> bytes:
     def block_bitmap(batch: pa.Table) -> pa.Table:
         bitmap = np.zeros(nbytes, dtype=np.uint8)
         if batch.num_rows:
-            h1, h2 = _bloom_hashes(batch.column(col).to_pandas())
+            # pass the ARROW column — a pre-coerced pandas series would
+            # reintroduce the null-dependent '5' vs '5.0' rendering
+            h1, h2 = _bloom_hashes(batch.column(col))
             for i in range(k):
                 idx = (h1 + np.uint64(i) * h2) % np.uint64(bits)
                 np.bitwise_or.at(
@@ -529,9 +566,7 @@ def bloom_maybe_contains(values, bitmap: bytes, bits: int = 1 << 20,
             f"bitmap holds {len(bitmap) * 8} bits but {bits} were requested"
         )
     arr = np.frombuffer(bitmap, dtype=np.uint8)
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pandas()
-    h1, h2 = _bloom_hashes(values)
+    h1, h2 = _bloom_hashes(values)  # Arrow or pandas; canonicalized inside
     mask = np.ones(len(h1), dtype=bool)
     for i in range(k):
         idx = (h1 + np.uint64(i) * h2) % np.uint64(bits)
@@ -650,6 +685,11 @@ def skew_join(left, right, left_on: str, right_on: str, how: str = "inner",
             f"skew_join does not support how={how!r}: replicated right "
             "rows would emit duplicate unmatched-right output under "
             "full_outer; use hash_join (unsalted) instead")
+    # The census and the join BOTH consume the left plan (and schema()
+    # would partially execute it a third time) — materialize once so the
+    # upstream pipeline runs a single time; blocks live in the object
+    # store (spillable) and feed both consumers (ninth review pass).
+    left = left.materialize()
     if left_schema is None:
         left_schema = _to_arrow_schema(left.schema())
     if right_schema is None:

@@ -103,7 +103,10 @@ def export_shards(ds, out_dir: str, id_col: str = "doc_id",
                 skipped = False
         if not skipped:
             os.makedirs(sdir, exist_ok=True)
-            tmp = dpath + ".tmp"
+            # pid-suffixed scratch: a Ray retry racing a still-live
+            # original must not interleave writes into ONE tmp file and
+            # publish the corrupt result (same guard as dlq.py)
+            tmp = dpath + f".{os.getpid()}.tmp"
             pq.write_table(body, tmp)
             os.replace(tmp, dpath)  # atomic: readers never see half a file
             mtmp = mpath + ".tmp"
@@ -111,13 +114,23 @@ def export_shards(ds, out_dir: str, id_col: str = "doc_id",
                 json.dump({"shard": k, "n_rows": body.num_rows,
                            "sha256": sha}, f)
             os.replace(mtmp, mpath)  # manifest last = the commit point
-        ids = body.column(id_col).to_numpy(zero_copy_only=False)
+        # Arrow kernels, NOT numpy: a null id coerces the numpy array to
+        # float64 (NaN sum → ValueError) where pc.sum/min_max skip nulls;
+        # sum is exact within int64 per shard (the SQL oracle also sums
+        # per shard, so both sides agree or both overflow loudly).
+        idc = body.column(id_col)
+        if not pa.types.is_integer(idc.type):
+            raise ValueError(
+                f"export_shards id_col must be an integer column for the "
+                f"summary stats, got {idc.type}")
+        mm = pc.min_max(idc)
+        s = pc.sum(idc)
         return pa.table({
             "shard": pa.array([k], pa.int64()),
             "n_rows": pa.array([body.num_rows], pa.int64()),
-            "sum_id": pa.array([int(ids.sum())], pa.int64()),
-            "min_id": pa.array([int(ids.min())], pa.int64()),
-            "max_id": pa.array([int(ids.max())], pa.int64()),
+            "sum_id": pa.array([s.as_py() or 0], pa.int64()),
+            "min_id": pa.array([mm["min"].as_py()], pa.int64()),
+            "max_id": pa.array([mm["max"].as_py()], pa.int64()),
             "skipped": pa.array([skipped], pa.bool_()),
         })
 

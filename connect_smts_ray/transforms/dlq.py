@@ -23,6 +23,7 @@ import json
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -92,15 +93,21 @@ def with_dlq(fn, dlq_dir: str, stage: str = "stage"):
             # worker can still return a correctly-shaped empty table.
             wrapped._out_schema = goods[0].schema
             return pa.concat_tables(goods)
-        # Every row failed: the output must still carry fn's schema. Prefer
-        # the schema recorded from a prior success; otherwise try fn on the
-        # empty slice — some transforms can't handle 0-row input, so guard
-        # it and fall back to an empty table of the recorded schema.
+        # Every row failed — OR the batch was empty (Ray Data routinely
+        # produces 0-row blocks downstream of filters; zero rows failing
+        # must not raise). The output must still carry fn's schema:
+        # prefer the schema recorded from a prior success; otherwise try
+        # fn on the empty slice — some transforms can't handle 0-row
+        # input, so guard it and fall back to the recorded schema.
         if wrapped._out_schema is not None:
             return wrapped._out_schema.empty_table()
         try:
             return fn(batch.slice(0, 0))
         except Exception as e:  # noqa: BLE001 — same contract as the bisect
+            if batch.num_rows == 0:
+                # nothing failed; no schema knowable yet — an empty
+                # SCHEMALESS table unions cleanly with later real output
+                return batch.select([])
             raise RuntimeError(
                 f"DLQ stage '{stage}': every row of the first batch failed "
                 "and fn cannot produce a 0-row output to define the schema; "
@@ -131,7 +138,8 @@ def read_dlq(dlq_dir: str) -> pa.Table:
 
 
 def replay_dlq(dlq_dir: str, fn, schema: pa.Schema, repair=None,
-               dlq_dir_out: str | None = None, stage: str = "replay"):
+               dlq_dir_out: str | None = None, stage: str = "replay",
+               from_stage: str | None = None):
     """Reprocess a DLQ after the failure is fixed — the operational other
     half of ``with_dlq`` (Connect ops teams drain the DLQ topic back
     through the repaired connector; the engine analog drains the DLQ
@@ -148,6 +156,12 @@ def replay_dlq(dlq_dir: str, fn, schema: pa.Schema, repair=None,
     was Python ``None`` is stored as the string ``'None'`` — a ``repair``
     that needs true nulls must map it back.
 
+    ``from_stage`` selects WHICH stage's dead rows to drain when one DLQ
+    directory serves several stages (the shared-directory layout the
+    module docstring describes): rows from other stages have different
+    original columns and would rebuild as all-null through this
+    ``schema``. None replays everything (single-stage directories).
+
     Scale: one Dataset task per DLQ file; DLQ volume is the error rate,
     not the data rate."""
     import glob
@@ -159,6 +173,8 @@ def replay_dlq(dlq_dir: str, fn, schema: pa.Schema, repair=None,
         return ray.data.from_arrow(schema.empty_table())
 
     def rebuild(b: pa.Table) -> pa.Table:
+        if from_stage is not None:
+            b = b.filter(pc.equal(b.column("stage"), from_stage))
         rows = [json.loads(s) for s in b.column("record_json").to_pylist()]
         if repair is not None:
             rows = [repair(dict(r)) for r in rows]

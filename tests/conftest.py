@@ -7,7 +7,8 @@ import pytest
 def ray_session():
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=4,
@@ -20,7 +21,8 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield ray
-    ray.shutdown()
+    if owned:  # never tear down a runtime someone else initialised
+        ray.shutdown()
 
 
 @pytest.fixture()

@@ -1679,3 +1679,151 @@ def test_expand_json_single_parse_on_fast_path_miss():
         ej.orjson = real
     assert calls["n"] == 3  # one parse per row, no second full pass
     assert out.num_rows == 3
+
+
+def test_bucket_of_null_independent(ray_session):
+    """The SAME int key must land in the SAME join bucket whether or not
+    its batch carries a null (to_pandas float64 coercion changed the
+    hashed bits — ninth review pass, silent join misses)."""
+    from connect_smts_ray.ops.components import _bucket_of
+
+    clean = pa.chunked_array([pa.array([5, 7, 123456789], pa.int64())])
+    nully = pa.chunked_array([pa.array([5, None, 7, 123456789], pa.int64())])
+    b_clean = _bucket_of(clean, 16).to_pylist()
+    b_nully = _bucket_of(nully, 16).to_pylist()
+    assert b_clean[0] == b_nully[0]   # 5
+    assert b_clean[1] == b_nully[2]   # 7
+    assert b_clean[2] == b_nully[3]   # 123456789
+
+
+def test_hash_join_nulls_uneven_across_blocks(ray_session):
+    """End-to-end: matches survive when one side's blocks mix null and
+    null-free layouts of the same int key (ninth review pass)."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join
+
+    lt1 = pa.table({"k": pa.array([5, 7], pa.int64()),
+                    "l": pa.array(["a", "b"], pa.string())})
+    lt2 = pa.table({"k": pa.array([9, None], pa.int64()),
+                    "l": pa.array(["c", "d"], pa.string())})
+    rt = pa.table({"k": pa.array([5, 7, 9], pa.int64()),
+                   "r": pa.array(["x", "y", "z"], pa.string())})
+    left = ray.data.from_arrow([lt1, lt2])
+    right = ray.data.from_arrow(rt)
+    out = hash_join(left, right, left_on="k", right_on="k", how="inner",
+                    num_partitions=4).take_all()
+    assert sorted((r["k"], r["r"]) for r in out) == \
+        [(5, "x"), (7, "y"), (9, "z")]
+
+
+def test_bloom_no_false_negative_with_nulls(ray_session):
+    """A bloom built over null-free int blocks must still claim presence
+    for the same values probed from a null-carrying array ('5' vs '5.0'
+    rendering split — ninth review pass)."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    vals = list(range(100))
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals, pa.int64())}))
+    bm = bloom_build(ds, "k", bits=1 << 12, k=4)
+    probe = pa.array([5, None, 42, 99, 100000], pa.int64())
+    mask = bloom_maybe_contains(probe, bm, bits=1 << 12, k=4)
+    assert mask[0] and mask[2] and mask[3]  # present values: NEVER negative
+    # and the reverse: build WITH nulls, probe clean
+    ds2 = ray.data.from_arrow(pa.table({
+        "k": pa.array(vals + [None], pa.int64())}))
+    bm2 = bloom_build(ds2, "k", bits=1 << 12, k=4)
+    mask2 = bloom_maybe_contains(pa.array([5, 42], pa.int64()), bm2,
+                                 bits=1 << 12, k=4)
+    assert mask2.all()
+
+
+def test_gather_join_big_int_ids_exact(ray_session):
+    """The list-payload join path must not collapse 64-bit ids above 2^53
+    through float64 (ninth review pass): adjacent huge ids join exactly."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import hash_join
+
+    base = 2**60
+    lt = pa.table({
+        "k": pa.array([base, base + 1, None], pa.int64()),
+        "emb": pa.array([[1.0], [2.0], [3.0]], pa.list_(pa.float64())),
+    })
+    rt = pa.table({"k": pa.array([base + 1], pa.int64()),
+                   "tag": pa.array(["hit"], pa.string())})
+    out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    left_on="k", right_on="k", how="inner",
+                    num_partitions=2).take_all()
+    assert len(out) == 1 and out[0]["k"] == base + 1
+
+
+def test_export_shards_null_ids_and_string_rejection(ray_session, tmp_path):
+    """Null ids must not crash the shard summary (Arrow kernels skip
+    them); a string id_col raises a clear error instead of a numpy
+    concat crash (ninth review pass)."""
+    import ray.data
+
+    from connect_smts_ray.ops.export import export_shards
+
+    t = pa.table({"doc_id": pa.array([1, 2, None, 4], pa.int64()),
+                  "x": pa.array(list("abcd"), pa.string())})
+    out = export_shards(ray.data.from_arrow(t), str(tmp_path / "e1"),
+                        id_col="doc_id", num_shards=2).take_all()
+    assert sum(r["n_rows"] for r in out) == 4
+    assert sum(r["sum_id"] for r in out) == 7  # nulls skipped
+
+    t2 = pa.table({"doc_id": pa.array(["a", "b"], pa.string()),
+                   "x": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="integer column"):
+        export_shards(ray.data.from_arrow(t2), str(tmp_path / "e2"),
+                      id_col="doc_id", num_shards=2).take_all()
+
+
+def test_with_dlq_empty_batch_no_raise(tmp_path):
+    """A 0-row batch through a DLQ-wrapped transform that cannot handle
+    empty input must return empty, not raise 'every row failed' (ninth
+    review pass)."""
+    from connect_smts_ray.transforms.dlq import with_dlq
+
+    def fussy(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            raise ValueError("cannot handle empty input")
+        return b
+
+    wrapped = with_dlq(fussy, str(tmp_path / "dlq"), stage="s")
+    out = wrapped(pa.table({"a": pa.array([], pa.int64())}))
+    assert out.num_rows == 0
+    # and real rows still flow after the empty block
+    out2 = wrapped(pa.table({"a": pa.array([1, 2], pa.int64())}))
+    assert out2.num_rows == 2
+
+
+def test_replay_dlq_stage_filter(ray_session, tmp_path):
+    """replay_dlq(from_stage=...) drains only the named stage's dead rows
+    when one DLQ directory serves several stages (ninth review pass)."""
+    from connect_smts_ray.transforms.dlq import replay_dlq, with_dlq
+
+    d = str(tmp_path / "dlq")
+
+    def fail_all(b: pa.Table) -> pa.Table:
+        if b.num_rows:
+            raise ValueError("boom")
+        return b
+
+    # stage A dead rows have column 'a'; stage B rows have column 'b'
+    with_dlq(fail_all, d, stage="A")(
+        pa.table({"a": pa.array([1, 2], pa.int64())}))
+    with_dlq(fail_all, d, stage="B")(
+        pa.table({"b": pa.array(["x"], pa.string())}))
+
+    healed = replay_dlq(
+        d, lambda b: b, schema=pa.schema([("a", pa.int64())]),
+        repair=lambda r: r, from_stage="A",
+    ).take_all()
+    assert sorted(r["a"] for r in healed) == [1, 2]
