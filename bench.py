@@ -456,6 +456,8 @@ def _update_baseline_md(result: dict) -> None:
             return
     text = head
     clo, chi = result["cpus_lo"], result["cpus_hi"]
+    pcr = result["per_cycle_efficiency_ratio"]
+    pcr_s = pcr if pcr is not None else "n/a (steal-corrupted window)"
     text += f"""
 {marker}
 
@@ -489,7 +491,7 @@ context in the full lists — per-round raw efficiencies:
   (steal {result['steal_core_sec_hi']} core-s)
 - Events per DELIVERED core-second: {result['events_per_delivered_core_sec_lo']}
   ({clo}) vs {result['events_per_delivered_core_sec_hi']} ({chi}) → per-cycle
-  efficiency ratio **{result['per_cycle_efficiency_ratio']}** (rule analog:
+  efficiency ratio **{pcr_s}** (rule analog:
   ≥ 0.8 — the engine converts granted cycles into events at the same rate at
   both widths, i.e. no coordination loss as the cluster widens)
 

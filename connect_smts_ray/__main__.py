@@ -70,13 +70,15 @@ def cmd_read(args) -> dict:
 
     # write_parquet never clears the target, so a rerun into the same
     # --out would accumulate both runs' files and double-count rows —
-    # refuse a non-empty target unless --overwrite clears it first
-    if os.path.isdir(args.out) and os.listdir(args.out):
-        if not args.overwrite:
-            raise SystemExit(
-                f"--out {args.out} already exists and is not empty; "
-                "pass --overwrite to replace it")
-        shutil.rmtree(args.out)
+    # refuse a non-empty target unless --overwrite replaces it. The old
+    # export is replaced only AFTER the new one is fully written (write
+    # to a sibling scratch dir, then swap): a typo'd --tag / missing lake
+    # must never destroy the previous good export.
+    exists = os.path.isdir(args.out) and os.listdir(args.out)
+    if exists and not args.overwrite:
+        raise SystemExit(
+            f"--out {args.out} already exists and is not empty; "
+            "pass --overwrite to replace it")
     cfg = _upsert_cfg(args)
     if args.branch:
         from connect_smts_ray.sinks.branch import read_branch_ds
@@ -86,9 +88,17 @@ def cmd_read(args) -> dict:
         from connect_smts_ray.sinks.upsert import read_lake_ds
 
         ds = read_lake_ds(cfg, as_of=args.as_of, tag=args.tag)
+    target = args.out + f".tmp-{os.getpid()}" if exists else args.out
     # streaming distributed write (one file per merge task / partition) —
     # the state never materializes on the driver or in the object store
-    ds.write_parquet(args.out)
+    try:
+        ds.write_parquet(target)
+    except BaseException:
+        shutil.rmtree(target, ignore_errors=True)
+        raise
+    if target != args.out:  # swap: old export vanishes only on success
+        shutil.rmtree(args.out)
+        os.rename(target, args.out)
     import pyarrow.dataset as pads
 
     n = pads.dataset(args.out).count_rows()  # metadata-only footer scan

@@ -71,7 +71,13 @@ def _canon_key_series(key_array) -> pd.Series:
     neighbors, nulls stay null) and exact at any magnitude (no 2^53
     float collapse)."""
     if isinstance(key_array, pd.Series):
-        key_array = pa.Array.from_pandas(key_array)
+        # from_pandas=False keeps float NaN as NaN (→ renders 'nan', same
+        # as an Arrow double column) instead of silently nulling it — a
+        # build-via-Arrow / probe-via-pandas rendering split would be a
+        # bloom false negative
+        key_array = pa.array(key_array, from_pandas=False)
+    elif isinstance(key_array, np.ndarray):
+        key_array = pa.array(key_array)
     if not pa.types.is_string(key_array.type) and \
             not pa.types.is_large_string(key_array.type):
         try:
@@ -511,6 +517,10 @@ def _bloom_hashes(values):
     forbids (ninth review pass, repro'd)."""
     values = _canon_key_series(values)
     if values.dtype != object:
+        # only reachable for types the Arrow string cast refused AND
+        # pandas maps to a native dtype (e.g. duration → timedelta64);
+        # their str() rendering is null-layout-independent, so this is
+        # safe — string/int/float keys never take this branch
         values = values.astype(str)
     h1 = pd.util.hash_pandas_object(
         values, index=False, hash_key=_BLOOM_KEY1.decode()

@@ -74,6 +74,17 @@ def export_shards(ds, out_dir: str, id_col: str = "doc_id",
     bytes are identical either way."""
     os.makedirs(out_dir, exist_ok=True)
 
+    # Fail BEFORE any shard writes: a non-integer id_col would otherwise
+    # write every shard's parquet + manifest and then fail building the
+    # summary — full export I/O for a job that can never succeed.
+    sch = ds.schema()
+    if sch is not None:
+        t = dict(zip(sch.names, sch.types)).get(id_col)
+        if t is not None and not pa.types.is_integer(t):
+            raise ValueError(
+                f"export_shards id_col must be an integer column for the "
+                f"summary stats, got {t}")
+
     sharded = ds.map_batches(
         lambda b: add_shard(b, id_col, num_shards, salt),
         batch_format="pyarrow",

@@ -368,24 +368,12 @@ def _plan_one_header(p: str) -> tuple:
 
 
 def _plan_headers(paths: list) -> list:
-    """``(path, body_start, size)`` per file. Header parses are
-    metadata-only but each blocks on storage; past a handful of files
-    they run as chunked Ray tasks so planning a thousand-part directory
-    doesn't serialize on the driver (round-5 review finding; same shape
-    as ``sources/orc.py``)."""
-    import ray
+    """``(path, body_start, size)`` per file via the shared chunked-Ray
+    planner (``sources/filesink.py: plan_files``) — a thousand-part
+    directory plans distributed, not serially on the driver."""
+    from connect_smts_ray.sources.filesink import plan_files
 
-    if len(paths) <= 8 or not ray.is_initialized():
-        return [_plan_one_header(p) for p in paths]
-
-    @ray.remote(num_cpus=0.5)
-    def chunk_plan(chunk):
-        return [_plan_one_header(p) for p in chunk]
-
-    step = max(8, -(-len(paths) // 64))  # ≤64 planning tasks
-    futs = [chunk_plan.remote(paths[i:i + step])
-            for i in range(0, len(paths), step)]
-    return [t for res in ray.get(futs) for t in res]
+    return plan_files(paths, _plan_one_header)
 
 
 def read_avro(dir_or_paths, split_size: int = 8 * 1024 * 1024):

@@ -82,25 +82,17 @@ def _stripe_count(p: str) -> int:
             f"cannot read ORC footer of {p}: {_short_err(e)}") from None
 
 
+def _plan_pair(p: str) -> tuple:
+    return p, _stripe_count(p)
+
+
 def _stripe_counts(paths: list) -> list:
-    """``(path, nstripes)`` per file. Footer opens are metadata-only but
-    each one blocks on storage; past a handful of files they run as
-    chunked Ray tasks so planning a thousand-part directory doesn't
-    serialize on the driver (round-5 review finding). Only tiny ints
-    come back — the stripes themselves never touch the driver."""
-    import ray
+    """``(path, nstripes)`` per file via the shared chunked-Ray planner
+    (``sources/filesink.py: plan_files``) — a thousand-part directory
+    plans distributed, and only tiny ints come back to the driver."""
+    from connect_smts_ray.sources.filesink import plan_files
 
-    if len(paths) <= 8 or not ray.is_initialized():
-        return [(p, _stripe_count(p)) for p in paths]
-
-    @ray.remote(num_cpus=0.5)
-    def chunk_counts(chunk):
-        return [(p, _stripe_count(p)) for p in chunk]
-
-    step = max(8, -(-len(paths) // 64))  # ≤64 planning tasks
-    futs = [chunk_counts.remote(paths[i:i + step])
-            for i in range(0, len(paths), step)]
-    return [pair for res in ray.get(futs) for pair in res]
+    return plan_files(paths, _plan_pair)
 
 
 def read_orc(dir_or_paths):

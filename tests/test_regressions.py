@@ -1827,3 +1827,61 @@ def test_replay_dlq_stage_filter(ray_session, tmp_path):
         repair=lambda r: r, from_stage="A",
     ).take_all()
     assert sorted(r["a"] for r in healed) == [1, 2]
+
+
+def test_cli_read_overwrite_preserves_old_on_failure(ray_session, tmp_path):
+    """--overwrite must not destroy the previous export when the new read
+    FAILS (typo'd tag): the new state writes to a scratch dir and swaps
+    in only on success (review of the round-5 diff)."""
+    import argparse
+
+    from connect_smts_ray.__main__ import cmd_read
+    from connect_smts_ray.sinks.upsert import UpsertConfig, run_upsert
+
+    import ray.data
+
+    cfg = UpsertConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2)
+    t = pa.table({
+        "repo": pa.array(["r"] * 2, pa.string()),
+        "path": pa.array(["a", "b"], pa.string()),
+        "commit_lsn": pa.array([1, 1], pa.int64()),
+        "source_offset": pa.array([0, 1], pa.int64()),
+        "is_tombstone": pa.array([False, False], pa.bool_()),
+        "content": pa.array(["a1", "b1"], pa.string()),
+    })
+    run_upsert(ray.data.from_arrow(t), cfg, epoch=0).materialize()
+    out = str(tmp_path / "state")
+    ns = argparse.Namespace(lake_dir=cfg.lake_dir, out=out, as_of=None,
+                            tag=None, branch=None, overwrite=False)
+    assert cmd_read(ns)["rows"] == 2
+    before = sorted(os.listdir(out))
+
+    ns.tag, ns.overwrite = "no-such-tag", True
+    with pytest.raises(Exception):
+        cmd_read(ns)
+    assert sorted(os.listdir(out)) == before  # old export untouched
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+    assert not leftovers
+
+    ns.tag = None
+    assert cmd_read(ns)["rows"] == 2  # successful overwrite still works
+
+
+def test_bloom_accepts_numpy_and_nan_consistency(ray_session):
+    """bloom_maybe_contains accepts numpy arrays (pre-round-5 behavior
+    restored), and a float NaN probed via pandas matches one built via
+    Arrow (no null-vs-'nan' rendering split)."""
+    import ray.data
+
+    from connect_smts_ray.ops.components import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1.5, float("nan"), 7.25], pa.float64())}))
+    bm = bloom_build(ds, "k", bits=1 << 12, k=4)
+    assert bloom_maybe_contains(np.array([1.5, 7.25]), bm,
+                                bits=1 << 12, k=4).all()
+    assert bloom_maybe_contains(pd.Series([float("nan")]), bm,
+                                bits=1 << 12, k=4).all()
