@@ -95,3 +95,66 @@ def test_repetition_stats_invariants(texts):
         else:
             assert 0.0 <= row["dup_2gram_frac"] <= 1.0
             assert 1.0 / expect_n <= row["top_2gram_frac"] <= 1.0
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-2**62, 2**62), st.none()),
+        min_size=1, max_size=30),
+    extra_nulls=st.lists(st.booleans(), min_size=1, max_size=30),
+)
+@SET
+def test_bucket_of_invariant_to_null_neighbors(vals, extra_nulls):
+    """PROPERTY: a key's join bucket depends only on its VALUE, never on
+    whether its batch happens to carry nulls (the Arrow→pandas float64
+    coercion bug class, ninth review pass)."""
+    from connect_smts_ray.ops.components import _bucket_of
+
+    base = pa.chunked_array([pa.array(vals, pa.int64())])
+    # same values with a different null layout appended
+    padded = pa.chunked_array([pa.array(
+        vals + [None if b else 1 for b in extra_nulls], pa.int64())])
+    b1 = _bucket_of(base, 16).to_pylist()
+    b2 = _bucket_of(padded, 16).to_pylist()[: len(vals)]
+    for v, x, y in zip(vals, b1, b2):
+        if v is not None:
+            assert x == y, f"bucket of {v} changed with null neighbors"
+
+
+@given(
+    vals=st.lists(st.integers(0, 10**15), min_size=1, max_size=25,
+                  unique=True),
+    null_positions=st.lists(st.booleans(), min_size=1, max_size=25),
+)
+@SET
+def test_bloom_never_false_negative_any_null_layout(vals, null_positions):
+    """PROPERTY: every value inserted into the bloom — from blocks with
+    arbitrary null layouts — must probe as maybe-present from probes with
+    arbitrary null layouts (false positives allowed, negatives never)."""
+    import numpy as np
+
+    from connect_smts_ray.ops.components import (
+        _bloom_hashes,
+        bloom_maybe_contains,
+    )
+
+    bits, k = 1 << 12, 4
+    bitmap = np.zeros(bits // 8, dtype=np.uint8)
+    # build from a null-interleaved layout
+    mixed = []
+    for v, b in zip(vals, null_positions + [False] * len(vals)):
+        if b:
+            mixed.append(None)
+        mixed.append(v)
+    h1, h2 = _bloom_hashes(pa.array(mixed, pa.int64()))
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(bits)
+        np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    # probe from a null-free layout AND a null-carrying one
+    for probe in (pa.array(vals, pa.int64()),
+                  pa.array([None] + vals, pa.int64())):
+        mask = bloom_maybe_contains(probe, bitmap.tobytes(), bits=bits, k=k)
+        present = [m for m, v in zip(mask, probe.to_pylist())
+                   if v is not None]
+        assert all(present), "bloom false negative"
